@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship lightcurve-patch query at sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2),
+                  each exercising the real ``fastdb_spark`` operator code
+                  over the driver's synthetic tables (TESTDATA.md) via the
+                  deterministic derivations in ``fastdb_spark.tpch_adapter``.
+``oracle_sql()``— the duckdb-equivalent ANSI SQL for each query.
+
+Floating-point policy: values produced by a single deterministic expression
+are emitted exactly; values produced by *aggregation* (order-dependent
+summation) or libm-dependent functions (trig/log) are rounded so Spark and
+duckdb hash identically.
 """
 
 from __future__ import annotations
@@ -12,27 +18,538 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from fastdb_spark import tpch_adapter as ad
+from fastdb_spark.catalog import Catalog
+from fastdb_spark.operators.dedup import dedup_first_seen, dedup_top_priority
+from fastdb_spark.operators.patch import patch_lightcurve
+from fastdb_spark.operators.predicates import FieldSpec, apply_where
+from fastdb_spark.operators.spatial import cone_search, crossmatch
+from fastdb_spark.queries.objstats import per_band_stats, weighted_positions
+from fastdb_spark.versions import versioned
+from fastdb_spark.functions.photometry import flux2mag
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Lightcurve patch query (SURVEY.md J3 + A1): forced photometry
+    full-outer detections with row-level coalesce and isdet/ispatch flags."""
+    return _q_ltcv_patch(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _pat(sql: str, *extra: str) -> str:
+    """Compose WITH-prefixed oracle SQL over the shared derivations."""
+    ctes = [f"p AS ({ad.PHOTOMETRY_SQL})", *extra]
+    return "WITH " + ", ".join(ctes) + "\n" + sql
+
+
+PV_MJD_CUT = 60050.0
+
+# ---------------------------------------------------------------------------
+# queries (spark side)
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate (SURVEY.md A3/A5: grouped conditional
+    aggregation with map-side combine)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: one row per (rootid, visit) from the highest-priority version,
+    via the single-shuffle max_by aggregate."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return dedup_top_priority(
+        ad.versioned_photometry(li),
+        ["rootid", "visit"],
+        ["priority", "srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+
+
+def _q_versioned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 through the full processing-version path: broadcast bpv-mapping
+    join + priority dedup (fastdb_spark.versions.versioned)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    phot = ad.versioned_photometry(li).withColumn(
+        "base_procver_id", F.concat(F.lit("bpv"), F.col("priority").cast("string"))
+    ).drop("priority")
+    mapping = spark.createDataFrame(
+        [("bpv0", 0), ("bpv1", 1), ("bpv2", 2)], ["base_procver_id", "priority"]
+    )
+    return versioned(
+        phot,
+        mapping,
+        keys=("rootid", "visit"),
+        extra_order=("srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"),
+    )
+
+
+def _q_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S4: first event per user (first-seen wins), min_by aggregate."""
+    ev = Catalog(spark, sf_dir).table("events")
+    first = dedup_first_seen(ev, ["user_id"], ["ts", "event_id"])
+    return first.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap cumsum (classic window composition);
+    events >30min apart start a new session per user."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_new = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sess = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+def _q_ltcv_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full-outer forced-vs-detections patch join."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return patch_lightcurve(
+        ad.forced(li),
+        ad.detections(li),
+        keys=("rootid", "visit"),
+        value_cols=["srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+
+
+def _q_ltcv_detections_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4+A1: band filter + mjd_now time-travel cut + priority dedup."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    phot = ad.versioned_photometry(li).filter(
+        F.col("band").isin(["R", "A"]) & (F.col("midpointmjdtai") <= F.lit(PV_MJD_CUT))
+    )
+    return dedup_top_priority(
+        phot,
+        ["rootid", "visit"],
+        ["priority", "srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+
+
+def _q_objstats_per_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6/J8: one-pass per-(root,band) stats (first/last/peak + counts)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    stats = per_band_stats(ad.detections(li), tiebreak=["srcid", "psfflux", "psffluxerr"])
+    # round libm-free but aggregate-computed floats defensively
+    keep = ["rootid", "band"]
+    rounded = [
+        F.round(F.col(c), 6).alias(c)
+        if c.endswith(("mjd", "flux", "fluxerr"))
+        else F.col(c)
+        for c in stats.columns
+        if c not in keep
+    ]
+    return stats.select(*keep, *rounded)
+
+
+def _q_weighted_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: (S/N)^2-weighted mean/std/cov of detection positions."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    pos = weighted_positions(ad.detections(li), min_snr=3.0)
+    return pos.select(
+        "rootid",
+        F.round("ra", 6).alias("ra"),
+        F.round("dec", 6).alias("dec"),
+        F.round("raerr", 6).alias("raerr"),
+        F.round("decerr", 6).alias("decerr"),
+        F.round("ra_dec_cov", 6).alias("ra_dec_cov"),
+        "nposdets",
+    )
+
+
+def _q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (fixed center): dec-band + ra-window prefilter + exact haversine."""
+    part = Catalog(spark, sf_dir).table("part")
+    hits = cone_search(ad.part_sky(part), 180.0, 0.0, 14.95)
+    from fastdb_spark.operators.spatial import haversine_deg
+
+    sep = haversine_deg(F.col("ra"), F.col("dec"), F.lit(180.0), F.lit(0.0))
+    return hits.select("id", "ra", "dec", F.round(sep, 6).alias("sep_deg"))
+
+
+def _q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (two-sided): zone-bucketed equi-join crossmatch at 0.95 deg."""
+    cat = Catalog(spark, sf_dir)
+    pairs = crossmatch(
+        ad.part_sky(cat.table("part")),
+        ad.customer_sky(cat.table("customer")),
+        radius_deg=0.95,
+    )
+    return pairs.select(
+        F.col("id").alias("part_id"),
+        F.col("right_id").alias("cust_id"),
+        F.round("sep_deg", 6).alias("sep_deg"),
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti — orders with no returned ('R') line items."""
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5-shaped multi-join + aggregate with broadcast dimensions."""
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    cust, nation = cat.table("customer"), cat.table("nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O2: top-3 orders by totalprice per customer (ranked window)."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the keyword-spec WHERE compiler (mult / substr / minmax)."""
+    part = Catalog(spark, sf_dir).table("part")
+    specs = {
+        "p_brand": FieldSpec(mult=True),
+        "p_type": FieldSpec(substr=True),
+        "p_size": FieldSpec(minmax=True),
+        "p_retailprice": FieldSpec(minmax=True),
+    }
+    return apply_where(
+        part,
+        specs,
+        {
+            "p_brand": ["Brand#13", "Brand#5", "Brand#21"],
+            "p_type": "ECO",
+            "p_size_min": 5,
+            "p_size_max": 30,
+        },
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+def _q_flux_to_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: flux->mag with non-positive-flux sentinel."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    det = ad.detections(li)
+    return det.select(
+        "srcid", F.round(flux2mag(F.col("psfflux")), 6).alias("mag")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "priority_dedup": _q_priority_dedup,
+        "versioned_dedup": _q_versioned_dedup,
+        "first_seen_dedup": _q_first_seen_dedup,
+        "sessionize": _q_sessionize,
+        "ltcv_patch": _q_ltcv_patch,
+        "ltcv_detections_cut": _q_ltcv_detections_cut,
+        "objstats_per_band": _q_objstats_per_band,
+        "weighted_position": _q_weighted_position,
+        "cone_search": _q_cone_search,
+        "crossmatch": _q_crossmatch,
+        "anti_join": _q_anti_join,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "topk_per_group": _q_topk_per_group,
+        "keyword_search": _q_keyword_search,
+        "flux_to_mag": _q_flux_to_mag,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# duckdb oracle SQL
+
+
+_HAV_CENTER = (
+    "degrees(2*asin(sqrt("
+    " sin(radians(0.0 - \"dec\")/2) * sin(radians(0.0 - \"dec\")/2)"
+    " + cos(radians(\"dec\")) * cos(radians(0.0))"
+    "   * sin(radians(180.0 - ra)/2) * sin(radians(180.0 - ra)/2) )))"
+)
+
+_HAV_PAIR = (
+    "degrees(2*asin(sqrt("
+    " sin(radians(c.\"dec\" - p.\"dec\")/2) * sin(radians(c.\"dec\" - p.\"dec\")/2)"
+    " + cos(radians(p.\"dec\")) * cos(radians(c.\"dec\"))"
+    "   * sin(radians(c.ra - p.ra)/2) * sin(radians(c.ra - p.ra)/2) )))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    thr = {24: 912.011, 23: 2290.87, 22: 5754.40, 21: 14454.4}
+    ndets_cases = ", ".join(
+        f"CAST(sum(CASE WHEN psfflux >= {v} THEN 1 ELSE 0 END) AS BIGINT) AS ndets{m}"
+        for m, v in thr.items()
+    )
+    nsn_cases = ", ".join(
+        f"CAST(sum(CASE WHEN psfflux/psffluxerr >= {s} THEN 1 ELSE 0 END) AS BIGINT) AS nsn{s}"
+        for s in (10, 7, 5)
+    )
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "priority_dedup": f"""
+            WITH v AS ({ad.VERSIONED_SQL})
+            SELECT rootid, visit, srcid, priority, band, midpointmjdtai,
+                   psfflux, psffluxerr
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY rootid, visit
+                      ORDER BY priority DESC, srcid DESC, band DESC,
+                               midpointmjdtai DESC, psfflux DESC,
+                               psffluxerr DESC) AS rn FROM v)
+            WHERE rn = 1
+        """,
+        "versioned_dedup": f"""
+            WITH v AS ({ad.VERSIONED_SQL})
+            SELECT rootid, visit, srcid, band, midpointmjdtai,
+                   psfflux, psffluxerr, base_procver_id
+            FROM (SELECT *, 'bpv' || CAST(priority AS VARCHAR) AS base_procver_id,
+                         row_number() OVER (
+                      PARTITION BY rootid, visit
+                      ORDER BY priority DESC, srcid DESC, band DESC,
+                               midpointmjdtai DESC, psfflux DESC,
+                               psffluxerr DESC) AS rn FROM v)
+            WHERE rn = 1
+        """,
+        "first_seen_dedup": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "sessionize": """
+            WITH w AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id))
+                               > 30*60*1000000
+                          THEN 1 ELSE 0 END AS is_new,
+                     event_id
+              FROM events),
+            s AS (
+              SELECT user_id, ts_us, value,
+                     sum(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM w)
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS session_value,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "ltcv_patch": _pat(
+            f"""
+            SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+                   COALESCE(f.visit, s.visit) AS visit,
+                   CASE WHEN f.rootid IS NULL THEN s.srcid ELSE f.srcid END AS srcid,
+                   CASE WHEN f.rootid IS NULL THEN s.band ELSE f.band END AS band,
+                   CASE WHEN f.rootid IS NULL THEN s.midpointmjdtai ELSE f.midpointmjdtai END AS midpointmjdtai,
+                   CASE WHEN f.rootid IS NULL THEN s.psfflux ELSE f.psfflux END AS psfflux,
+                   CASE WHEN f.rootid IS NULL THEN s.psffluxerr ELSE f.psffluxerr END AS psffluxerr,
+                   (s.rootid IS NOT NULL) AS isdet,
+                   (f.rootid IS NULL) AS ispatch
+            FROM (SELECT * FROM p WHERE {ad.FORCED_PRED_SQL}) f
+            FULL OUTER JOIN (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL}) s
+              ON f.rootid = s.rootid AND f.visit = s.visit
+            """
+        ),
+        "ltcv_detections_cut": f"""
+            WITH v AS ({ad.VERSIONED_SQL}),
+            cut AS (SELECT * FROM v
+                    WHERE band IN ('R','A') AND midpointmjdtai <= {PV_MJD_CUT})
+            SELECT rootid, visit, srcid, priority, band, midpointmjdtai,
+                   psfflux, psffluxerr
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY rootid, visit
+                      ORDER BY priority DESC, srcid DESC, band DESC,
+                               midpointmjdtai DESC, psfflux DESC,
+                               psffluxerr DESC) AS rn FROM cut)
+            WHERE rn = 1
+        """,
+        "objstats_per_band": _pat(
+            f"""
+            SELECT c.rootid, c.band,
+                   round(fst.midpointmjdtai, 6) AS firstdetmjd,
+                   round(fst.psfflux, 6) AS firstdetflux,
+                   round(fst.psffluxerr, 6) AS firstdetfluxerr,
+                   round(lst.midpointmjdtai, 6) AS lastdetmjd,
+                   round(lst.psfflux, 6) AS lastdetflux,
+                   round(lst.psffluxerr, 6) AS lastdetfluxerr,
+                   round(pk.midpointmjdtai, 6) AS maxdetmjd,
+                   round(pk.psfflux, 6) AS maxdetflux,
+                   round(pk.psffluxerr, 6) AS maxdetfluxerr,
+                   c.ndets, c.ndets24, c.ndets23, c.ndets22, c.ndets21,
+                   c.nsn10, c.nsn7, c.nsn5
+            FROM (SELECT rootid, band, count(*) AS ndets,
+                         {ndets_cases}, {nsn_cases}
+                  FROM s GROUP BY rootid, band) c
+            JOIN (SELECT * FROM r WHERE rf = 1) fst USING (rootid, band)
+            JOIN (SELECT * FROM r WHERE rl = 1) lst USING (rootid, band)
+            JOIN (SELECT * FROM r WHERE rp = 1) pk USING (rootid, band)
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+            """r AS (SELECT *,
+                row_number() OVER (PARTITION BY rootid, band
+                    ORDER BY midpointmjdtai, srcid, psfflux, psffluxerr) AS rf,
+                row_number() OVER (PARTITION BY rootid, band
+                    ORDER BY midpointmjdtai DESC, srcid DESC, psfflux DESC, psffluxerr DESC) AS rl,
+                row_number() OVER (PARTITION BY rootid, band
+                    ORDER BY psfflux DESC, midpointmjdtai DESC, srcid DESC, psfflux DESC, psffluxerr DESC) AS rp
+              FROM s)""",
+        ),
+        "weighted_position": _pat(
+            """
+            SELECT rootid,
+                   round(swra/sw, 6) AS ra,
+                   round(swdec/sw, 6) AS "dec",
+                   round(sqrt(greatest(swra2/sw - (swra/sw)*(swra/sw), 0.0)), 6) AS raerr,
+                   round(sqrt(greatest(swdec2/sw - (swdec/sw)*(swdec/sw), 0.0)), 6) AS decerr,
+                   round(swradec/sw - (swra/sw)*(swdec/sw), 6) AS ra_dec_cov,
+                   nposdets
+            FROM (SELECT rootid, sum(w) AS sw,
+                         sum(w*ra) AS swra, sum(w*"dec") AS swdec,
+                         sum(w*ra*ra) AS swra2, sum(w*"dec"*"dec") AS swdec2,
+                         sum(w*ra*"dec") AS swradec,
+                         count(*) AS nposdets
+                  FROM (SELECT rootid, ra, "dec",
+                               (psfflux/psffluxerr)*(psfflux/psffluxerr) AS w
+                        FROM s
+                        WHERE psfflux/psffluxerr > 3.0
+                          AND ra IS NOT NULL AND "dec" IS NOT NULL) t
+                  GROUP BY rootid)
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+        ),
+        "cone_search": f"""
+            WITH sky AS ({ad.PART_SKY_SQL})
+            SELECT id, ra, "dec", round({_HAV_CENTER}, 6) AS sep_deg
+            FROM sky
+            WHERE {_HAV_CENTER} <= 14.95
+        """,
+        "crossmatch": f"""
+            WITH p AS ({ad.PART_SKY_SQL}), c AS ({ad.CUSTOMER_SKY_SQL})
+            SELECT p.id AS part_id, c.id AS cust_id,
+                   round({_HAV_PAIR}, 6) AS sep_deg
+            FROM p, c
+            WHERE {_HAV_PAIR} <= 0.95
+        """,
+        "anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R')
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "keyword_search": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size
+            FROM part
+            WHERE p_brand IN ('Brand#13', 'Brand#5', 'Brand#21')
+              AND p_type LIKE '%ECO%'
+              AND p_size >= 5 AND p_size <= 30
+        """,
+        "flux_to_mag": _pat(
+            """
+            SELECT srcid,
+                   round(CASE WHEN psfflux > 0.0
+                              THEN -2.5*log10(psfflux) + 31.4
+                              ELSE 99.0 END, 6) AS mag
+            FROM s
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+        ),
+    }

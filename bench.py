@@ -1,0 +1,62 @@
+"""Benchmark harness: runs every gate query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect).  Times are single-shot after a session warmup — the point
+is plan quality (shuffles, pushdown, broadcast), not JIT micro-variance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import __spark_entry__ as entrymod
+from fastdb_spark.session import get_spark
+
+
+def _force(df) -> int:
+    # noop datasource executes the whole plan without materializing output
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("fastdb-spark-bench", master=f"local[{cpus}]")
+    # warmup: JVM + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

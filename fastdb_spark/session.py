@@ -1,0 +1,78 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local test boxes run ``local[N]`` (single JVM); production is a multi-
+executor cluster.  Everything here is cluster-safe: the knobs below tune
+shuffle parallelism, adaptive execution, and Arrow transfer — none of them
+assume local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "fastdb-spark"
+
+
+def builder(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession.Builder:
+    """Return a configured SparkSession builder.
+
+    ``master=None`` leaves master selection to spark-submit / the cluster
+    manager (correct for production); tests and bench pass ``local[N]``.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        # Local mode: one partition per core avoids tiny-task overhead.
+        # On a real cluster AQE coalesces, so a higher static value is fine.
+        shuffle_partitions = cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching.  Essential at 100 TB
+        # where static planning misguesses cardinalities.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The catalog's dimension tables (processing versions, bpv mappings)
+        # are tiny; raise the broadcast threshold so they always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for any pandas_udf / toPandas path (10-100x over pickling).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The reference pins UTC everywhere (source_importer.py:1-12 documents
+        # the TZ pitfalls); so do we — also required for duckdb-oracle parity.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Timestamps written by external tools (duckdb) may be INT96/micros.
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    )
+    if master:
+        b = b.master(master)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    **kwargs,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    spark = builder(app_name, master, **kwargs).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def local_spark(cores: int | None = None, app_name: str = DEFAULT_APP_NAME) -> SparkSession:
+    """Local-mode session used by tests and bench."""
+    cpus = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return get_spark(app_name, master=f"local[{cpus}]", shuffle_partitions=cpus)

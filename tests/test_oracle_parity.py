@@ -1,0 +1,107 @@
+"""Replicates the driver's correctness gate locally: every ``queries()``
+entry is executed by Spark and its ``oracle_sql()`` twin by duckdb over the
+same parquet tables; results must match exactly (row count, column names,
+values) after column-name sort + row sort."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+# sf0.01 matches the driver's correctness gate
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return pdf
+
+
+def _assert_equal(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns differ: {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row counts differ: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            ok = np.array_equal(av, bv, equal_nan=True)
+        else:
+            ok = np.array_equal(av, bv)
+        if not ok:
+            diff = np.where(
+                ~(
+                    (av == bv)
+                    | (pd.isna(av) & pd.isna(bv))
+                )
+            )[0][:5]
+            raise AssertionError(
+                f"{name}: column {c} differs at rows {diff.tolist()}: "
+                f"spark={av[diff].tolist()} duckdb={bv[diff].tolist()}"
+            )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    if name not in oracles:
+        assert len(spark_pdf) >= 0  # rows-only check, mirrors the driver
+        return
+    con = _duck(SF_DIR)
+    duck_pdf = con.execute(oracles[name]).df()
+    con.close()
+    _assert_equal(name, spark_pdf, duck_pdf)
+    assert len(spark_pdf) > 0, f"{name}: empty result (no discrimination)"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_oracle_keys_subset():
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+    _ = math  # keep import
+
+
+def test_queries_have_oracles():
+    missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    # non-SQL-expressible ops may be missing; everything else must have one
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"
