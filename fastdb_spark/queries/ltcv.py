@@ -29,13 +29,21 @@ from fastdb_spark.versions import ProcverResolver, versioned
 LTCV_COLS = ("diaobjectid", "band", "midpointmjdtai", "psfflux", "psffluxerr")
 
 
-def _with_rootid(photometry: DataFrame, diaobject: DataFrame) -> DataFrame:
-    """Attach rootid via the object-identity dimension (reference joins
-    source->object, ``src/ltcv.py:650-659``)."""
-    objmap = diaobject.select("diaobjectid", "base_procver_id", "rootid")
-    return photometry.join(
-        objmap, on=["diaobjectid", "base_procver_id"], how="inner"
+def resolve_objects(
+    diaobject: DataFrame, resolver: ProcverResolver, procver: str
+) -> DataFrame:
+    """Version-resolved diaobjectid -> rootid map (reference stages this as
+    ``tmp_objids``, ``src/ltcv.py:569-630``): the object table gets its OWN
+    priority dedup per diaobjectid, independent of the photometry's base
+    version — a bpv2a source row still resolves through the bpv2 object."""
+    mapping = resolver.bpv_mapping(procver, "diaobject")
+    resolved = versioned(
+        diaobject,
+        mapping,
+        keys=("diaobjectid",),
+        extra_order=("base_procver_id",),
     )
+    return resolved.select("diaobjectid", "rootid")
 
 
 def _extract(
@@ -57,7 +65,10 @@ def _extract(
         df = df.filter(F.col("band").isin(list(bands)))  # P4
     if mjd_now is not None:
         df = df.filter(F.col("midpointmjdtai") <= F.lit(mjd_now))  # P3
-    df = _with_rootid(df, diaobject)
+    # object map can be millions of rows at full scale — let AQE pick the
+    # join strategy (broadcasts when the restricted map is small)
+    objmap = resolve_objects(diaobject, resolver, procver)
+    df = df.join(objmap, on="diaobjectid", how="inner")
     if objids is not None:
         df = df.join(objids.select("rootid"), on="rootid", how="left_semi")  # J5
     mapping = resolver.bpv_mapping(procver, table)

@@ -168,11 +168,10 @@ def build_objstats(
     """Gold-table refresh job: (per-band, combined) stats for one procver
     (replaces reference ``create_objstats_views`` / REFRESH, ``src/ltcv.py:
     1537-1831``)."""
-    det = tables["diasource"].join(
-        tables["diaobject"].select("diaobjectid", "base_procver_id", "rootid"),
-        on=["diaobjectid", "base_procver_id"],
-        how="inner",
-    )
+    from fastdb_spark.queries.ltcv import resolve_objects
+
+    objmap = resolve_objects(tables["diaobject"], resolver, procver)
+    det = tables["diasource"].join(objmap, on="diaobjectid", how="inner")
     mapping = resolver.bpv_mapping(procver, "diasource")
     det = versioned(det, mapping, keys=("rootid", "visit"), extra_order=("diasourceid",))
     per_band = per_band_stats(det)

@@ -155,26 +155,28 @@ def build_golden_pandas() -> dict[str, pd.DataFrame]:
                 src_rows += emit_phot(rooti, bpv, objid, t0, t1, half_mjd=True)
                 continue
             if bpv == "realtime":
+                # realtime forced lags detections (forced arrives >=24h
+                # late) -> patch holes above 60055
                 src_hi, frc_hi = min(t1, 60060.0), min(t1, 60055.0)
+                frc_tail = 0.0
             elif bpv == "bpv1":
-                src_hi, frc_hi = 60030.0, 60025.0
+                src_hi, frc_hi, frc_tail = 60030.0, 60025.0, 10.0
             else:
-                src_hi, frc_hi = t1, t1
+                src_hi, frc_hi, frc_tail = t1, t1, 10.0
             src_rows += emit_phot(rooti, bpv, objid, t0, src_hi)
-            frc_rows += emit_phot(rooti, bpv, objid, t0 - 10.0, frc_hi + 10.0, forced=True)
+            frc_rows += emit_phot(rooti, bpv, objid, t0 - 10.0, frc_hi + frc_tail, forced=True)
             if bpv == "bpv2":
                 # bpv2a overrides a window (tests priority fallback):
-                # sources [60020,60025], forced [60020,60030]
-                src_rows += [
-                    r
-                    for r in emit_phot(rooti, "bpv2a", objid, t0, src_hi)
-                    if 60020.0 <= r["midpointmjdtai"] <= 60025.0
-                ]
-                frc_rows += [
-                    r
-                    for r in emit_phot(rooti, "bpv2a", objid, t0 - 10.0, frc_hi + 10.0, forced=True)
-                    if 60020.0 <= r["midpointmjdtai"] <= 60030.0
-                ]
+                # sources [60020,60025], forced [60020,60030]; override rows
+                # carry 1.5x flux so shadowing is value-observable
+                for r in emit_phot(rooti, "bpv2a", objid, t0, src_hi):
+                    if 60020.0 <= r["midpointmjdtai"] <= 60025.0:
+                        r["psfflux"] *= 1.5
+                        src_rows.append(r)
+                for r in emit_phot(rooti, "bpv2a", objid, t0 - 10.0, frc_hi + 10.0, forced=True):
+                    if 60020.0 <= r["midpointmjdtai"] <= 60030.0:
+                        r["psfflux"] *= 1.5
+                        frc_rows.append(r)
         if rooti == 0:
             # root 0 also has bpv1a photometry through 60015/60010
             src_rows += emit_phot(0, "bpv1a", 100, t0, 60015.0)
