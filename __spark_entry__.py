@@ -294,6 +294,96 @@ def _q_flux_to_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, quality score, language-ID heuristic,
+    content fingerprint — one projection pass."""
+    from fastdb_spark.pipeline.textstats import doc_stats
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return doc_stats(docs)
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint hash-groupBy over a corpus with planted
+    verbatim duplicates."""
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.dedup import exact_dedup
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return exact_dedup(exactdup_docs(docs)).select(
+        "fingerprint", "keep_id", "group_size"
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle -> signature -> band -> bucket-join
+    -> exact-Jaccard refine."""
+    from fastdb_spark.pipeline.corpus import neardup_docs
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return minhash_lsh_pairs(neardup_docs(docs))
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit sketch -> band buckets -> hamming refine."""
+    from fastdb_spark.pipeline.corpus import neardup_docs
+    from fastdb_spark.pipeline.dedup import simhash_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return simhash_pairs(neardup_docs(docs))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked char-n-gram Jaccard near-dup."""
+    from fastdb_spark.pipeline.corpus import neardup_docs
+    from fastdb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return ngram_jaccard_pairs(neardup_docs(docs))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact threshold self-join baseline)."""
+    from fastdb_spark.pipeline.corpus import neardup_embs
+    from fastdb_spark.pipeline.dedup import embedding_neardup_pairs
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    return embedding_neardup_pairs(neardup_embs(embs))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    from fastdb_spark.pipeline.ann import cosine_topk
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(embs, list(qvec), k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (the 100 TB scale path) — rows-only
+    check: approximate by design, no exact SQL oracle."""
+    from fastdb_spark.pipeline.ann import lsh_bucketed_topk
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_bucketed_topk(embs, list(qvec), k=10)
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: JSON field extraction from the events props column."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -312,6 +402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "keyword_search": _q_keyword_search,
         "flux_to_mag": _q_flux_to_mag,
+        "doc_stats": _q_doc_stats,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -335,6 +434,7 @@ _HAV_PAIR = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from fastdb_spark.pipeline import oracles as po
     thr = {24: 912.011, 23: 2290.87, 22: 5754.40, 21: 14454.4}
     ndets_cases = ", ".join(
         f"CAST(sum(CASE WHEN psfflux >= {v} THEN 1 ELSE 0 END) AS BIGINT) AS ndets{m}"
@@ -552,4 +652,16 @@ def oracle_sql() -> dict[str, str]:
             """,
             f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
         ),
+        "doc_stats": po.doc_stats_sql(),
+        "exact_dedup": po.exact_dedup_sql(),
+        "minhash_lsh_dedup": po.minhash_lsh_sql(),
+        "simhash_dedup": po.simhash_sql(),
+        "ngram_jaccard_dedup": po.ngram_jaccard_sql(),
+        "embedding_neardup": po.embedding_neardup_sql(),
+        "ann_cosine_topk": po.ann_topk_sql(),
+        # ann_lsh_topk: approximate by design -> rows-only check
+        "json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
+            FROM events
+        """,
     }

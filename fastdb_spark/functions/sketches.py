@@ -1,0 +1,105 @@
+"""Similarity sketches: MinHash, SimHash, LSH banding.
+
+Hash primitive is md5 (identical across Spark and duckdb, which makes every
+sketch oracle-checkable — a deliberate choice over xxhash64, which the two
+engines seed differently).  A 60-bit integer is carved from the first 15
+hex chars (stays inside a signed 64-bit long in both engines).
+
+Scale notes: signatures are computed in one projection over the shingle
+array (no explode, no shuffle); LSH banding explodes to ``bands`` rows per
+document and groups by band value — the classic shuffle-light candidate
+generation (band buckets are the join key, so co-candidates land in the
+same partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX60 = 15  # 15 hex chars = 60 bits < 2^63
+
+
+def h60(col: Column) -> Column:
+    """60-bit integer hash of a string column via md5."""
+    return F.conv(F.substring(F.md5(col), 1, HEX60), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
+    """MinHash signature: element i = min over shingles of
+    ``md5(shingle || '#i')`` (hex string min == numeric min on uniform
+    hashes; kept as hex for oracle parity)."""
+    # NB: two-parameter lambdas mean (element, index) to F.transform —
+    # build single-parameter closures per hash seed
+    def _seeded(i: int):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+
+    sig = [
+        F.array_min(F.transform(shingles, _seeded(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` band-hashes: md5 of the concatenated signature
+    slice.  Documents sharing any band hash are near-dup candidates."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"b{j}:"),
+                    F.array_join(
+                        F.slice(signature, j * rows_per_band + 1, rows_per_band), ","
+                    ),
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def simhash60(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+    """60-bit SimHash per document.
+
+    Explodes shingles, hashes each to 60 bits, then one aggregation builds
+    per-bit +/-1 sums and recombines the sign bits into a long.  The 60
+    conditional sums stay in a single hash-aggregate pass (map-side
+    combined), so the shuffle carries one row per document.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh")
+    ).withColumn("_h", h60(F.col("_sh")))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_bands(simhash: Column, bands: int = 6, band_bits: int = 10) -> Column:
+    """Split a 60-bit simhash into ``bands`` integer band keys; hamming-
+    close hashes share at least one band when distance < bands."""
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.shiftright(simhash, j * band_bits).bitwiseAND(F.lit(mask)).alias(f"sb{j}")
+            for j in range(bands)
+        ]
+    )
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

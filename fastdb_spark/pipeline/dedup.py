@@ -1,0 +1,176 @@
+"""Document deduplication operators.
+
+Every operator returns DataFrames (lazily composed) and is built from
+shuffle-conscious primitives:
+
+- **exact**: one hash-aggregate on the content fingerprint.
+- **blocked n-gram Jaccard**: equi-join on a cheap blocking key (prefix
+  fingerprint), exact Jaccard refine — no quadratic blowup.
+- **MinHash + LSH**: signature projection (no shuffle) -> band explode ->
+  band-bucket self-join -> exact Jaccard refine on candidates only.
+- **SimHash**: 60-bit sketch -> band-bucket join -> hamming refine.
+- **embedding cosine**: exact threshold self-join (baseline) — the ANN
+  module provides the LSH-bucketed scale path.
+
+At 100 TB the only full-data shuffles are the band-bucket groupings whose
+keys are uniform hashes (no skew); candidate refinement touches candidate
+pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.sketches import (
+    hamming60,
+    lsh_band_hashes,
+    minhash_signature,
+    simhash60,
+    simhash_bands,
+)
+from fastdb_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    prefix_fingerprint,
+    word_shingles,
+)
+from fastdb_spark.functions.vectors import as_double_array, cosine
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: md5 of normalized text, keep the minimum id
+    as the canonical representative.  One map-side-combined aggregate."""
+    keyed = df.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return keyed.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.array_sort(F.collect_list(id_col)).alias("members"),
+    )
+
+
+def _candidate_pairs(
+    keyed: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a bucket value.  The self-join
+    is an equi-join on the bucket key — co-candidates are co-partitioned."""
+    left = keyed.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    right = keyed.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    pairs = left.join(right, on="_bkt").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.drop("_bkt").dropDuplicates(["id_a", "id_b"])
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    block_tokens: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via prefix blocking + exact char-n-gram Jaccard."""
+    keyed = df.select(
+        F.col(id_col),
+        prefix_fingerprint(F.col(text_col), block_tokens).alias("block"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    pairs = _candidate_pairs(keyed, id_col, "block", ["sh"])
+    out = pairs.withColumn(
+        "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding + exact Jaccard
+    refine (shingle->minhash->band->bucket-join)."""
+    rows = n_hashes // bands
+    keyed = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = keyed.select(
+        id_col,
+        "sh",
+        F.explode(lsh_band_hashes(F.col("sig"), bands, rows)).alias("band"),
+    )
+    pairs = _candidate_pairs(banded, id_col, "band", ["sh"])
+    out = pairs.withColumn(
+        "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via 60-bit SimHash band buckets + hamming refine."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    hashed = simhash60(sh, id_col, "sh")
+    banded = hashed.select(
+        id_col,
+        "simhash",
+        F.posexplode(simhash_bands(F.col("simhash"))).alias("_pos", "_bval"),
+    ).select(
+        id_col,
+        "simhash",
+        F.concat_ws(":", F.col("_pos"), F.col("_bval")).alias("band_key"),
+    )
+    pairs = _candidate_pairs(banded, id_col, "band_key", ["simhash"])
+    out = pairs.withColumn(
+        "hamming", hamming60(F.col("simhash_a"), F.col("simhash_b"))
+    )
+    return out.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (baseline; quadratic in bucket size —
+    use ann.lsh_bucketed for the 100 TB path)."""
+    keyed = df.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    return out.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")

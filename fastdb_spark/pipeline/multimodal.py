@@ -1,0 +1,111 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct;
+all per-item compute (decode, resize, feature extraction, frame sampling)
+runs as Arrow-batched ``mapInPandas`` over partition iterators — the Spark
+side (schema, partitioning, batch shapes, UDF signatures) is real and
+tested; the codec step itself is STUBBED because the runtime image carries
+no image/audio libraries.  ``decoder=`` accepts a real codec callable when
+one is available (e.g. PIL on a full cluster image).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media item schema: payload + typed metadata (no schema-on-read guessing)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes long, sha int, "
+    "feat array<double>"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode path — requires an imaging library (not in this image).
+
+    Referenced from the mapInPandas pipeline when ``decoder='real'``.
+    """
+    try:
+        from PIL import Image  # noqa: F401  (gated import)
+    except ImportError as e:  # pragma: no cover - no PIL in test image
+        raise NotImplementedError(
+            "image decoding requires an imaging library (e.g. Pillow); "
+            "the test container ships none — use the deterministic fake "
+            "decoder for plumbing tests"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for decode+feature-extract: md5-derived
+    pseudo-features.  Keeps the batch plumbing real and testable."""
+    h = hashlib.md5(payload).digest()
+    return [(h[i % 16] / 255.0) for i in range(n_features)]
+
+
+def extract_features(
+    media: DataFrame,
+    n_features: int = 8,
+    decoder: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` — each task pulls Arrow record batches, runs the codec
+    per item, yields a feature frame.  This is the exact shape a real
+    image/audio featurizer plugs into (swap ``decoder``)."""
+    dec = decoder or (lambda b: fake_decode_features(b, n_features))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha": pdf["payload"].map(lambda b: b[0] if len(b) else 0),
+                    "feat": pdf["payload"].map(dec),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (the decode itself is the stub above).  Pure column ops:
+    sequence + explode — demonstrates the fan-out shape."""
+    frames = media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames

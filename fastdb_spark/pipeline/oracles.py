@@ -1,0 +1,208 @@
+"""DuckDB oracle SQL for the pipeline operators.
+
+Each builder mirrors the corresponding Spark operator expression-for-
+expression (same md5 hashing, same rounding, same tie-breaks) so the
+driver's value-hash comparison is exact.  Parameters default to the
+operator defaults — change them together.
+"""
+
+from __future__ import annotations
+
+from fastdb_spark.functions.text import STOPWORDS
+from fastdb_spark.pipeline.corpus import (
+    EXACTDUP_DOCS_SQL,
+    NEARDUP_DOCS_SQL,
+    NEARDUP_EMBS_SQL,
+)
+
+TOKS = "string_split(text, ' ')"
+
+
+def _word_shingles(k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({TOKS}) - {k - 1}, 0)), "
+        f"i -> array_to_string({TOKS}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _char_shingles(k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length(text) - {k - 1}, 0)), "
+        f"i -> text[i:i+{k - 1}]))"
+    )
+
+
+def doc_stats_sql() -> str:
+    sw = {c: ", ".join(f"'{w}'" for w in ws) for c, ws in STOPWORDS.items()}
+    scores = {
+        c: (
+            f"len(list_filter({TOKS}, w -> list_contains([{sw[c]}], w)))"
+            f" / greatest(len({TOKS}), 1)"
+        )
+        for c in sorted(STOPWORDS)
+    }
+    mtl = f"list_sum(list_transform({TOKS}, w -> length(w))) / greatest(len({TOKS}), 1)"
+    punct = (
+        "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+        " / greatest(length(text), 1)"
+    )
+    n_tok = f"len({TOKS})"
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 {scores["de"]} AS s_de, {scores["en"]} AS s_en,
+                 {scores["es"]} AS s_es, {scores["fr"]} AS s_fr,
+                 {mtl} AS mtl, {punct} AS punct
+          FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars,
+               {n_tok} AS n_tokens,
+               CAST(list_sum(list_transform({TOKS},
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+                 AS n_subword_tokens,
+               round(mtl, 6) AS mean_token_len,
+               round(punct, 6) AS punct_ratio,
+               round({scores["en"]}, 6) AS stopword_ratio_en,
+               round((
+                 (CASE WHEN {n_tok} >= 10 AND {n_tok} <= 1000 THEN 1.0 ELSE 0.5 END)
+                 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least(punct * 5.0, 1.0))
+               ) / 3.0, 6) AS quality,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred,
+               md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fingerprint
+        FROM scored
+    """
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+        WITH corpus AS ({EXACTDUP_DOCS_SQL})
+        SELECT md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS group_size
+        FROM corpus GROUP BY 1
+    """
+
+
+def minhash_lsh_sql(
+    shingle_k: int = 3, n_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = n_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
+        for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, md5('b{j}:' || array_to_string("
+        f"sig[{j * rows + 1}:{(j + 1) * rows}], ',')) AS band FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+        WITH corpus AS ({NEARDUP_DOCS_SQL}),
+        sh AS (SELECT doc_id, {_word_shingles(shingle_k)} AS sh FROM corpus),
+        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(x.sh, y.sh))
+                       / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)
+                   AS jaccard
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b)
+        WHERE jaccard >= {threshold}
+    """
+
+
+def simhash_sql(shingle_k: int = 3, max_hamming: int = 16) -> str:
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, "
+        f"'{j}:' || CAST((simhash >> {j * 10}) & 1023 AS VARCHAR) AS band_key "
+        f"FROM sim"
+        for j in range(6)
+    )
+    return f"""
+        WITH corpus AS ({NEARDUP_DOCS_SQL}),
+        sh AS (SELECT doc_id, {_word_shingles(shingle_k)} AS sh FROM corpus),
+        exploded AS (SELECT doc_id,
+                            ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h
+                     FROM sh),
+        bits AS (SELECT doc_id, {bitsums} FROM exploded GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.simhash AS ha, b.simhash AS hb
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def ngram_jaccard_sql(
+    shingle_k: int = 8, block_tokens: int = 5, threshold: float = 0.5
+) -> str:
+    return f"""
+        WITH corpus AS ({NEARDUP_DOCS_SQL}),
+        keyed AS (SELECT doc_id,
+                         md5(array_to_string({TOKS}[1:{block_tokens}], ' ')) AS block,
+                         {_char_shingles(shingle_k)} AS sh
+                  FROM corpus),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM keyed a JOIN keyed b
+                   ON a.block = b.block AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(x.sh, y.sh))
+                       / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)
+                   AS jaccard
+          FROM cand c
+          JOIN keyed x ON x.doc_id = c.id_a
+          JOIN keyed y ON y.doc_id = c.id_b)
+        WHERE jaccard >= {threshold}
+    """
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH corpus AS ({NEARDUP_EMBS_SQL})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def ann_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
+    cos = _COS.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, {cos} AS cos
+        FROM embeddings e, q
+        ORDER BY cos DESC, e.vec_id
+        LIMIT {k}
+    """

@@ -102,6 +102,6 @@ def test_oracle_keys_subset():
 
 def test_queries_have_oracles():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    # non-SQL-expressible ops may be missing; everything else must have one
-    allowed_missing = set()
+    # non-SQL-expressible / approximate-by-design ops get rows-only checks
+    allowed_missing = {"ann_lsh_topk"}
     assert missing <= allowed_missing, f"queries without oracle: {missing}"

@@ -1,0 +1,134 @@
+"""Pipeline operator tests: planted-duplicate recovery, ANN recall,
+multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdb_spark.catalog import Catalog
+from fastdb_spark.pipeline.ann import cosine_topk, lsh_bucketed_topk, with_lsh_bucket
+from fastdb_spark.pipeline.corpus import exactdup_docs, neardup_docs, neardup_embs
+from fastdb_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from fastdb_spark.pipeline.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return Catalog(spark, SF).table("documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return Catalog(spark, SF).table("embeddings")
+
+
+def test_exact_dedup_recovers_planted(docs):
+    groups = exact_dedup(exactdup_docs(docs))
+    dup_groups = groups.filter(F.col("group_size") >= 2).toPandas()
+    n_planted = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(dup_groups) == n_planted
+    # canonical representative is the original (minimum) id
+    assert (dup_groups.keep_id < 2000000).all()
+
+
+def test_minhash_recovers_planted(docs):
+    pairs = minhash_lsh_pairs(neardup_docs(docs)).toPandas()
+    planted = {
+        (i, i + 1000000)
+        for i in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+    }
+    found = set(zip(pairs.id_a, pairs.id_b))
+    # LSH is approximate: short docs (few shingles) can slip the banding.
+    # Demand >=95% recall of planted pairs; every accepted pair passed the
+    # exact jaccard refine, so precision is by construction.
+    assert len(found & planted) >= 0.95 * len(planted)
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_recovers_planted(docs):
+    pairs = simhash_pairs(neardup_docs(docs)).toPandas()
+    planted = {
+        (i, i + 1000000)
+        for i in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+    }
+    found = set(zip(pairs.id_a, pairs.id_b))
+    # banding is approximate (a pair can flip a bit in every band);
+    # demand high planted recall — extra accepted pairs are genuinely
+    # similar short docs (they also pass the exact-jaccard operators)
+    assert len(found & planted) >= 0.9 * len(planted)
+    assert (pairs.hamming <= 16).all()
+
+
+def test_ann_lsh_recall_vs_exact(embs):
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(embs, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(embs, qvec, k=10).collect()]
+    assert exact[0] == 0  # the query vector itself
+    assert 0 in approx
+    # multiprobe LSH over 8 planes: expect decent overlap with exact top-10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_lsh_buckets_partition_corpus(embs):
+    b = with_lsh_bucket(embs)
+    counts = b.groupBy("bucket").count().toPandas()
+    assert counts["count"].sum() == embs.count()
+    assert len(counts) > 10  # corpus actually spreads over buckets
+
+
+def test_neardup_embs_cosine(embs, spark):
+    from fastdb_spark.pipeline.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(neardup_embs(embs)).toPandas()
+    planted = embs.filter(F.col("vec_id") % 5 == 0).count()
+    assert len(pairs) == planted
+    assert (pairs.cos >= 0.95).all()
+    assert (pairs.id_b - pairs.id_a == 1000000).all()
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", bytes([10, 20, 30, 40]), "image/png", 2, 2, None),
+        (2, "image", bytes([50] * 100), "image/png", 10, 10, None),
+        (3, "video", b"\x00" * 64, "video/mp4", 8, 8, 3500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = extract_features(media, n_features=8).collect()
+    assert {r["media_id"] for r in feats} == {1, 2, 3}
+    for r in feats:
+        assert len(r["feat"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feat"])
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 4
+    assert by_id[2]["n_bytes"] == 100
+
+    # determinism: same payload -> same features
+    feats2 = extract_features(media, n_features=8).collect()
+    assert {r["media_id"]: r["feat"] for r in feats2} == {
+        r["media_id"]: r["feat"] for r in feats
+    }
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
+
+
+def test_decode_image_is_gated_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")
