@@ -294,6 +294,124 @@ def _q_flux_to_mag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: bounded time-interval join — per event, count of same-user
+    events in the previous 24h (alert prv-history semantics)."""
+    from fastdb_spark.operators.rangejoin import attach_history
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return attach_history(
+        ev, ev, key="user_id", time_col="ts_us", lookback=86_400_000_000, gap=0
+    )
+
+
+def _q_spectrum_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectrum cycle anti-join chain (wanted minus planned minus observed)
+    on order/lineitem-derived workflow frames."""
+    from fastdb_spark.queries.spectrum import spectra_wanted
+
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    wanted = orders.select(
+        F.col("o_orderkey").alias("root_diaobject_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("want_us"),
+        F.col("o_totalprice").alias("priority_value"),
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    planned = lo.filter(
+        (F.col("l_shipdate") > F.col("o_orderdate")) & (F.col("l_linestatus") == "O")
+    ).select(F.col("l_orderkey").alias("root_diaobject_id"))
+    observed = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("root_diaobject_id")
+    )
+    return spectra_wanted(wanted, planned, observed)
+
+
+def _q_versioned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A9: distinct-logical-key count + scalar extremes, one aggregate
+    (the reference's slowest endpoint — BASELINE.md /count)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    phot = ad.versioned_photometry(li)
+    key = F.struct(F.col("rootid"), F.col("visit"))
+    return phot.agg(
+        F.count_distinct(key).alias("n"),
+        F.round(F.min("midpointmjdtai"), 6).alias("min_t"),
+        F.round(F.max("midpointmjdtai"), 6).alias("max_t"),
+    )
+
+
+def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: OFFSET/LIMIT page over a total order (export chunking)."""
+    from fastdb_spark.operators.paginate import paginate
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    page = paginate(
+        orders, [F.desc("o_totalprice"), F.col("o_orderkey")], offset=100, limit=50
+    )
+    return page.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_pseudorandom_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: deterministic 'ORDER BY random()' via md5 ordering."""
+    from fastdb_spark.operators.paginate import pseudorandom_sample
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    return pseudorandom_sample(orders, "o_orderkey", 7, salt="s1").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union + distinct of two dimension name sets."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.table("part").select(F.col("p_brand").alias("val"))
+    b = cat.table("customer").select(F.col("c_mktsegment").alias("val"))
+    return a.unionByName(b).distinct()
+
+
+def _q_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: batch PK fetch via a literal id-list join (reference get_batch
+    JOIN (VALUES ...))."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    ids = spark.createDataFrame(
+        [(1,), (5,), (7,), (11,), (19,), (100,)], ["o_orderkey"]
+    )
+    return orders.join(F.broadcast(ids), on="o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _q_object_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object_search: keyword criteria over the objstats gold table."""
+    from fastdb_spark.queries.search import object_search
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    stats = per_band_stats(
+        ad.detections(li), tiebreak=["srcid", "psfflux", "psffluxerr"]
+    )
+    found = object_search(
+        stats, ndets_min=2, band=["A", "R"], maxdetmjd_max=60090.0
+    )
+    return found.select(
+        "rootid",
+        "band",
+        "ndets",
+        F.round("maxdetflux", 6).alias("maxdetflux"),
+        F.round("maxdetmjd", 6).alias("maxdetmjd"),
+    )
+
+
+def _q_latest_mag_per_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectrum-cycle argmax: newest detection magnitude per (root, band)."""
+    from fastdb_spark.queries.spectrum import latest_mag_per_band
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    det = ad.detections(li)
+    return latest_mag_per_band(det, mjd_now=60090.0)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 
@@ -402,6 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "keyword_search": _q_keyword_search,
         "flux_to_mag": _q_flux_to_mag,
+        "range_join": _q_range_join,
+        "spectrum_workflow": _q_spectrum_workflow,
+        "versioned_count": _q_versioned_count,
+        "pagination": _q_pagination,
+        "pseudorandom_sample": _q_pseudorandom_sample,
+        "union_distinct": _q_union_distinct,
+        "values_lookup": _q_values_lookup,
+        "object_search": _q_object_search,
+        "latest_mag_per_band": _q_latest_mag_per_band,
         "doc_stats": _q_doc_stats,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
@@ -649,6 +776,97 @@ def oracle_sql() -> dict[str, str]:
                               THEN -2.5*log10(psfflux) + 31.4
                               ELSE 99.0 END, 6) AS mag
             FROM s
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+        ),
+        "range_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                       FROM events)
+            SELECT a.event_id, a.user_id, a.ts_us, a.value,
+                   count(b.event_id) AS n_prev
+            FROM e a LEFT JOIN e b
+              ON a.user_id = b.user_id
+             AND b.ts_us >= a.ts_us - 86400000000
+             AND b.ts_us < a.ts_us
+            GROUP BY a.event_id, a.user_id, a.ts_us, a.value
+        """,
+        "spectrum_workflow": """
+            WITH wanted AS (
+              SELECT o_orderkey AS root_diaobject_id,
+                     epoch_us(o_orderdate) AS want_us,
+                     o_totalprice AS priority_value
+              FROM orders),
+            planned AS (
+              SELECT l_orderkey AS root_diaobject_id
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_shipdate > o.o_orderdate AND l.l_linestatus = 'O'),
+            observed AS (
+              SELECT l_orderkey AS root_diaobject_id
+              FROM lineitem WHERE l_returnflag = 'R')
+            SELECT w.* FROM wanted w
+            WHERE NOT EXISTS (SELECT 1 FROM planned p
+                              WHERE p.root_diaobject_id = w.root_diaobject_id)
+              AND NOT EXISTS (SELECT 1 FROM observed s
+                              WHERE s.root_diaobject_id = w.root_diaobject_id)
+        """,
+        "versioned_count": f"""
+            WITH v AS ({ad.VERSIONED_SQL})
+            SELECT count(DISTINCT (rootid, visit)) AS n,
+                   round(min(midpointmjdtai), 6) AS min_t,
+                   round(max(midpointmjdtai), 6) AS max_t
+            FROM v
+        """,
+        "pagination": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50 OFFSET 100
+        """,
+        "pseudorandom_sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY md5('s1' || CAST(o_orderkey AS VARCHAR))
+            LIMIT 7
+        """,
+        "union_distinct": """
+            SELECT p_brand AS val FROM part
+            UNION
+            SELECT c_mktsegment AS val FROM customer
+        """,
+        "values_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey IN (1, 5, 7, 11, 19, 100)
+        """,
+        "object_search": _pat(
+            """
+            SELECT rootid, band, ndets,
+                   round(maxdetflux, 6) AS maxdetflux,
+                   round(maxdetmjd, 6) AS maxdetmjd
+            FROM (
+              SELECT c.rootid, c.band, c.ndets,
+                     pk.psfflux AS maxdetflux, pk.midpointmjdtai AS maxdetmjd
+              FROM (SELECT rootid, band, count(*) AS ndets
+                    FROM s GROUP BY rootid, band) c
+              JOIN (SELECT * FROM r WHERE rp = 1) pk USING (rootid, band))
+            WHERE ndets >= 2 AND band IN ('A', 'R') AND maxdetmjd <= 60090.0
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+            """r AS (SELECT *,
+                row_number() OVER (PARTITION BY rootid, band
+                    ORDER BY psfflux DESC, midpointmjdtai DESC, srcid DESC,
+                             psfflux DESC, psffluxerr DESC) AS rp
+              FROM s)""",
+        ),
+        "latest_mag_per_band": _pat(
+            """
+            SELECT rootid, band,
+                   midpointmjdtai AS latest_mjd,
+                   round(CASE WHEN psfflux > 0.0
+                              THEN -2.5*log10(psfflux) + 31.4
+                              ELSE 99.0 END, 6) AS latest_mag
+            FROM (SELECT *, row_number() OVER (PARTITION BY rootid, band
+                      ORDER BY midpointmjdtai DESC, psfflux DESC,
+                               psffluxerr DESC) AS rn
+                  FROM s WHERE midpointmjdtai <= 60090.0)
+            WHERE rn = 1
             """,
             f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
         ),

@@ -1,0 +1,7 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+- ``alerts``  — nested avro-alert wrangling into relational rows (S2) and
+                gated Kafka stream builders (S1/S10)
+- ``loaders`` — SNANA-style and survey-parquet batch loaders (S6/S7)
+- ``export``  — nested-lightcurve parquet export, csv/pickle sinks (S8/S9)
+"""

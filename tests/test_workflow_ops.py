@@ -1,0 +1,184 @@
+"""Tests for spectrum workflow, range join, pagination, counts, search."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastdb_spark import schemas
+from fastdb_spark.operators.paginate import paginate, pseudorandom_sample, random_sample
+from fastdb_spark.operators.rangejoin import attach_history, collect_history_structs
+from fastdb_spark.queries.counts import table_extremes, versioned_count
+from fastdb_spark.queries.search import object_search
+from fastdb_spark.queries.spectrum import latest_mag_per_band, spectra_wanted
+from fastdb_spark.versions import ProcverResolver
+
+from .conftest import ROOT
+
+UTC = dt.timezone.utc
+
+
+def _t(day: int) -> dt.datetime:
+    return dt.datetime(2026, 1, day, tzinfo=UTC)
+
+
+@pytest.fixture()
+def spectrum_tables(spark):
+    uid = "00000000-0000-4000-8000-00000000aaaa"
+    wanted = [
+        # root 0: wanted, never claimed/observed -> stays
+        (f"{ROOT[0]} ; alice", ROOT[0], _t(1), uid, "alice", 3, False, 42.0, 13.0),
+        # root 1: wanted but planned -> drops
+        (f"{ROOT[1]} ; alice", ROOT[1], _t(1), uid, "alice", 2, False, 42.0, 13.0036),
+        # root 2: wanted but spectrum reported -> drops
+        (f"{ROOT[2]} ; bob", ROOT[2], _t(2), uid, "bob", 5, False, 42.0, 13.0056),
+    ]
+    planned = [("00000000-0000-4000-8000-00000000bbbb", ROOT[1], "scope1", _t(3), _t(5), None, False)]
+    observed = [
+        ("00000000-0000-4000-8000-00000000cccc", ROOT[2], "scope2", _t(4), 60040.0,
+         0.05, 10, 42.0, 13.0056, False, "SNIa"),
+    ]
+    return {
+        "wantedspectra": spark.createDataFrame(wanted, schemas.WANTEDSPECTRA),
+        "plannedspectra": spark.createDataFrame(planned, schemas.PLANNEDSPECTRA),
+        "spectruminfo": spark.createDataFrame(observed, schemas.SPECTRUMINFO),
+    }
+
+
+def test_spectra_wanted_anti_chain(spectrum_tables):
+    got = spectra_wanted(
+        spectrum_tables["wantedspectra"],
+        spectrum_tables["plannedspectra"],
+        spectrum_tables["spectruminfo"],
+    )
+    assert {r["root_diaobject_id"] for r in got.collect()} == {ROOT[0]}
+
+
+def test_spectra_wanted_time_windows(spectrum_tables):
+    # claims older than the window no longer block (reference
+    # not_claimed_in_last_days semantics)
+    got = spectra_wanted(
+        spectrum_tables["wantedspectra"],
+        spectrum_tables["plannedspectra"],
+        spectrum_tables["spectruminfo"],
+        not_claimed_in_last_days=7,
+        no_spectra_in_last_days=7,
+        now=_t(20),  # both the plan (day 3) and spectrum (day 4) have aged out
+    )
+    assert {r["root_diaobject_id"] for r in got.collect()} == {
+        ROOT[0],
+        ROOT[1],
+        ROOT[2],
+    }
+
+
+def test_spectra_wanted_requester_filter(spectrum_tables):
+    got = spectra_wanted(
+        spectrum_tables["wantedspectra"],
+        spectrum_tables["plannedspectra"],
+        spectrum_tables["spectruminfo"],
+        requester="bob",
+    )
+    assert got.count() == 0  # bob's only want (root 2) was observed
+
+
+def test_attach_history_keeps_empty_probes(spark):
+    probe = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 200.0, "b"), (2, 50.0, "c")], ["k", "t", "tag"]
+    )
+    hist = spark.createDataFrame(
+        [(1, 90.0), (1, 150.0), (1, 199.0), (2, 300.0)], ["k", "t"]
+    )
+    out = {r["tag"]: r["n_prev"] for r in
+           attach_history(probe, hist, "k", "t", lookback=50.0).collect()}
+    # "a": hist 90 in [50,100) -> 1; "b": 150,199 in [150,200) -> 2;
+    # "c": user 2 has only future history -> kept with 0
+    assert out == {"a": 1, "b": 2, "c": 0}
+
+
+def test_collect_history_structs_sorted(spark):
+    probe = spark.createDataFrame([(1, 200.0, "b")], ["k", "t", "tag"])
+    hist = spark.createDataFrame(
+        [(1, 199.0, 9.0), (1, 150.0, 5.0), (1, 10.0, 1.0)], ["k", "t", "v"]
+    )
+    rows = collect_history_structs(
+        probe, hist, "k", "t", lookback=100.0, gap=0.0, struct_cols=["t", "v"]
+    ).collect()
+    prv = rows[0]["prv"]
+    assert [p["t"] for p in prv] == [150.0, 199.0]  # sorted, 10.0 out of window
+
+
+def test_paginate_contiguous(spark):
+    df = spark.range(0, 103).withColumnRenamed("id", "k")
+    p1 = [r["k"] for r in paginate(df, ["k"], 0, 50).collect()]
+    p2 = [r["k"] for r in paginate(df, ["k"], 50, 50).collect()]
+    p3 = [r["k"] for r in paginate(df, ["k"], 100, 50).collect()]
+    assert p1 == list(range(50)) and p2 == list(range(50, 100))
+    assert p3 == [100, 101, 102]
+
+
+def test_samples(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in pseudorandom_sample(df, "k", 10, "s").collect()}
+    b = {r["k"] for r in pseudorandom_sample(df, "k", 10, "s").collect()}
+    c = {r["k"] for r in pseudorandom_sample(df, "k", 10, "other").collect()}
+    assert a == b and len(a) == 10
+    assert a != c  # different salt, different draw
+    assert random_sample(df, 5).count() == 5
+
+
+def test_versioned_count_golden(golden, golden_pandas):
+    resolver = ProcverResolver(
+        golden["processing_version"],
+        golden["processing_version_alias"],
+        golden["base_procver_of_procver"],
+    )
+    n = versioned_count(
+        golden["diasource"], resolver, "pv2", "diasource",
+        keys=("diaobjectid", "visit"),
+    ).collect()[0]["n"]
+    m = golden_pandas["base_procver_of_procver"]
+    bpvs = set(
+        m[(m.procver_id == resolver.procver_id("pv2")) & (m._table == "diasource")]
+        .base_procver_id
+    )
+    src = golden_pandas["diasource"]
+    expected = (
+        src[src.base_procver_id.isin(bpvs)][["diaobjectid", "visit"]]
+        .drop_duplicates()
+        .shape[0]
+    )
+    assert n == expected
+
+    ext = table_extremes(golden["diasource"]).collect()[0]
+    assert ext["min_t"] == golden_pandas["diasource"].midpointmjdtai.min()
+    assert ext["max_t"] == golden_pandas["diasource"].midpointmjdtai.max()
+
+
+def test_object_search_cone_and_criteria(golden, spark):
+    from fastdb_spark.queries.objstats import build_objstats
+    from fastdb_spark.versions import ProcverResolver
+
+    resolver = ProcverResolver(
+        golden["processing_version"],
+        golden["processing_version_alias"],
+        golden["base_procver_of_procver"],
+    )
+    per_band, _ = build_objstats(golden, resolver, "pv2")
+    roots = golden["root_diaobject"]
+    hits = object_search(
+        per_band,
+        positions=roots,
+        ra=42.0,
+        dec=13.0,
+        radius_deg=25.0 / 3600.0,
+        ndets_min=1,
+    )
+    assert {r["rootid"] for r in hits.select("rootid").distinct().collect()} == {
+        ROOT[0], ROOT[1], ROOT[2],
+    }
+    none = object_search(per_band, ndets_min=10_000)
+    assert none.count() == 0
