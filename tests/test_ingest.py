@@ -1,0 +1,223 @@
+"""Ingest pipeline tests: wrangling, spatial association, idempotent
+merges, structured-streaming smoke, query queue — mirrors the reference's
+end-to-end alert-cycle test strategy (SURVEY.md §5 'alertcycle')."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdb_spark.sources.alerts import (
+    ALERT_SCHEMA,
+    reject_solar_system,
+    wrangle_alerts,
+)
+from fastdb_spark.storage import ParquetTable
+from fastdb_spark.streaming.ingest import (
+    SilverCatalog,
+    associate_roots,
+    ingest_batch,
+    run_alert_file_stream,
+)
+from fastdb_spark.streaming.queue import QueryQueue
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2026, 2, 1, tzinfo=UTC)
+
+BPV = "realtime-bpv-0000"
+
+
+def _src(sid, oid, visit, mjd, flux=100.0, ra=10.0, dec=-5.0, flag=False):
+    return (sid, oid, visit, "r", mjd, flux, 2.0, ra, dec, 0.1, 0.1, 0.0,
+            flag, False, False)
+
+
+def _alert(aid, sid, oid, visit, mjd, ra, dec, prv=(), frc=(), flag=False):
+    return (
+        aid, "fink", "topic1", '{"class": "SNIa", "p": 0.9}',
+        _src(sid, oid, visit, mjd, ra=ra, dec=dec, flag=flag),
+        list(prv), list(frc),
+        (oid, ra, dec, 0.1, 0.1),
+        b"\x01\x02", b"\x03\x04",
+    )
+
+
+@pytest.fixture()
+def alerts_batch1(spark):
+    rows = [
+        # object 1001 at (10, -5): current + one previous source + forced
+        _alert(1, 50001, 1001, 111, 60000.0, 10.0, -5.0,
+               prv=[_src(50000, 1001, 110, 59998.0, ra=10.0, dec=-5.0)],
+               frc=[(70000, 1001, 109, "r", 59990.0, 90.0, 2.0, 10.0, -5.0)],
+               flag=True),
+        # object 1002 within 1" of 1001 -> same root (intra-batch cluster)
+        _alert(2, 50002, 1002, 112, 60001.0, 10.0 + 0.0002, -5.0, flag=False),
+        # object 1003 far away -> own root
+        _alert(3, 50003, 1003, 113, 60002.0, 200.0, 40.0),
+        # solar-system alert (diaobjectid 0) -> rejected
+        _alert(4, 50004, 0, 114, 60003.0, 1.0, 1.0),
+        # duplicate delivery of alert 1 (at-least-once) -> deduped
+        _alert(1, 50001, 1001, 111, 60000.0, 10.0, -5.0, flag=True),
+    ]
+    return spark.createDataFrame(rows, ALERT_SCHEMA)
+
+
+def test_wrangle_shapes(spark, alerts_batch1):
+    w = wrangle_alerts(alerts_batch1, BPV)
+    src = w["diasource"].toPandas()
+    # 5 alerts (incl. dup) + 1 prv source
+    assert len(src) == 6
+    assert set(src.columns) >= {
+        "diasourceid", "diaobjectid", "visit", "band", "midpointmjdtai",
+        "psfflux", "psffluxerr", "ra", "dec", "flags", "savetime",
+        "base_procver_id",
+    }
+    # flag packing: alert 1 has psfFluxFlag -> bit 0
+    flags = dict(zip(src["diasourceid"], src["flags"]))
+    assert flags[50001] & 1 == 1
+    assert flags[50002] & 1 == 0
+    assert len(w["diaforcedsource"].toPandas()) == 1
+    assert len(w["cutouts"].toPandas()) == 5
+
+    rejected = reject_solar_system(w)
+    assert rejected["diasource"].filter(F.col("diaobjectid") == 0).count() == 0
+
+
+def test_associate_roots_clusters_and_adopts(spark):
+    new = spark.createDataFrame(
+        [(1001, 10.0, -5.0), (1002, 10.0002, -5.0), (1003, 200.0, 40.0),
+         (1004, 55.0, 3.0)],
+        ["diaobjectid", "ra", "dec"],
+    )
+    roots = spark.createDataFrame(
+        [("existing-root-1", 55.00001, 3.0)], ["id", "ra", "dec"]
+    )
+    assoc = {r["diaobjectid"]: r["rootid"]
+             for r in associate_roots(new, roots).collect()}
+    assert assoc[1004] == "existing-root-1"        # adopted within 1"
+    assert assoc[1001] == assoc[1002]              # intra-batch cluster
+    assert assoc[1003] != assoc[1001]              # far object: own root
+    for oid in (1001, 1003):
+        assert len(assoc[oid]) == 36 and assoc[oid].count("-") == 4
+
+
+def test_ingest_batch_idempotent(spark, alerts_batch1, tmp_path):
+    silver = SilverCatalog(spark, str(tmp_path / "silver"))
+    w = reject_solar_system(wrangle_alerts(alerts_batch1, BPV, savetime=F.lit(T0)))
+    stats1 = ingest_batch(silver, w)
+    assert stats1["sources"] == 4  # 3 current (dup removed, ss rejected) + 1 prv
+    assert stats1["new_objects"] == 3
+
+    n_roots = silver.table("root_diaobject").read().count()
+    assert n_roots == 2  # {1001,1002} cluster + 1003
+
+    # replay the SAME batch (at-least-once transport) -> no growth
+    stats2 = ingest_batch(silver, w)
+    assert stats2["new_objects"] == 0
+    assert silver.table("root_diaobject").read().count() == 2
+    assert silver.table("diasource").read().count() == 4
+    assert silver.table("diaobject").read().count() == 3
+
+
+def test_ingest_second_batch_associates_to_existing(spark, alerts_batch1, tmp_path):
+    silver = SilverCatalog(spark, str(tmp_path / "silver"))
+    w1 = reject_solar_system(wrangle_alerts(alerts_batch1, BPV, savetime=F.lit(T0)))
+    ingest_batch(silver, w1)
+
+    # batch 2: new object 2001 within 1" of object 1001's position -> must
+    # adopt the existing root, not mint a new one
+    rows = [_alert(10, 60001, 2001, 120, 60010.0, 10.00001, -5.0)]
+    b2 = spark.createDataFrame(rows, ALERT_SCHEMA)
+    w2 = reject_solar_system(
+        wrangle_alerts(b2, BPV, savetime=F.lit(T0 + dt.timedelta(hours=1)))
+    )
+    ingest_batch(silver, w2)
+
+    objs = silver.table("diaobject").read().toPandas()
+    r1001 = objs[objs.diaobjectid == 1001].rootid.iloc[0]
+    r2001 = objs[objs.diaobjectid == 2001].rootid.iloc[0]
+    assert r1001 == r2001
+    assert silver.table("root_diaobject").read().count() == 2
+
+
+def test_streaming_file_ingest(spark, alerts_batch1, tmp_path):
+    """Structured Streaming end-to-end: parquet alert files -> foreachBatch
+    merge -> silver tables (availableNow drains synchronously)."""
+    alerts_dir = str(tmp_path / "alerts")
+    alerts_batch1.write.parquet(alerts_dir)
+    q = run_alert_file_stream(
+        spark,
+        alerts_dir,
+        str(tmp_path / "silver"),
+        str(tmp_path / "ckpt"),
+        BPV,
+    )
+    q.awaitTermination(120)
+    silver = SilverCatalog(spark, str(tmp_path / "silver"))
+    assert silver.table("diasource").read().count() == 4
+    # restart with same checkpoint: no reprocessing, tables stable
+    q2 = run_alert_file_stream(
+        spark, alerts_dir, str(tmp_path / "silver"), str(tmp_path / "ckpt"), BPV
+    )
+    q2.awaitTermination(120)
+    assert silver.table("diasource").read().count() == 4
+
+
+def test_parquet_table_upsert_modes(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t.parquet"))
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
+    # DO NOTHING: existing key keeps old value
+    t.upsert(spark.createDataFrame([(2, "X"), (3, "c")], ["k", "v"]), ["k"], "nothing")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # DO UPDATE: existing key replaced
+    t.upsert(spark.createDataFrame([(2, "Y")], ["k", "v"]), ["k"], "update")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "Y", 3: "c"}
+
+
+def test_query_queue_lifecycle(spark, tmp_path):
+    spark.range(5).createOrReplaceTempView("tiny")
+    qq = QueryQueue(spark, str(tmp_path / "queue"))
+    uid = "00000000-0000-4000-8000-0000000000ee"
+    qid1 = qq.submit(uid, ["SELECT id FROM tiny WHERE id < 3"], fmt="csv")
+    qid2 = qq.submit(uid, ["SELECT bogus FROM nowhere"], fmt="csv")
+
+    assert qq.status(qid1)["started"] is None
+    ran1 = qq.run_one()  # FIFO: oldest first
+    assert ran1 == qid1
+    st1 = qq.status(qid1)
+    assert st1["finished"] is not None and st1["error"] is False
+    assert os.path.exists(qq.results_path(qid1))
+
+    ran2 = qq.run_one()
+    st2 = qq.status(qid2)
+    assert ran2 == qid2 and st2["error"] is True
+    assert "nowhere" in st2["errortext"] or "TABLE_OR_VIEW" in st2["errortext"]
+
+    assert qq.run_one() is None  # queue drained
+
+    # prune: age the rows far into the future
+    n = qq.prune(now=dt.datetime.now(UTC) + dt.timedelta(days=30))
+    assert n == 2
+    assert qq.status(qid1) is None
+
+
+def test_snana_transform(spark):
+    from fastdb_spark.sources.loaders import snana_transform
+
+    phot = spark.createDataFrame(
+        [(42, 60000.0, "g", 1000.0, 10.0, 27.5, 4096 | 16),
+         (42, 60001.0, "r", 500.0, 5.0, 31.4, 16)],
+        ["snid", "mjd", "band", "fluxcal", "fluxcalerr", "zeropt", "photflag"],
+    )
+    out = {r["visit"]: r for r in snana_transform(phot).collect()}
+    r1 = out[60000 * 20000]
+    assert r1["is_detection"] is True
+    assert r1["psfflux"] == pytest.approx(1000.0 * 10 ** (0.4 * (31.4 - 27.5)), rel=1e-5)
+    r2 = out[60001 * 20000]
+    assert r2["is_detection"] is False
+    assert r2["psfflux"] == pytest.approx(500.0, rel=1e-6)
