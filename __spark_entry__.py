@@ -444,7 +444,10 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
 
     docs = Catalog(spark, sf_dir).table("documents")
-    return minhash_lsh_pairs(neardup_docs(docs))
+    # the corpus arrives as 1-2 parquet splits; spread the md5-heavy
+    # signature projection across all cores before sketching
+    corpus = neardup_docs(docs).repartition(spark.sparkContext.defaultParallelism)
+    return minhash_lsh_pairs(corpus)
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +456,8 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.pipeline.dedup import simhash_pairs
 
     docs = Catalog(spark, sf_dir).table("documents")
-    return simhash_pairs(neardup_docs(docs))
+    corpus = neardup_docs(docs).repartition(spark.sparkContext.defaultParallelism)
+    return simhash_pairs(corpus)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +466,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = Catalog(spark, sf_dir).table("documents")
-    return ngram_jaccard_pairs(neardup_docs(docs))
+    corpus = neardup_docs(docs).repartition(spark.sparkContext.defaultParallelism)
+    return ngram_jaccard_pairs(corpus)
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,19 +64,36 @@ def _candidate_pairs(
     keyed: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str]
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a bucket value.  The self-join
-    is an equi-join on the bucket key — co-candidates are co-partitioned."""
-    left = keyed.select(
-        F.col(bucket_col).alias("_bkt"),
+    is an equi-join on the bucket key — co-candidates are co-partitioned.
+
+    Two-phase for shuffle economy: the bucket join and pair-dedup move
+    only (bucket, id) — the heavy payloads (shingle arrays) re-attach via
+    two id-equi-joins on the deduped candidate list, which is orders of
+    magnitude smaller than the banded row set.
+    """
+    ids = keyed.select(F.col(bucket_col).alias("_bkt"), F.col(id_col))
+    left = ids.select("_bkt", F.col(id_col).alias("id_a"))
+    right = ids.select("_bkt", F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, on="_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not payload_cols:
+        return pairs
+    payload = keyed.select(
+        F.col(id_col), *[F.col(c) for c in payload_cols]
+    ).dropDuplicates([id_col])
+    pa = payload.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in payload_cols],
     )
-    right = keyed.select(
-        F.col(bucket_col).alias("_bkt"),
+    pb = payload.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
-    pairs = left.join(right, on="_bkt").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.drop("_bkt").dropDuplicates(["id_a", "id_b"])
+    return pairs.join(pa, on="id_a").join(pb, on="id_b")
 
 
 def ngram_jaccard_pairs(
@@ -163,14 +180,65 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    strategy: str = "blas",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (baseline; quadratic in bucket size —
-    use ann.lsh_bucketed for the 100 TB path)."""
-    keyed = df.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
-    )
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = keyed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    out = pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-    return out.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+    """Exact cosine near-dup pairs over the full corpus.
+
+    ``strategy='blas'`` (default): broadcast the (small) normalized matrix
+    to every task and scan the corpus with an Arrow-batched numpy matmul —
+    each batch of rows scores against all higher-id rows in one GEMM.
+    This is the textbook "builtins can't express it efficiently" case:
+    the expression-level nested-loop join evaluates an interpreted
+    higher-order aggregate per pair (~100x slower).  At 100 TB the same
+    kernel runs per LSH/IVF bucket instead of the full matrix.
+
+    ``strategy='expr'``: pure Column-expression nested-loop join —
+    JVM-only, no Arrow; kept as the portable fallback and oracle twin.
+    """
+    if strategy == "expr":
+        keyed = df.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+        )
+        a = keyed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = keyed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        out = pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        return out.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    keyed = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    rows = keyed.collect()  # corpus matrix must fit one machine's memory;
+    # at scale this becomes the per-bucket matrix, not the full corpus
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    order = np.argsort(ids)
+    ids, mat, norms = ids[order], mat[order], norms[order]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def op(batches):
+        aids, amat, anorms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q = np.array(pdf["v"].tolist(), dtype=np.float64)
+            qids = pdf[id_col].to_numpy()
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ amat.T) / np.outer(qn, anorms)
+            for r in range(len(qids)):
+                mask = (aids > qids[r]) & (
+                    np.round(cos[r], 6) >= threshold
+                )
+                if mask.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.full(mask.sum(), qids[r], dtype=np.int64),
+                            "id_b": aids[mask],
+                            "cos": np.round(cos[r][mask], 6),
+                        }
+                    )
+
+    return keyed.mapInPandas(op, schema="id_a long, id_b long, cos double")
