@@ -498,6 +498,66 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(embs, list(qvec), k=10)
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality gate -> exact dedup -> minhash
+    near-dedup."""
+    from fastdb_spark.pipeline.corpus import curate_docs
+    from fastdb_spark.pipeline.curate import curate_corpus
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = curate_docs(docs).repartition(spark.sparkContext.defaultParallelism)
+    return curate_corpus(corpus)
+
+
+def _q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: raw user SQL over registered views (same ANSI text runs on
+    both engines)."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def _q_alert_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/J9/X3: per-detection alert reconstruction with prv-history
+    arrays (nested output -> rows-only check; scalar probes of the nested
+    arrays are what the driver hashes)."""
+    from fastdb_spark.queries.reconstruct import reconstruct_alerts
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    phot = ad.photometry(li)
+    det = ad.detections(li).withColumnRenamed("srcid", "diasourceid").withColumnRenamed(
+        "rootid", "diaobjectid"
+    )
+    hist = phot.withColumnRenamed("srcid", "diasourceid").withColumnRenamed(
+        "rootid", "diaobjectid"
+    ).withColumn("diaforcedsourceid", F.col("diasourceid"))
+    objects = (
+        phot.groupBy(F.col("rootid").alias("diaobjectid"))
+        .agg(F.min("ra").alias("ra"), F.min("dec").alias("dec"))
+    )
+    alerts = reconstruct_alerts(
+        det.filter(F.col("midpointmjdtai") >= 60090.0),
+        hist,
+        hist,
+        objects,
+    )
+    return alerts.select(
+        "alertId",
+        F.col("diaSource.diaObjectId").alias("objid"),
+        F.size("prvDiaSources").cast("long").alias("n_prv"),
+        F.size("prvDiaForcedSources").cast("long").alias("n_prv_forced"),
+        F.col("diaObject.ra").alias("ra"),
+    )
+
+
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: JSON field extraction from the events props column."""
     ev = Catalog(spark, sf_dir).table("events")
@@ -543,6 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "json_extract": _q_json_extract,
+        "curate_corpus": _q_curate_corpus,
+        "sql_passthrough": _q_sql_passthrough,
+        "alert_reconstruct": _q_alert_reconstruct,
     }
 
 
@@ -883,6 +946,32 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": po.embedding_neardup_sql(),
         "ann_cosine_topk": po.ann_topk_sql(),
         # ann_lsh_topk: approximate by design -> rows-only check
+        "curate_corpus": po.curate_sql(),
+        "sql_passthrough": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_orderpriority
+        """,
+        "alert_reconstruct": _pat(
+            """
+            SELECT d.srcid AS alertId,
+                   d.rootid AS objid,
+                   (SELECT count(*) FROM p h
+                    WHERE h.rootid = d.rootid
+                      AND h.midpointmjdtai >= d.midpointmjdtai - 365.0
+                      AND h.midpointmjdtai < d.midpointmjdtai) AS n_prv,
+                   (SELECT count(*) FROM p h
+                    WHERE h.rootid = d.rootid
+                      AND h.midpointmjdtai >= d.midpointmjdtai - 365.0
+                      AND h.midpointmjdtai < d.midpointmjdtai - 1.0) AS n_prv_forced,
+                   (SELECT min(ra) FROM p h WHERE h.rootid = d.rootid) AS ra
+            FROM (SELECT * FROM p
+                  WHERE {det} AND midpointmjdtai >= 60090.0) d
+            """.format(det=ad.DETECTIONS_PRED_SQL)
+        ),
         "json_extract": """
             SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
             FROM events

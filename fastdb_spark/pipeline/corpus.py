@@ -56,6 +56,34 @@ def exactdup_docs(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").unionAll(planted)
 
 
+#: curation corpus: originals + truncated near-dups + verbatim exact dups
+CURATE_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(
+         string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)],
+         ' ') AS text
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def curate_docs(documents: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+    )
+    near = documents.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
+    )
+    exact = documents.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return documents.select("doc_id", "text").unionAll(near).unionAll(exact)
+
+
 NEARDUP_EMBS_SQL = """
 SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
 UNION ALL

@@ -1,0 +1,51 @@
+"""Corpus curation — the composed training-data cleaning pipeline:
+
+    quality gate -> exact dedup (canonical = min id) -> MinHash near-dedup
+    (drop the higher id of every candidate pair)
+
+One declarative program; Catalyst pipelines the quality projection into the
+scan, and the two dedup stages reuse the shuffle-conscious operators from
+``pipeline.dedup``.  The near-dup drop is greedy-by-pair (not transitive
+closure) — deterministic, and the standard practice in large-scale
+pretraining dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.text import doc_fingerprint, quality_score, token_count
+from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_quality: float = 0.6,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Surviving documents with their quality metrics."""
+    t = F.col(text_col)
+    stats = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+
+    canon = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    kept = kept.join(canon, on=[id_col, "fingerprint"], how="left_semi")
+
+    pairs = minhash_lsh_pairs(
+        kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = kept.join(drops, on=id_col, how="left_anti")
+    return survivors.select(id_col, "n_tokens", "quality", "fingerprint")

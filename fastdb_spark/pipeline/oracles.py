@@ -90,9 +90,11 @@ def exact_dedup_sql() -> str:
     """
 
 
-def minhash_lsh_sql(
-    shingle_k: int = 3, n_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+def _minhash_pair_ctes(
+    src: str, shingle_k: int, n_hashes: int, bands: int, threshold: float
 ) -> str:
+    """CTE chain computing minhash-LSH near-dup pairs over CTE ``src``
+    (must expose doc_id, text); terminal CTE is ``mh_pairs``."""
     rows = n_hashes // bands
     sig_elems = ", ".join(
         f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
@@ -104,22 +106,79 @@ def minhash_lsh_sql(
         for j in range(bands)
     )
     return f"""
-        WITH corpus AS ({NEARDUP_DOCS_SQL}),
-        sh AS (SELECT doc_id, {_word_shingles(shingle_k)} AS sh FROM corpus),
+        sh AS (SELECT doc_id, {_word_shingles(shingle_k)} AS sh FROM {src}),
         sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
         bands AS ({band_selects}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT c.id_a, c.id_b,
-                 round(len(list_intersect(x.sh, y.sh))
-                       / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)
-                   AS jaccard
-          FROM cand c
-          JOIN sh x ON x.doc_id = c.id_a
-          JOIN sh y ON y.doc_id = c.id_b)
-        WHERE jaccard >= {threshold}
+                   ON a.band = b.band AND a.doc_id < b.doc_id),
+        mh_pairs AS (
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(x.sh, y.sh))
+                         / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)
+                     AS jaccard
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b)
+          WHERE jaccard >= {threshold})
+    """
+
+
+def minhash_lsh_sql(
+    shingle_k: int = 3, n_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    ctes = _minhash_pair_ctes("corpus", shingle_k, n_hashes, bands, threshold)
+    return f"""
+        WITH corpus AS ({NEARDUP_DOCS_SQL}),
+        {ctes}
+        SELECT id_a, id_b, jaccard FROM mh_pairs
+    """
+
+
+def curate_sql(
+    min_tokens: int = 10,
+    min_quality: float = 0.6,
+    shingle_k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """The composed curation pipeline: quality gate -> exact dedup ->
+    minhash near-dedup (drop id_b of every pair)."""
+    from fastdb_spark.pipeline.corpus import CURATE_DOCS_SQL
+
+    mtl = f"list_sum(list_transform({TOKS}, w -> length(w))) / greatest(len({TOKS}), 1)"
+    punct = (
+        "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+        " / greatest(length(text), 1)"
+    )
+    n_tok = f"len({TOKS})"
+    quality = f"""round((
+        (CASE WHEN {n_tok} >= 10 AND {n_tok} <= 1000 THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + (1.0 - least({punct} * 5.0, 1.0))
+      ) / 3.0, 6)"""
+    mh = _minhash_pair_ctes("kept", shingle_k, n_hashes, bands, threshold)
+    return f"""
+        WITH corpus AS ({CURATE_DOCS_SQL}),
+        stats AS (SELECT doc_id, text, {n_tok} AS n_tokens,
+                         {quality} AS quality,
+                         md5(regexp_replace(trim(text), ' +', ' ', 'g'))
+                           AS fingerprint
+                  FROM corpus),
+        filtered AS (SELECT * FROM stats
+                     WHERE n_tokens >= {min_tokens}
+                       AND quality >= {min_quality}),
+        canon AS (SELECT fingerprint, min(doc_id) AS doc_id
+                  FROM filtered GROUP BY fingerprint),
+        kept AS (SELECT f.* FROM filtered f
+                 JOIN canon c ON f.doc_id = c.doc_id
+                             AND f.fingerprint = c.fingerprint),
+        {mh}
+        SELECT k.doc_id, k.n_tokens, k.quality, k.fingerprint
+        FROM kept k
+        WHERE NOT EXISTS (SELECT 1 FROM mh_pairs p WHERE p.id_b = k.doc_id)
     """
 
 
