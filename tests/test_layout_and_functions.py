@@ -1,0 +1,115 @@
+"""Layout (partition pruning) + scalar function tests + gold refresh."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.photometry import (
+    flux2mag,
+    mag2flux,
+    mjd_from_timestamp,
+    pack_flags,
+    sexagesimal_to_deg,
+    timestamp_from_mjd,
+    unpack_flag,
+    visit_from_mjd,
+)
+from fastdb_spark.layout import ZONE_COL, read_cone, write_spatial
+from fastdb_spark.operators.spatial import cone_search
+from fastdb_spark.queries.refresh import read_objstats, refresh_objstats
+from fastdb_spark.versions import ProcverResolver
+
+from .conftest import ROOT
+
+
+def test_spatial_layout_prunes_partitions(spark, golden, tmp_path):
+    path = str(tmp_path / "diasource_spatial")
+    det = golden["diasource"].filter(F.col("ra").isNotNull())
+    write_spatial(det, path)
+
+    hits = read_cone(spark, path, 42.0, 13.0, 25.0 / 3600.0)
+    plain = cone_search(det, 42.0, 13.0, 25.0 / 3600.0)
+    assert hits.count() == plain.count() > 0
+
+    # partition pruning must appear in the physical plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hits.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert ZONE_COL in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_flux_mag_roundtrip(spark):
+    df = spark.createDataFrame([(912.011,), (2290.87,), (-5.0,)], ["flux"])
+    out = df.select(
+        flux2mag(F.col("flux")).alias("mag"),
+        mag2flux(flux2mag(F.col("flux"))).alias("back"),
+    ).collect()
+    assert out[0]["mag"] == pytest.approx(24.0, abs=1e-4)
+    assert out[0]["back"] == pytest.approx(912.011, rel=1e-9)
+    assert out[2]["mag"] == 99.0  # non-positive flux sentinel
+
+
+def test_sexagesimal(spark):
+    df = spark.createDataFrame(
+        [("12:30:00", "-45:15:30"), ("00:00:36", "+10:00:00")], ["ra_s", "dec_s"]
+    )
+    out = df.select(
+        sexagesimal_to_deg(F.col("ra_s"), is_ra=True).alias("ra"),
+        sexagesimal_to_deg(F.col("dec_s"), is_ra=False).alias("dec"),
+    ).collect()
+    assert out[0]["ra"] == pytest.approx(187.5)
+    assert out[0]["dec"] == pytest.approx(-(45 + 15 / 60 + 30 / 3600))
+    assert out[1]["ra"] == pytest.approx(0.15)
+    assert out[1]["dec"] == pytest.approx(10.0)
+
+
+def test_mjd_timestamp_roundtrip(spark):
+    df = spark.createDataFrame([(60000.5,)], ["mjd"])
+    out = df.select(
+        mjd_from_timestamp(timestamp_from_mjd(F.col("mjd"))).alias("back")
+    ).collect()
+    assert out[0]["back"] == pytest.approx(60000.5, abs=1e-6)
+    assert (
+        df.select(visit_from_mjd(F.col("mjd")).alias("v")).collect()[0]["v"]
+        == 1200010000
+    )
+
+
+def test_bitmask_pack_unpack(spark):
+    df = spark.createDataFrame([(True, False), (False, True)], ["a", "b"])
+    packed = df.select(
+        pack_flags((F.col("a"), 1), (F.col("b"), 2)).alias("flags")
+    )
+    vals = [r["flags"] for r in packed.collect()]
+    assert vals == [1, 2]
+    back = packed.select(
+        unpack_flag(F.col("flags"), 1).alias("a"),
+        unpack_flag(F.col("flags"), 2).alias("b"),
+    ).collect()
+    assert (back[0]["a"], back[0]["b"]) == (True, False)
+
+
+def test_objstats_gold_refresh(spark, golden, tmp_path):
+    resolver = ProcverResolver(
+        golden["processing_version"],
+        golden["processing_version_alias"],
+        golden["base_procver_of_procver"],
+    )
+    gold = str(tmp_path / "gold")
+    assert read_objstats(spark, gold, "pv2") is None
+    refresh_objstats(spark, golden, resolver, "pv2", gold)
+    got = read_objstats(spark, gold, "pv2")
+    assert got is not None
+    per_band, combined = got
+    assert {r["rootid"] for r in combined.select("rootid").collect()} == {
+        ROOT[i] for i in range(4)
+    }
+    # refresh is idempotent-overwrite
+    refresh_objstats(spark, golden, resolver, "pv2", gold)
+    assert read_objstats(spark, gold, "pv2")[1].count() == 4
