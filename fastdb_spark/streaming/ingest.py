@@ -156,11 +156,16 @@ def associate_roots(
 
 
 def ingest_batch(
-    silver: SilverCatalog, wrangled: dict[str, DataFrame]
+    silver: SilverCatalog,
+    wrangled: dict[str, DataFrame],
+    collect_stats: bool = True,
 ) -> dict[str, int]:
     """One micro-batch through dedup -> association -> idempotent merges.
 
-    Returns row counts per stage (the reference logs the same counters).
+    ``collect_stats=True`` returns the per-stage row counts the reference
+    logs; streaming callers pass False — each count is an extra Spark
+    action, and at alert-rate throughput the merge writes should be the
+    only jobs per micro-batch.
     """
     batch = dedup_batch(wrangled)
     # cache: each frame feeds multiple joins below
@@ -226,12 +231,14 @@ def ingest_batch(
         brk, ["brokername", "topic", "diasourceid", "base_procver_id"], "nothing"
     )
 
-    stats = {
-        "sources": src.count(),
-        "forced": frc.count(),
-        "objects": batch["diaobject"].count(),
-        "new_objects": new_objs.count(),
-    }
+    stats = {}
+    if collect_stats:
+        stats = {
+            "sources": src.count(),
+            "forced": frc.count(),
+            "objects": batch["diaobject"].count(),
+            "new_objects": new_objs.count(),
+        }
     for df in batch.values():
         df.unpersist()
     new_objs.unpersist()
@@ -259,7 +266,7 @@ def run_alert_file_stream(
         wrangled = reject_solar_system(
             wrangle_alerts(batch_df, base_procver_id)
         )
-        ingest_batch(silver, wrangled)
+        ingest_batch(silver, wrangled, collect_stats=False)
 
     stream = (
         spark.readStream.schema(ALERT_SCHEMA)

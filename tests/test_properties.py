@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has none): operator invariants over
+randomized small frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fastdb_spark.operators.dedup import dedup_first_seen, dedup_top_priority
+from fastdb_spark.operators.patch import patch_lightcurve
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 4),       # key
+        st.integers(0, 3),       # priority
+        st.integers(0, 10_000),  # unique-ish id (tiebreak)
+        st.floats(-100, 100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_dedup_matches_pandas_argmax(spark, rows):
+    # de-dup the tiebreak id so ordering is total
+    seen, uniq = set(), []
+    for k, p, i, v in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((k, p, i, float(v)))
+    df = spark.createDataFrame(uniq, ["k", "p", "i", "v"])
+    got = {
+        r["k"]: (r["p"], r["i"])
+        for r in dedup_top_priority(df, ["k"], ["p", "i"]).collect()
+    }
+    pdf = pd.DataFrame(uniq, columns=["k", "p", "i", "v"])
+    exp = (
+        pdf.sort_values(["k", "p", "i"], ascending=[True, False, False])
+        .groupby("k")
+        .first()
+    )
+    assert got == {k: (row.p, row.i) for k, row in exp.iterrows()}
+
+    first = {
+        r["k"]: (r["p"], r["i"])
+        for r in dedup_first_seen(df, ["k"], ["p", "i"]).collect()
+    }
+    expf = pdf.sort_values(["k", "p", "i"]).groupby("k").first()
+    assert first == {k: (row.p, row.i) for k, row in expf.iterrows()}
+
+
+@given(
+    fkeys=st.sets(st.integers(0, 15), max_size=10),
+    skeys=st.sets(st.integers(0, 15), max_size=10),
+)
+@settings(**_SETTINGS)
+def test_patch_join_key_algebra(spark, fkeys, skeys):
+    """Patch output keys == union; isdet == source-side membership;
+    ispatch == forced-side absence — for every random key split."""
+    if not fkeys and not skeys:
+        return
+    forced = spark.createDataFrame(
+        [(1, k, float(k)) for k in fkeys] or [(1, -999, 0.0)],
+        ["rootid", "visit", "flux"],
+    ).filter("visit >= 0")
+    sources = spark.createDataFrame(
+        [(1, k, float(k) * 10) for k in skeys] or [(1, -999, 0.0)],
+        ["rootid", "visit", "flux"],
+    ).filter("visit >= 0")
+    out = patch_lightcurve(forced, sources, ("rootid", "visit"), ["flux"]).collect()
+    got = {r["visit"]: (r["isdet"], r["ispatch"], r["flux"]) for r in out}
+    assert set(got) == fkeys | skeys
+    for v, (isdet, ispatch, flux) in got.items():
+        assert isdet == (v in skeys)
+        assert ispatch == (v not in fkeys)
+        assert flux == (float(v) if v in fkeys else float(v) * 10)
