@@ -24,6 +24,14 @@ Spark design — two physical strategies:
     columns can be NULL (``max_by`` skips rows whose ordering value is
     NULL, matching SQL ``MAX`` semantics; ``DISTINCT ON`` would keep them).
 
+``narrow``
+    Aggregate only (keys + ordering columns) to find each key's winning
+    ordering tuple, then join back to fetch the payload.  The wide rows
+    never enter an aggregate buffer or sort — at 100 TB with 30-column
+    photometry rows this trades one extra (self-)join for shuffling the
+    full payload through a SortAggregate.  Requires ordering columns to be
+    plain column names and (keys + order) to identify rows uniquely.
+
 Ties: callers must pass a total order (append a unique id as the last
 ordering column) — Postgres ``DISTINCT ON`` with a non-total order is
 nondeterministic too, but our tests demand determinism.
@@ -77,6 +85,17 @@ def dedup_top_priority(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if strategy == "narrow":
+        names = [c for c in order_by if isinstance(c, str)]
+        if len(names) != len(order_by):
+            raise ValueError("narrow strategy needs plain column names")
+        winners = df.select(*keys, *names).groupBy(*keys).agg(
+            F.max(_ordering_struct(names)).alias("_w")
+        )
+        winners = winners.select(
+            *keys, *[F.col(f"_w._o{i}").alias(n) for i, n in enumerate(names)]
+        )
+        return df.join(winners, on=[*keys, *names], how="left_semi")
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -59,6 +59,20 @@ class ParquetTable:
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Rewrite the table into few large files (the OPTIMIZE analog —
+        append-only ingest accumulates small files per micro-batch)."""
+        df = self.read()
+        n = target_partitions or max(
+            1, self.spark.sparkContext.defaultParallelism // 4
+        )
+        self.overwrite(df.coalesce(n))
+
+    def file_count(self) -> int:
+        import glob
+
+        return len(glob.glob(os.path.join(self.path, "*.parquet")))
+
     def upsert(
         self,
         updates: DataFrame,

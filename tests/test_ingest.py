@@ -179,6 +179,19 @@ def test_parquet_table_upsert_modes(spark, tmp_path):
     assert got == {1: "a", 2: "Y", 3: "c"}
 
 
+def test_compaction(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t.parquet"))
+    for i in range(5):
+        t.upsert(
+            spark.createDataFrame([(i, f"v{i}")], ["k", "v"]), ["k"], "nothing"
+        )
+    assert t.file_count() >= 5  # append-only accumulates files
+    before = {r["k"]: r["v"] for r in t.read().collect()}
+    t.compact(target_partitions=1)
+    assert t.file_count() == 1
+    assert {r["k"]: r["v"] for r in t.read().collect()} == before
+
+
 def test_query_queue_lifecycle(spark, tmp_path):
     spark.range(5).createOrReplaceTempView("tiny")
     qq = QueryQueue(spark, str(tmp_path / "queue"))

@@ -43,6 +43,18 @@ def test_first_seen_strategies_agree(versions_df):
     assert ra == rw == {(1, 1): "a", (1, 2): "d", (2, 1): "x"}
 
 
+def test_dedup_narrow_strategy(versions_df):
+    a = dedup_top_priority(versions_df, ["k1", "k2"], ["priority", "val"], "agg")
+    n = dedup_top_priority(versions_df, ["k1", "k2"], ["priority", "val"], "narrow")
+    ra = {(r["k1"], r["k2"]): r["val"] for r in a.collect()}
+    rn = {(r["k1"], r["k2"]): r["val"] for r in n.collect()}
+    assert ra == rn
+    with pytest.raises(ValueError):
+        dedup_top_priority(
+            versions_df, ["k1"], [F.col("priority") * 2], "narrow"
+        )  # expression ordering not allowed for narrow
+
+
 def test_dedup_expression_ordering(versions_df):
     # Column-expression ordering (e.g. negated priority) works
     out = dedup_top_priority(
