@@ -55,6 +55,13 @@ def builder(
     )
     if master:
         b = b.master(master)
+        if master.startswith("local"):
+            # local mode: the driver heap IS the cluster memory; must be
+            # set before the JVM starts (no-op on an existing session)
+            b = b.config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            )
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
