@@ -558,6 +558,21 @@ def _q_alert_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skewed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a skewed grouping key (5 hot
+    event types across all events)."""
+    from fastdb_spark.operators.skew import salted_sum_count
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_type", "value")
+    out = salted_sum_count(ev, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: JSON field extraction from the events props column."""
     ev = Catalog(spark, sf_dir).table("events")
@@ -603,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "json_extract": _q_json_extract,
+        "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
         "sql_passthrough": _q_sql_passthrough,
         "alert_reconstruct": _q_alert_reconstruct,
@@ -975,5 +991,12 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
             FROM events
+        """,
+        "skewed_aggregate": """
+            SELECT event_type,
+                   round(sum(value), 4) AS sum_value,
+                   count(*) AS n,
+                   round(sum(value) / count(*), 6) AS avg_value
+            FROM events GROUP BY event_type
         """,
     }

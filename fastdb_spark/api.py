@@ -129,6 +129,9 @@ class FastdbAPI:
         ``src/ltcv.py:498-521``)."""
         ints = [int(o) for o in objids if not isinstance(o, str)]
         uuids = [str(o) for o in objids if isinstance(o, str)]
+        if not ints and not uuids:
+            # empty restriction -> empty result, not an error
+            return self.spark.createDataFrame([], "rootid string")
         frames = []
         if uuids:
             frames.append(self.spark.createDataFrame([(u,) for u in uuids], ["rootid"]))
@@ -142,6 +145,16 @@ class FastdbAPI:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out.distinct()
+
+    def get_object_infos(
+        self, processing_version: str, objids: list | None = None
+    ) -> DataFrame:
+        ids_df = None
+        if objids is not None:
+            ids_df = self._normalize_objids(objids, processing_version)
+        return ltcv_q.get_object_infos(
+            self.tables, self.resolver, processing_version, objids=ids_df
+        )
 
     # -- stats / search ------------------------------------------------------
 

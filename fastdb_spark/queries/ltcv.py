@@ -159,6 +159,27 @@ def assemble_nested(ltcv: DataFrame) -> DataFrame:
     )
 
 
+def get_object_infos(
+    tables: dict[str, DataFrame],
+    resolver: ProcverResolver,
+    procver: str,
+    objids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-root object info: resolved position + cross-band detection
+    stats (reference ``src/ltcv.py:177-203`` get_object_infos —
+    diaobjectid always included via the object map)."""
+    from fastdb_spark.queries.objstats import build_objstats
+
+    _, combined = build_objstats(tables, resolver, procver)
+    roots = tables["root_diaobject"].select(
+        F.col("id").alias("rootid"), "ra", "dec"
+    )
+    out = combined.join(roots, on="rootid", how="left")
+    if objids is not None:
+        out = out.join(objids.select("rootid"), on="rootid", how="left_semi")
+    return out
+
+
 def get_hot_ltcvs(
     tables: dict[str, DataFrame],
     resolver: ProcverResolver,

@@ -57,6 +57,7 @@ class SilverCatalog:
         "diasource",
         "diaforcedsource",
         "diasource_brokerinfo",
+        "cutouts",
     )
 
     def __init__(self, spark: SparkSession, root: str):
@@ -231,6 +232,14 @@ def ingest_batch(
         brk, ["brokername", "topic", "diasourceid", "base_procver_id"], "nothing"
     )
 
+    # binary cutout payloads (the reference's thumbnail collections ->
+    # multimodal media rows; payloads stay opaque, see pipeline.multimodal)
+    if "cutouts" in wrangled:
+        cut = dedup_first_seen(
+            wrangled["cutouts"], ["alertid"], ["savetime"]
+        ).drop("savetime")
+        silver.table("cutouts").upsert(cut, ["alertid"], "nothing")
+
     stats = {}
     if collect_stats:
         stats = {
@@ -259,6 +268,14 @@ def run_alert_file_stream(
     frame).  ``foreachBatch`` applies the idempotent merge; the checkpoint
     provides exactly-once over the transport (T2/T4)."""
     from fastdb_spark.sources.alerts import ALERT_SCHEMA, reject_solar_system, wrangle_alerts
+
+    # micro-batches are batch-sized, not table-sized: the default 200
+    # shuffle partitions turn every merge into 200 tiny tasks on an
+    # unconfigured session
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
 
     silver = SilverCatalog(spark, silver_root)
 

@@ -182,3 +182,32 @@ def test_object_search_cone_and_criteria(golden, spark):
     }
     none = object_search(per_band, ndets_min=10_000)
     assert none.count() == 0
+
+def test_salted_aggregate_matches_plain(spark):
+    from fastdb_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 5.0)],
+        ["k", "v"],
+    )
+    got = {r["k"]: (r["sum_value"], r["n"]) for r in
+           salted_sum_count(df, ["k"], "v").collect()}
+    assert got["hot"] == (sum(range(1000)), 1000)
+    assert got["cold"] == (5.0, 1)
+
+
+def test_get_object_infos_golden(golden, spark):
+    from fastdb_spark.queries.ltcv import get_object_infos
+    from fastdb_spark.versions import ProcverResolver
+
+    resolver = ProcverResolver(
+        golden["processing_version"],
+        golden["processing_version_alias"],
+        golden["base_procver_of_procver"],
+    )
+    infos = get_object_infos(golden, resolver, "pv2")
+    rows = {r["rootid"]: r for r in infos.collect()}
+    assert len(rows) == 4
+    assert all(r["ra"] is not None and r["ndets"] > 0 for r in rows.values())
+    ids = spark.createDataFrame([(ROOT[0],)], ["rootid"])
+    assert get_object_infos(golden, resolver, "pv2", objids=ids).count() == 1
