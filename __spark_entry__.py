@@ -183,6 +183,45 @@ def _q_objstats_per_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(*keep, *rounded)
 
 
+def _q_objstats_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: cross-band rollup of the per-band stats (summed counts +
+    cross-band argmin/argmax with band tiebreak)."""
+    from fastdb_spark.queries.objstats import combined_stats
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    per_band = per_band_stats(
+        ad.detections(li), tiebreak=["srcid", "psfflux", "psffluxerr"]
+    )
+    comb = combined_stats(per_band)
+    rounded = [
+        F.round(F.col(c), 6).alias(c)
+        if c.endswith(("mjd", "flux", "fluxerr"))
+        else F.col(c)
+        for c in comb.columns
+        if c != "rootid"
+    ]
+    return comb.select("rootid", *rounded)
+
+
+def _q_hot_ltcvs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot transients: roots with a recent detection, with their full
+    patched lightcurves (semi-join + patch, reference get_hot_ltcvs)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    det = ad.detections(li)
+    hot_roots = (
+        det.filter(F.col("midpointmjdtai") >= F.lit(60095.0))
+        .select("rootid")
+        .distinct()
+    )
+    patched = patch_lightcurve(
+        ad.forced(li),
+        det,
+        keys=("rootid", "visit"),
+        value_cols=["srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+    return patched.join(hot_roots, on="rootid", how="left_semi")
+
+
 def _q_weighted_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: (S/N)^2-weighted mean/std/cov of detection positions."""
     li = Catalog(spark, sf_dir).table("lineitem")
@@ -592,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltcv_patch": _q_ltcv_patch,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "hot_ltcvs": _q_hot_ltcvs,
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
         "crossmatch": _q_crossmatch,
@@ -785,6 +826,65 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY rootid, band
                     ORDER BY psfflux DESC, midpointmjdtai DESC, srcid DESC, psfflux DESC, psffluxerr DESC) AS rp
               FROM s)""",
+        ),
+        "objstats_combined": _pat(
+            f"""
+            SELECT rootid,
+                   round(f.midpointmjdtai, 6) AS firstdetmjd,
+                   round(f.psfflux, 6) AS firstdetflux,
+                   f.band AS firstdetband,
+                   round(l.midpointmjdtai, 6) AS lastdetmjd,
+                   round(l.psfflux, 6) AS lastdetflux,
+                   l.band AS lastdetband,
+                   round(pk.midpointmjdtai, 6) AS maxdetmjd,
+                   round(pk.psfflux, 6) AS maxdetflux,
+                   pk.band AS maxdetband,
+                   c.ndets, c.ndets24, c.ndets23, c.ndets22, c.ndets21,
+                   c.nsn10, c.nsn7, c.nsn5
+            FROM (SELECT rootid, count(*) AS ndets,
+                         {ndets_cases}, {nsn_cases}
+                  FROM s GROUP BY rootid) c
+            JOIN (SELECT * FROM r WHERE cf = 1) f USING (rootid)
+            JOIN (SELECT * FROM r WHERE cl = 1) l USING (rootid)
+            JOIN (SELECT * FROM r WHERE cp = 1) pk USING (rootid)
+            """,
+            f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+            # band precedes srcid: the cross-band argmin/argmax breaks
+            # mjd/flux ties by band first (mirrors combined_stats), then
+            # falls into the per-band tiebreak chain
+            """r AS (SELECT *,
+                row_number() OVER (PARTITION BY rootid
+                    ORDER BY midpointmjdtai, band, srcid, psfflux,
+                             psffluxerr) AS cf,
+                row_number() OVER (PARTITION BY rootid
+                    ORDER BY midpointmjdtai DESC, band DESC, srcid DESC,
+                             psfflux DESC, psffluxerr DESC) AS cl,
+                row_number() OVER (PARTITION BY rootid
+                    ORDER BY psfflux DESC, midpointmjdtai DESC, band DESC,
+                             srcid DESC, psffluxerr DESC) AS cp
+              FROM s)""",
+        ),
+        "hot_ltcvs": _pat(
+            f"""
+            SELECT h.rootid, h.visit, h.srcid, h.band, h.midpointmjdtai,
+                   h.psfflux, h.psffluxerr, h.isdet, h.ispatch
+            FROM (
+              SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+                     COALESCE(f.visit, s.visit) AS visit,
+                     CASE WHEN f.rootid IS NULL THEN s.srcid ELSE f.srcid END AS srcid,
+                     CASE WHEN f.rootid IS NULL THEN s.band ELSE f.band END AS band,
+                     CASE WHEN f.rootid IS NULL THEN s.midpointmjdtai ELSE f.midpointmjdtai END AS midpointmjdtai,
+                     CASE WHEN f.rootid IS NULL THEN s.psfflux ELSE f.psfflux END AS psfflux,
+                     CASE WHEN f.rootid IS NULL THEN s.psffluxerr ELSE f.psffluxerr END AS psffluxerr,
+                     (s.rootid IS NOT NULL) AS isdet,
+                     (f.rootid IS NULL) AS ispatch
+              FROM (SELECT * FROM p WHERE {ad.FORCED_PRED_SQL}) f
+              FULL OUTER JOIN (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL}) s
+                ON f.rootid = s.rootid AND f.visit = s.visit) h
+            WHERE h.rootid IN (
+              SELECT DISTINCT rootid FROM p
+              WHERE {ad.DETECTIONS_PRED_SQL} AND midpointmjdtai >= 60095.0)
+            """
         ),
         "weighted_position": _pat(
             """

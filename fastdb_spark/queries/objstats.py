@@ -94,10 +94,15 @@ def combined_stats(per_band: DataFrame) -> DataFrame:
     first = F.struct(F.col("firstdetmjd"), F.col("firstdetflux"), F.col("firstdetfluxerr"), F.col("band"))
     last = F.struct(F.col("lastdetmjd"), F.col("lastdetflux"), F.col("lastdetfluxerr"), F.col("band"))
     peak = F.struct(F.col("maxdetflux"), F.col("maxdetmjd"), F.col("maxdetfluxerr"), F.col("band"))
+    # band appended to every cross-band argmin/argmax ordering: two bands
+    # can tie on the mjd/flux keys, and determinism requires a total order
     out = per_band.groupBy("rootid").agg(
-        F.min_by(first, F.col("firstdetmjd")).alias("first"),
-        F.max_by(last, F.col("lastdetmjd")).alias("last"),
-        F.max_by(peak, F.struct(F.col("maxdetflux"), F.col("maxdetmjd"))).alias("peak"),
+        F.min_by(first, _ostruct(F.col("firstdetmjd"), F.col("band"))).alias("first"),
+        F.max_by(last, _ostruct(F.col("lastdetmjd"), F.col("band"))).alias("last"),
+        F.max_by(
+            peak,
+            _ostruct(F.col("maxdetflux"), F.col("maxdetmjd"), F.col("band")),
+        ).alias("peak"),
         F.sum("ndets").alias("ndets"),
         *[F.sum(f"ndets{m}").alias(f"ndets{m}") for m in (24, 23, 22, 21)],
         *[F.sum(f"nsn{s}").alias(f"nsn{s}") for s in (10, 7, 5)],
