@@ -41,6 +41,10 @@ def reconstruct_alerts(
         "diasourceid", "diaobjectid", "visit", "band", "midpointmjdtai",
         "psfflux", "psffluxerr",
     )
+    # attach each history to the SLIM probe independently, then equi-join
+    # the two array columns back — chaining the second collect over the
+    # first's output would drag the prv array through another
+    # group-by-struct (measured ~2x slower)
     with_prv = collect_history_structs(
         probe,
         source_history.select("diaobjectid", *_SRC_COLS),
@@ -51,8 +55,8 @@ def reconstruct_alerts(
         struct_cols=_SRC_COLS,
         out_col="prvDiaSources",
     )
-    with_frc = collect_history_structs(
-        with_prv,
+    frc_arrays = collect_history_structs(
+        probe,
         forced_history.select("diaobjectid", *_FRC_COLS),
         key="diaobjectid",
         time_col="midpointmjdtai",
@@ -61,6 +65,9 @@ def reconstruct_alerts(
         struct_cols=_FRC_COLS,
         out_col="prvDiaForcedSources",
     )
+    # join on the FULL probe identity: ids alone may not be unique, and
+    # both branches dedup identical probe rows the same way (1:1 join)
+    with_frc = with_prv.join(frc_arrays, on=list(probe.columns), how="left")
     obj = objects.select(
         "diaobjectid",
         F.struct(
