@@ -414,9 +414,12 @@ def _q_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: batch PK fetch via a literal id-list join (reference get_batch
     JOIN (VALUES ...))."""
     orders = Catalog(spark, sf_dir).table("orders")
-    ids = spark.createDataFrame(
-        [(1,), (5,), (7,), (11,), (19,), (100,)], ["o_orderkey"]
-    )
+    keys = [1, 5, 7, 11, 19, 100]
+    ids = spark.createDataFrame([(k,) for k in keys], ["o_orderkey"])
+    # the isin prefilter is what reaches the parquet scan (PushedFilters:
+    # In(o_orderkey)) — row-group stats skip everything else; the broadcast
+    # join alone would scan the full table
+    orders = orders.filter(F.col("o_orderkey").isin(keys))
     return orders.join(F.broadcast(ids), on="o_orderkey").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -460,7 +463,12 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     content fingerprint — one projection pass."""
     from fastdb_spark.pipeline.textstats import doc_stats
 
-    docs = Catalog(spark, sf_dir).table("documents")
+    # the corpus parquet arrives as one split; spread the expression-heavy
+    # projection across all cores (at 100 TB the scan has thousands of
+    # splits and this repartition is unnecessary — file count bounds it)
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return doc_stats(docs)
 
 
@@ -514,7 +522,9 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.pipeline.corpus import neardup_embs
     from fastdb_spark.pipeline.dedup import embedding_neardup_pairs
 
-    embs = Catalog(spark, sf_dir).table("embeddings")
+    embs = Catalog(spark, sf_dir).table("embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return embedding_neardup_pairs(neardup_embs(embs))
 
 

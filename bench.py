@@ -37,8 +37,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(entrymod.queries().items()):
-        df = fn(spark, sf_dir)
+        # time build + execute: some operators stage intermediates eagerly
+        # (persist+count), so timing only the final action would undercount
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         _force(df)
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)

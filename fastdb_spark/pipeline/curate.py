@@ -41,7 +41,14 @@ def curate_corpus(
     )
 
     canon = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    kept = kept.join(canon, on=[id_col, "fingerprint"], how="left_semi")
+    # stage the exact-dedup survivors: the frame feeds BOTH the minhash
+    # candidate generation and the final anti-join — without persistence
+    # the quality/fingerprint projection re-executes per branch (the
+    # reference stages the same intermediates as temp tables, SURVEY.md Q3).
+    # eager count: lazily-filled caches lose the race when both consuming
+    # branches run inside the same downstream job
+    kept = kept.join(canon, on=[id_col, "fingerprint"], how="left_semi").persist()
+    kept.count()
 
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fastdb_spark.functions.sketches import (
     hamming60,
@@ -60,8 +61,29 @@ def exact_dedup(
     )
 
 
+def _stage(df: DataFrame) -> DataFrame:
+    """Persist a sketch frame that downstream branches read more than once
+    (bucket join + payload re-attach).  Without this the md5-heavy
+    signature projection re-executes once per branch — the reference
+    stages the same way with temp tables (SURVEY.md Q3).  MEMORY_AND_DISK:
+    at 100 TB the signature frame is a small fraction of the corpus and
+    spills gracefully rather than OOMing.
+
+    Materialization is EAGER (count action): the consuming branches run
+    concurrently inside one downstream job, and a lazily-filled cache
+    loses the race — both branches recompute the full projection before
+    either populates it (measured ~2x on the composed curation pipeline).
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def _candidate_pairs(
-    keyed: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str]
+    buckets: DataFrame,
+    payload: DataFrame | None,
+    id_col: str,
+    bucket_col: str,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a bucket value.  The self-join
     is an equi-join on the bucket key — co-candidates are co-partitioned.
@@ -69,9 +91,10 @@ def _candidate_pairs(
     Two-phase for shuffle economy: the bucket join and pair-dedup move
     only (bucket, id) — the heavy payloads (shingle arrays) re-attach via
     two id-equi-joins on the deduped candidate list, which is orders of
-    magnitude smaller than the banded row set.
+    magnitude smaller than the banded row set.  ``payload`` (already
+    staged by the caller) carries ``id_col`` + the refine columns.
     """
-    ids = keyed.select(F.col(bucket_col).alias("_bkt"), F.col(id_col))
+    ids = buckets.select(F.col(bucket_col).alias("_bkt"), F.col(id_col))
     left = ids.select("_bkt", F.col(id_col).alias("id_a"))
     right = ids.select("_bkt", F.col(id_col).alias("id_b"))
     pairs = (
@@ -80,11 +103,9 @@ def _candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    if not payload_cols:
+    if payload is None:
         return pairs
-    payload = keyed.select(
-        F.col(id_col), *[F.col(c) for c in payload_cols]
-    ).dropDuplicates([id_col])
+    payload_cols = [c for c in payload.columns if c != id_col]
     pa = payload.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in payload_cols],
@@ -105,12 +126,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs via prefix blocking + exact char-n-gram Jaccard."""
-    keyed = df.select(
-        F.col(id_col),
-        prefix_fingerprint(F.col(text_col), block_tokens).alias("block"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    keyed = _stage(
+        df.select(
+            F.col(id_col),
+            prefix_fingerprint(F.col(text_col), block_tokens).alias("block"),
+            char_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
     )
-    pairs = _candidate_pairs(keyed, id_col, "block", ["sh"])
+    pairs = _candidate_pairs(
+        keyed.select(id_col, "block"), keyed.select(id_col, "sh"), id_col, "block"
+    )
     out = pairs.withColumn(
         "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     )
@@ -129,16 +154,20 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash signatures + LSH banding + exact Jaccard
     refine (shingle->minhash->band->bucket-join)."""
     rows = n_hashes // bands
-    keyed = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    # stage pre-explode: the banded set duplicates the shingle payload
+    # `bands` times; caching the compact (id, sh, sig) frame instead keeps
+    # the cache footprint minimal while still computing signatures once
+    keyed = _stage(
+        df.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    )
     banded = keyed.select(
         id_col,
-        "sh",
         F.explode(lsh_band_hashes(F.col("sig"), bands, rows)).alias("band"),
     )
-    pairs = _candidate_pairs(banded, id_col, "band", ["sh"])
+    pairs = _candidate_pairs(banded, keyed.select(id_col, "sh"), id_col, "band")
     out = pairs.withColumn(
         "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     )
@@ -156,17 +185,17 @@ def simhash_pairs(
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    hashed = simhash60(sh, id_col, "sh")
+    hashed = _stage(simhash60(sh, id_col, "sh"))
     banded = hashed.select(
         id_col,
-        "simhash",
         F.posexplode(simhash_bands(F.col("simhash"))).alias("_pos", "_bval"),
     ).select(
         id_col,
-        "simhash",
         F.concat_ws(":", F.col("_pos"), F.col("_bval")).alias("band_key"),
     )
-    pairs = _candidate_pairs(banded, id_col, "band_key", ["simhash"])
+    pairs = _candidate_pairs(
+        banded, hashed.select(id_col, "simhash"), id_col, "band_key"
+    )
     out = pairs.withColumn(
         "hamming", hamming60(F.col("simhash_a"), F.col("simhash_b"))
     )
