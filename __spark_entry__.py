@@ -547,6 +547,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(embs, list(qvec), k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-10 (coarse-quantizer scale path) —
+    rows-only check: approximate by design, no exact SQL oracle."""
+    from fastdb_spark.pipeline.ann import ivf_topk
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(embs, list(qvec), k=10, n_clusters=8, nprobe=2)
+
+
+def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
+    shape) next to the md5 content fingerprint."""
+    from fastdb_spark.functions.text import doc_fingerprint, rolling_fingerprint
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(t).alias("rolling_fp"),
+        doc_fingerprint(t).alias("md5_fp"),
+    )
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate -> exact dedup -> minhash
     near-dedup."""
@@ -668,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "rolling_fingerprint": _q_rolling_fingerprint,
         "json_extract": _q_json_extract,
         "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
@@ -1065,6 +1091,18 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
         ),
         "doc_stats": po.doc_stats_sql(),
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                         w -> CAST(ascii(w) AS BIGINT) * 256
+                              + CAST(length(w) AS BIGINT))),
+                     (acc, v) -> (acc * 1000003 + v) % 2147483647
+                   ) AS rolling_fp,
+                   md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS md5_fp
+            FROM documents
+        """,
         "exact_dedup": po.exact_dedup_sql(),
         "minhash_lsh_dedup": po.minhash_lsh_sql(),
         "simhash_dedup": po.simhash_sql(),

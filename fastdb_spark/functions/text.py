@@ -125,6 +125,28 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(text), " +", " "))
 
 
+def rolling_fingerprint(
+    text: Column, base: int = 1000003, mod: int = 2147483647
+) -> Column:
+    """Polynomial rolling hash over whitespace tokens (Rabin-Karp shape):
+    ``h = (h*base + val(token)) % mod`` folded left-to-right.
+
+    ``val(token) = ascii(first char)*256 + length`` — deliberately simple
+    so the duckdb oracle reproduces it bit-for-bit.  ``mod = 2^31-1``
+    keeps ``acc*base < 2^51``: exact in int64 on both engines.  Unlike
+    the md5 fingerprint this is order-sensitive and incrementally
+    updatable (streaming append recomputes O(1) per token)."""
+    vals = F.transform(
+        tokens(text),
+        lambda w: F.ascii(w).cast("long") * 256 + F.length(w).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * base + v) % mod,
+    )
+
+
 def prefix_fingerprint(text: Column, n_tokens: int = 8) -> Column:
     """Blocking fingerprint: md5 of the first ``n_tokens`` tokens."""
     return F.md5(F.array_join(F.slice(tokens(text), 1, n_tokens), " "))

@@ -9,6 +9,13 @@
                          bucket key is the stored partition column, so a
                          query touches a handful of partitions instead of
                          the full corpus.
+- ``ivf_topk``         — inverted-file index: coarse quantizer (MLlib
+                         k-means, or deterministic seed centroids) assigns
+                         every vector a cluster id; a query scores only the
+                         ``nprobe`` clusters whose centroids are nearest.
+                         At scale the cluster id is the table's partition
+                         column (same layout trick as the LSH bucket), and
+                         the centroid table is broadcast.
 """
 
 from __future__ import annotations
@@ -94,6 +101,112 @@ def lsh_bucketed_topk(
 
     bucketed = with_lsh_bucket(embeddings, n_planes, dim, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(y * y for y in b) ** 0.5
+    return num / (da * db) if da > 0 and db > 0 else 0.0
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "seed",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for the IVF index.
+
+    ``strategy='kmeans'``: MLlib k-means (k-means|| init) — the trained
+    index build; one fit job, run once when (re)building the layout.
+    ``strategy='seed'``: every ``ceil(n/k)``-th corpus vector by id rank —
+    deterministic, zero training cost, the oracle-friendly variant.
+    Either way the result is a tiny driver-side list that downstream
+    assignment broadcasts as literals.
+    """
+    if strategy == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = embeddings.withColumn(
+            "_feat", array_to_vector(as_double_array(F.col(vec_col)))
+        )
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=max_iter,
+            featuresCol="_feat", predictionCol="_cluster",
+        ).fit(feat)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+    # seed strategy: every (n/k)-th vector by id — a modulo filter, no
+    # global sort (count() is metadata-only on parquet)
+    n = embeddings.count()
+    stride = max(1, n // n_clusters)
+    rows = (
+        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    return [list(map(float, r["v"])) for r in rows]
+
+
+def with_ivf_cluster(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid id (argmax cosine, tie -> lowest id).
+    Centroids ride along as literals — no join, no shuffle; at scale this
+    column is the stored partition key of the embedding table."""
+    v = as_double_array(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, F.lit(c).cast("array<double>")), 9).alias("cos"),
+                F.lit(-i).alias("negidx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return embeddings.withColumn(cluster_col, (-best["negidx"]).cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "seed",
+) -> DataFrame:
+    """Approximate top-k via the IVF index: rank centroids against the
+    query on the driver (tiny), then score only the vectors assigned to
+    the ``nprobe`` nearest clusters — ``nprobe/n_clusters`` of the corpus
+    instead of all of it (with partition pruning at scale)."""
+    cents = ivf_centroids(
+        embeddings, n_clusters, id_col, vec_col, strategy=strategy
+    )
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cosine_py(query_vec, cents[i]), i)
+    )
+    probes = order[:nprobe]
+    cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
+        F.col("cluster").isin(probes)
+    )
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     scored = cand.select(
         F.col(id_col),

@@ -85,6 +85,58 @@ def test_ann_lsh_recall_vs_exact(embs):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ann_ivf_recall_vs_exact(embs):
+    from fastdb_spark.pipeline.ann import ivf_topk
+
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(embs, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(embs, qvec, k=10, n_clusters=8, nprobe=2).collect()
+    ]
+    assert 0 in approx  # the query vector's own cluster is always probed
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ann_ivf_kmeans_strategy(embs):
+    from fastdb_spark.pipeline.ann import ivf_topk
+
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            embs, qvec, k=10, n_clusters=4, nprobe=2, strategy="kmeans"
+        ).collect()
+    ]
+    assert len(approx) == 10
+    assert 0 in approx
+
+
+def test_ivf_cluster_assignment_partitions_corpus(embs):
+    from fastdb_spark.pipeline.ann import ivf_centroids, with_ivf_cluster
+
+    cents = ivf_centroids(embs, n_clusters=4)
+    assert len(cents) == 4
+    assigned = with_ivf_cluster(embs, cents)
+    # every vector lands in exactly one cluster, all clusters in range
+    dist = assigned.groupBy("cluster").count().toPandas()
+    assert dist["count"].sum() == embs.count()
+    assert set(dist["cluster"]) <= set(range(4))
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from fastdb_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox brown quick the"), (3, "the quick brown fox")],
+        ["doc_id", "text"],
+    ).select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+    rows = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert rows[1] == rows[3]  # deterministic
+    assert rows[1] != rows[2]  # order-sensitive (unlike a bag-of-words hash)
+    assert 0 <= rows[1] < 2147483647
+
+
 def test_lsh_buckets_partition_corpus(embs):
     b = with_lsh_bucket(embs)
     counts = b.groupBy("bucket").count().toPandas()
