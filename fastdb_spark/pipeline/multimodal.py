@@ -92,6 +92,54 @@ def extract_features(
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode+resize+re-encode: md5 of the
+    source payload + the target dims.  Content is fake; the binary-out
+    batch plumbing is real."""
+    return (
+        hashlib.md5(payload).digest()
+        + int(width).to_bytes(2, "big")
+        + int(height).to_bytes(2, "big")
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (``mapInPandas``).
+
+    The modality filter stays Spark-side (pushes to the scan / prunes
+    partitions when modality is a partition column); only image rows cross
+    the Arrow boundary.  Swap ``resizer`` for a real codec (e.g.
+    PIL-based) on a full cluster image."""
+    rs = resizer or fake_resize
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [rs(bytes(b), width, height) for b in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(op, schema=RESIZE_SCHEMA)
+    )
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

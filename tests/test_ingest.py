@@ -166,6 +166,46 @@ def test_streaming_file_ingest(spark, alerts_batch1, tmp_path):
     assert silver.table("diasource").read().count() == 4
 
 
+def test_streaming_first_seen_stateful(spark, tmp_path):
+    """Cross-batch stateful dedup (applyInPandasWithState): duplicates in
+    LATER micro-batches must not re-emit — the state store, not batch-local
+    dedup, provides the guarantee."""
+    from fastdb_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "msgs")
+    schema = "msg_id long, savetime double, body string"
+    # batch 1: ids 1,2 (id 1 twice — in-batch dup); batch 2: id 1 again
+    # (cross-batch dup, later savetime) + new id 3
+    spark.createDataFrame(
+        [(1, 10.0, "first"), (1, 11.0, "dup-in-batch"), (2, 12.0, "b")],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(1, 20.0, "dup-cross-batch"), (3, 21.0, "c")], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one parquet dir per micro-batch
+        .parquet(src + "/*")
+    )
+    deduped = streaming_first_seen(stream, key_col="msg_id", ts_col="savetime")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["msg_id"]: (r["savetime"], r["body"])
+        for r in spark.sql("SELECT * FROM first_seen_out").collect()
+    }
+    assert got == {1: (10.0, "first"), 2: (12.0, "b"), 3: (21.0, "c")}
+
+
 def test_parquet_table_upsert_modes(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t.parquet"))
     t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])

@@ -180,6 +180,15 @@ def test_multimodal_feature_plumbing(spark):
     frames = sample_frames(media, every_ms=1000).collect()
     assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
 
+    from fastdb_spark.pipeline.multimodal import fake_resize, resize_images
+
+    resized = resize_images(media, width=32, height=16).collect()
+    # only image rows cross the Arrow boundary; video filtered Spark-side
+    assert {r["media_id"] for r in resized} == {1, 2}
+    by = {r["media_id"]: r for r in resized}
+    assert by[1]["width"] == 32 and by[1]["height"] == 16
+    assert bytes(by[1]["payload"]) == fake_resize(bytes([10, 20, 30, 40]), 32, 16)
+
 
 def test_decode_image_is_gated_stub():
     with pytest.raises(NotImplementedError):
