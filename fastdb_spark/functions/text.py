@@ -41,6 +41,22 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+#: BPE-style pre-tokenizer pattern (GPT-2-flavoured, lowercase corpus):
+#: a leading space binds to the following letter/digit run; punctuation
+#: runs stand alone.  RE2-compatible — identical matches in Spark (Java
+#: regex) and duckdb (RE2), verified by the oracle harness.
+BPE_SPLIT_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def regex_token_count(text: Column) -> Column:
+    """Pre-tokenizer token count: number of BPE-style pattern matches.
+    The companion to the whitespace count — what a real subword tokenizer
+    would see before vocab merges."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)).cast(
+        "long"
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles, each joined by a single space.
 

@@ -62,6 +62,8 @@ def doc_stats_sql() -> str:
                CAST(list_sum(list_transform({TOKS},
                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
                  AS n_subword_tokens,
+               CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+                 AS BIGINT) AS n_bpe_tokens,
                round(mtl, 6) AS mean_token_len,
                round(punct, 6) AS punct_ratio,
                round({scores["en"]}, 6) AS stopword_ratio_en,

@@ -13,6 +13,7 @@ from fastdb_spark.functions.text import (
     mean_token_len,
     punct_ratio,
     quality_score,
+    regex_token_count,
     stopword_ratio,
     token_count,
 )
@@ -27,6 +28,7 @@ def doc_stats(
         F.length(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subword_tokens"),
+        regex_token_count(t).alias("n_bpe_tokens"),
         F.round(mean_token_len(t), 6).alias("mean_token_len"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
