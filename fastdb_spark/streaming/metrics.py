@@ -1,0 +1,55 @@
+"""Event-time windowed stream metrics (watermark + tumbling windows).
+
+The reference has no stream-windowing of its own (SURVEY.md T6) — its
+only rate tracking is offline log arithmetic over the stress notes
+(reference ``notes/rob_stress_2025apr.txt``).  An operations dashboard
+over the alert stream is the natural Spark-first addition: per-band alert
+counts and mean flux in tumbling event-time windows, tolerating the
+at-least-once transport's late deliveries via a watermark instead of a
+batch recount.
+
+Scale shape: windowed aggregation state is keyed by (window, band) — a
+handful of live groups per watermark horizon; the watermark bounds state
+eviction, so the query runs indefinitely at any input rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_alert_rates(
+    stream: DataFrame,
+    time_col: str = "savetime",
+    band_col: str = "band",
+    flux_col: str = "psfflux",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling-window per-band alert statistics with late-data tolerance.
+
+    ``time_col`` must be a timestamp column (the ingest path stamps
+    ``savetime`` at receive — SURVEY.md T3).  Events later than
+    ``watermark`` behind the stream's max event time are dropped from
+    these METRICS only; the ingest merge path keeps them (the patch-join
+    semantics handle late forced photometry at query time, T5).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_alerts"),
+        F.round(F.avg(flux_col), 6).alias("mean_flux"),
+        F.round(F.max(flux_col), 6).alias("max_flux"),
+    ]
+    if extra_aggs:
+        aggs.extend(extra_aggs)
+    out = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"), F.col(band_col))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[c for c in out.columns if c != "win"],
+    )

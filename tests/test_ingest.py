@@ -206,6 +206,89 @@ def test_streaming_first_seen_stateful(spark, tmp_path):
     assert got == {1: (10.0, "first"), 2: (12.0, "b"), 3: (21.0, "c")}
 
 
+def test_windowed_alert_rates_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows + watermark over a file stream: counts
+    land in the right windows; a too-late event (beyond the watermark,
+    arriving in a later micro-batch) is dropped from the metrics."""
+    from datetime import datetime, timezone
+
+    from fastdb_spark.streaming.metrics import windowed_alert_rates
+
+    import time as _time
+
+    def ts(hour, minute):
+        return datetime(2026, 3, 1, hour, minute, tzinfo=timezone.utc)
+
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    src = str(tmp_path / "alerts")
+    _os.makedirs(src)
+    schema = "savetime timestamp, band string, psfflux double"
+
+    def write_file(name, rows):
+        t = pa.table(
+            {
+                "savetime": pa.array([r[0] for r in rows], pa.timestamp("us", "UTC")),
+                "band": [r[1] for r in rows],
+                "psfflux": [r[2] for r in rows],
+            }
+        )
+        _pq.write_table(t, f"{src}/{name}")
+
+    # one flat parquet FILE per intended micro-batch (the file source
+    # orders by modification time; spaced writes make that deterministic).
+    # NB: the watermark that filters batch N is computed from batches
+    # < N-1 (it advances at commit), so the straggler goes two batches
+    # after the events that move the watermark past it.
+    write_file("f1.parquet", [(ts(12, 1), "r", 10.0), (ts(12, 4), "r", 30.0),
+                              (ts(12, 12), "g", 5.0), (ts(12, 25), "r", 7.0)])
+    _time.sleep(2.1)
+    write_file("f2.parquet", [(ts(12, 26), "g", 9.0)])
+    _time.sleep(2.1)
+    # straggler: >30min behind the stream's max event time; the operator
+    # watermark is already 11:55+ when this batch runs
+    write_file("f3.parquet", [(ts(11, 40), "r", 99.0)])
+    _time.sleep(2.1)
+    # far-future event advances the watermark to 13:00, finalizing every
+    # 12:xx window
+    write_file("f4.parquet", [(ts(13, 30), "z", 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rates = windowed_alert_rates(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("alert_rates")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .option("checkpointLocation", str(tmp_path / "ckpt_rates"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].hour, r["window_start"].minute, r["band"]): r["n_alerts"]
+        for r in spark.sql("SELECT * FROM alert_rates").collect()
+    }
+    assert got.get((12, 0, "r")) == 2  # 12:01 + 12:04
+    assert got.get((12, 10, "g")) == 1  # 12:12
+    assert got.get((12, 20, "r")) == 1 and got.get((12, 20, "g")) == 1
+    # the 11:40 straggler was behind the watermark when its batch ran:
+    # dropped from metrics (ingest keeps it — patch-join handles late data)
+    assert (11, 40, "r") not in got
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
+
+
 def test_parquet_table_upsert_modes(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t.parquet"))
     t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
