@@ -247,6 +247,34 @@ def _q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("id", "ra", "dec", F.round(sep, 6).alias("sep_deg"))
 
 
+_LAYOUT_WRITTEN: set = set()
+
+
+def _q_cone_search_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 through the ENGINE-OWNED layout (Q10/Q11): the sky catalog is
+    written once as a zone-partitioned table, and the cone search prunes
+    partitions via the zone column before any file opens — same rows as
+    ``cone_search`` over the raw derivation, which is what the oracle
+    checks."""
+    import os
+    import tempfile
+
+    from fastdb_spark.layout import read_cone, write_spatial
+    from fastdb_spark.operators.spatial import haversine_deg
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"fastdb_layout_{tag}", "part_sky")
+    if path not in _LAYOUT_WRITTEN:
+        part = Catalog(spark, sf_dir).table("part")
+        write_spatial(
+            ad.part_sky(part), path, dec_col="dec", cluster_by=("id",), zone_deg=5.0
+        )
+        _LAYOUT_WRITTEN.add(path)
+    hits = read_cone(spark, path, 180.0, 0.0, 14.95, zone_deg=5.0)
+    sep = haversine_deg(F.col("ra"), F.col("dec"), F.lit(180.0), F.lit(0.0))
+    return hits.select("id", "ra", "dec", F.round(sep, 6).alias("sep_deg"))
+
+
 def _q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 (two-sided): zone-bucketed equi-join crossmatch at 0.95 deg."""
     cat = Catalog(spark, sf_dir)
@@ -669,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_ltcvs": _q_hot_ltcvs,
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
+        "cone_search_layout": _q_cone_search_layout,
         "crossmatch": _q_crossmatch,
         "anti_join": _q_anti_join,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -946,6 +975,14 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
         ),
         "cone_search": f"""
+            WITH sky AS ({ad.PART_SKY_SQL})
+            SELECT id, ra, "dec", round({_HAV_CENTER}, 6) AS sep_deg
+            FROM sky
+            WHERE {_HAV_CENTER} <= 14.95
+        """,
+        # identical answer through the engine layout: pruning must not
+        # change results
+        "cone_search_layout": f"""
             WITH sky AS ({ad.PART_SKY_SQL})
             SELECT id, ra, "dec", round({_HAV_CENTER}, 6) AS sep_deg
             FROM sky
