@@ -67,6 +67,15 @@ def test_versioned_dedup_broadcasts_mapping(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_cone_search_layout_prunes_partitions(spark):
+    """The layout-backed cone search must carry zone-range PartitionFilters
+    (directories pruned before any file opens)."""
+    df = entrymod.queries()["cone_search_layout"](spark, SF_DIR)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "zone_bucket" in pf[0]
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full lineitem schema."""
     from fastdb_spark.catalog import Catalog
