@@ -500,6 +500,26 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(docs)
 
 
+def _q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT percentiles (interpolated) of corpus quality metrics
+    per predicted language — the distribution-cut operator a curation
+    pipeline thresholds against.  At scale swap percentile() for
+    percentile_approx() (t-digest sketch, mergeable partials)."""
+    from fastdb_spark.pipeline.textstats import doc_stats
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ds = doc_stats(docs)
+    return ds.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("p50_quality"),
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-fingerprint hash-groupBy over a corpus with planted
     verbatim duplicates."""
@@ -723,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "rolling_fingerprint": _q_rolling_fingerprint,
+        "corpus_quantiles": _q_corpus_quantiles,
         "json_extract": _q_json_extract,
         "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
@@ -1139,6 +1160,17 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rolling_fp,
                    md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS md5_fp
             FROM documents
+        """,
+        "corpus_quantiles": f"""
+            WITH ds AS ({po.doc_stats_sql()})
+            SELECT lang_pred,
+                   count(*) AS n_docs,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+                   round(quantile_cont(quality, 0.5), 6) AS p50_quality
+            FROM ds
+            GROUP BY lang_pred
         """,
         "exact_dedup": po.exact_dedup_sql(),
         "minhash_lsh_dedup": po.minhash_lsh_sql(),
