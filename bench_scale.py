@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -28,6 +30,82 @@ from fastdb_spark.session import get_spark
 
 N_SOURCES = int(os.environ.get("SCALE_SOURCES", 60_000_000))
 N_FORCED = int(os.environ.get("SCALE_FORCED", 900_000_000))
+N_ALERTS = int(os.environ.get("SCALE_ALERTS", 30_000))
+ALERT_BATCHES = int(os.environ.get("SCALE_ALERT_BATCHES", 10))
+
+
+def synth_alerts(spark, n: int):
+    """Nested alert frame matching sources.alerts.ALERT_SCHEMA, built with
+    column expressions (no driver-side row list)."""
+    i = F.col("id")
+    src = lambda sid, oid, visit, mjd: F.struct(  # noqa: E731
+        sid.alias("diaSourceId"),
+        oid.alias("diaObjectId"),
+        visit.alias("visit"),
+        F.lit("r").alias("band"),
+        mjd.alias("midpointMjdTai"),
+        (F.lit(100.0) + (sid % 100).cast("float")).cast("float").alias("psfFlux"),
+        F.lit(5.0).cast("float").alias("psfFluxErr"),
+        ((oid % 3600).cast("double") * 0.1).alias("ra"),
+        (((oid * 7) % 1200).cast("double") * 0.1 - 60.0).alias("dec"),
+        F.lit(0.01).cast("float").alias("raErr"),
+        F.lit(0.01).cast("float").alias("decErr"),
+        F.lit(0.0).cast("float").alias("ra_dec_Cov"),
+        (sid % 13 == 0).alias("psfFluxFlag"),
+        (sid % 17 == 0).alias("pixelFlags"),
+        F.lit(False).alias("centroidFlag"),
+    )
+    oid = (i % (n // 4 + 1)) + 1000  # ~4 alerts per object
+    return spark.range(n).select(
+        i.alias("alertId"),
+        F.lit("bench").alias("brokername"),
+        F.lit("topic1").alias("topic"),
+        F.lit('{"class": "SNIa", "p": 0.9}').alias("classifications"),
+        src(i + 50_000, oid, i % 1000, F.lit(60000.0) + i * 1e-4).alias("diaSource"),
+        F.array(src(i + 10_000_000, oid, (i % 1000) - 1, F.lit(59990.0))).alias(
+            "prvDiaSources"
+        ),
+        F.array().cast("array<struct<diaForcedSourceId:bigint,diaObjectId:bigint,visit:bigint,band:string,midpointMjdTai:double,psfFlux:float,psfFluxErr:float,ra:double,dec:double>>").alias("prvDiaForcedSources"),
+        F.struct(
+            oid.alias("diaObjectId"),
+            ((oid % 3600).cast("double") * 0.1).alias("ra"),
+            (((oid * 7) % 1200).cast("double") * 0.1 - 60.0).alias("dec"),
+            F.lit(0.01).cast("float").alias("raErr"),
+            F.lit(0.01).cast("float").alias("decErr"),
+        ).alias("diaObject"),
+        F.lit(b"\x01").alias("cutoutDifference"),
+        F.lit(b"\x02").alias("cutoutTemplate"),
+    )
+
+
+def bench_ingest(spark) -> dict:
+    """Measured alert ingest rate through the REAL streaming path (file
+    transport, checkpointed micro-batches, wrangle + dedup + spatial root
+    association + merges) — the number BASELINE.md's 600 Hz compares to."""
+    from fastdb_spark.streaming.ingest import run_alert_file_stream
+
+    d = tempfile.mkdtemp(prefix="fastdb_ingest_bench_")
+    try:
+        alerts = synth_alerts(spark, N_ALERTS)
+        alerts.repartition(ALERT_BATCHES).write.parquet(d + "/alerts")
+        t0 = time.perf_counter()
+        q = run_alert_file_stream(
+            spark,
+            d + "/alerts",
+            d + "/silver",
+            d + "/ckpt",
+            "bpv-bench",
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        return {
+            "ingest_alerts": N_ALERTS,
+            "ingest_batches": ALERT_BATCHES,
+            "ingest_s": round(dt, 2),
+            "ingest_alerts_per_s": round(N_ALERTS / dt, 1),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def synth_photometry(spark, n_rows: int, n_objects: int):
@@ -86,9 +164,12 @@ def main() -> None:
     frc.agg(F.approx_count_distinct(key).alias("n")).collect()
     out["count_forced_900M_hll_s"] = round(time.perf_counter() - t0, 2)
 
+    out.update(bench_ingest(spark))
+
     out["reference_baseline"] = {
         "count_sources_60M_s": "60-120 (docs/usage.rst:164)",
         "count_forced_900M_s": ">600 (docs/usage.rst:164)",
+        "ingest_alerts_per_s": ">=600 sustained (notes/rob_stress_2025apr.txt)",
     }
     print(json.dumps(out))
 
