@@ -84,3 +84,33 @@ def test_patch_join_key_algebra(spark, fkeys, skeys):
         assert isdet == (v in skeys)
         assert ispatch == (v not in fkeys)
         assert flux == (float(v) if v in fkeys else float(v) * 10)
+
+
+TOKENS = st.lists(
+    st.text(alphabet="abcdefghij0123456789,.", min_size=0, max_size=8),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(toks=TOKENS)
+@settings(**_SETTINGS)
+def test_rolling_fingerprint_matches_python_fold(spark, toks):
+    """Spark's aggregate() fold must equal the plain-Python Rabin-Karp
+    fold for arbitrary token lists (int64-exactness of the modulus)."""
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.functions.text import rolling_fingerprint
+
+    text = " ".join(toks)
+    # reference fold over single-space tokens (split('', ' ') -> [''])
+    expected = 0
+    for w in text.split(" "):
+        val = (ord(w[0]) if w else 0) * 256 + len(w)
+        expected = (expected * 1000003 + val) % 2147483647
+    got = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(rolling_fingerprint(F.col("text")).alias("fp"))
+        .head()["fp"]
+    )
+    assert got == expected
