@@ -679,6 +679,39 @@ def _q_alert_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_latest_forced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J9 family): for each detection, the latest forced point
+    more than 0.95 days older — the "last pre-discovery limit" query.
+    Deterministic ties via srcid; NULLs where no earlier forced exists."""
+    from fastdb_spark.operators.rangejoin import asof_latest
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    det = ad.detections(li).select(
+        "rootid", "visit", "srcid", "midpointmjdtai"
+    )
+    frc = ad.forced(li).select(
+        "rootid", F.col("srcid").alias("fsrcid"), "midpointmjdtai", "psfflux"
+    )
+    out = asof_latest(
+        det,
+        frc,
+        key="rootid",
+        time_col="midpointmjdtai",
+        payload_cols=["fsrcid", "midpointmjdtai", "psfflux"],
+        gap=0.95,
+        tiebreak=["fsrcid"],
+    )
+    return out.select(
+        "rootid",
+        "visit",
+        "srcid",
+        F.round("midpointmjdtai", 6).alias("mjd"),
+        F.col("prev_fsrcid").alias("prev_srcid"),
+        F.round("prev_midpointmjdtai", 6).alias("prev_mjd"),
+        F.round("prev_psfflux", 6).alias("prev_flux"),
+    )
+
+
 def _q_skewed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a skewed grouping key (5 hot
     event types across all events)."""
@@ -725,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "flux_to_mag": _q_flux_to_mag,
         "range_join": _q_range_join,
+        "asof_latest_forced": _q_asof_latest_forced,
         "spectrum_workflow": _q_spectrum_workflow,
         "versioned_count": _q_versioned_count,
         "pagination": _q_pagination,
@@ -1068,6 +1102,23 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts_us < a.ts_us
             GROUP BY a.event_id, a.user_id, a.ts_us, a.value
         """,
+        "asof_latest_forced": _pat(
+            """
+            SELECT d.rootid, d.visit, d.srcid,
+                   round(d.midpointmjdtai, 6) AS mjd,
+                   f.srcid AS prev_srcid,
+                   round(f.midpointmjdtai, 6) AS prev_mjd,
+                   round(f.psfflux, 6) AS prev_flux
+            FROM d LEFT JOIN f
+              ON f.rootid = d.rootid
+             AND f.midpointmjdtai < d.midpointmjdtai - 0.95
+            QUALIFY row_number() OVER (
+                PARTITION BY d.srcid
+                ORDER BY f.midpointmjdtai DESC NULLS LAST, f.srcid DESC) = 1
+            """,
+            f"d AS (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL})",
+            f"f AS (SELECT * FROM p WHERE {ad.FORCED_PRED_SQL})",
+        ),
         "spectrum_workflow": """
             WITH wanted AS (
               SELECT o_orderkey AS root_diaobject_id,

@@ -24,13 +24,14 @@ def attach_history(
     history: DataFrame,
     key: str,
     time_col: str,
-    lookback: float,
+    lookback: float | None,
     gap: float = 0.0,
     agg_exprs: list[Column] | None = None,
     probe_time_alias: str = "_t_probe",
 ) -> DataFrame:
     """For each probe row, aggregate history rows of the same ``key`` with
-    ``history.time in [probe.time - lookback, probe.time - gap)``.
+    ``history.time in [probe.time - lookback, probe.time - gap)``
+    (``lookback=None`` -> unbounded lower edge).
 
     Returns the probe columns + the aggregates (default: ``n_prev`` count).
     The join is equi on ``key`` -> one shuffle each side, partition-local
@@ -50,11 +51,9 @@ def attach_history(
     # band predicate must live IN the join condition: a post-join filter
     # would drop probes whose matches all fall outside the window, whereas
     # LEFT JOIN ... ON band keeps them with zero history rows
-    cond = (
-        (F.col("_k_probe") == F.col("_k_hist"))
-        & (th >= t - lookback)
-        & (th < t - gap)
-    )
+    cond = (F.col("_k_probe") == F.col("_k_hist")) & (th < t - gap)
+    if lookback is not None:
+        cond = cond & (th >= t - lookback)
     joined = p.join(h, on=cond, how="left")
     if agg_exprs is None:
         agg_exprs = [
@@ -67,6 +66,45 @@ def attach_history(
             c
             for c in out.columns
             if c not in ("_k_probe", probe_time_alias, "_probe_row")
+        ],
+    )
+
+
+def asof_latest(
+    probe: DataFrame,
+    history: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: list[str],
+    gap: float = 0.0,
+    lookback: float | None = None,
+    tiebreak: list[str] | None = None,
+    out_prefix: str = "prev_",
+) -> DataFrame:
+    """As-of join: attach to each probe row the LATEST history row of the
+    same ``key`` with ``history.time < probe.time - gap`` (e.g. the last
+    pre-discovery forced-photometry point).  Spark has no native ASOF
+    JOIN; the scalable shape is the key-equi range join + a ``max_by``
+    argmax per probe row — one shuffle per side, no window over the raw
+    join product.  ``tiebreak`` columns order equal-time history rows
+    deterministically.  Probes with no history keep NULL payloads
+    (left-join semantics).  Bound ``lookback`` at scale so the merge scan
+    stays banded."""
+    order_cols = [F.col("_t_hist")] + [
+        F.col(f"_hist_row.{c}") for c in (tiebreak or [])
+    ]
+    point = F.struct(*[F.col(f"_hist_row.{c}") for c in payload_cols])
+    agg = [
+        F.max_by(point, F.struct(*order_cols)).alias("_prev"),
+    ]
+    out = attach_history(
+        probe, history, key, time_col, lookback, gap, agg_exprs=agg
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_prev"],
+        *[
+            F.col(f"_prev.{c}").alias(f"{out_prefix}{c}")
+            for c in payload_cols
         ],
     )
 

@@ -99,6 +99,30 @@ def test_attach_history_keeps_empty_probes(spark):
     assert out == {"a": 1, "b": 2, "c": 0}
 
 
+def test_asof_latest_semantics(spark):
+    from fastdb_spark.operators.rangejoin import asof_latest
+
+    probe = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 200.0, "b"), (2, 50.0, "c")], ["k", "t", "tag"]
+    )
+    hist = spark.createDataFrame(
+        # two rows tied at t=90 for key 1 -> tiebreak picks higher hid;
+        # key 2 has only future history -> NULL payloads
+        [(1, 90.0, 10, 1.5), (1, 90.0, 11, 2.5), (1, 150.0, 12, 3.5), (2, 300.0, 13, 4.5)],
+        ["k", "t", "hid", "val"],
+    )
+    out = {
+        r["tag"]: (r["prev_hid"], r["prev_val"])
+        for r in asof_latest(
+            probe, hist, key="k", time_col="t",
+            payload_cols=["hid", "val"], tiebreak=["hid"],
+        ).collect()
+    }
+    assert out["a"] == (11, 2.5)  # tie at 90 -> max hid wins
+    assert out["b"] == (12, 3.5)  # latest strictly before 200
+    assert out["c"] == (None, None)  # left semantics
+
+
 def test_collect_history_structs_sorted(spark):
     probe = spark.createDataFrame([(1, 200.0, "b")], ["k", "t", "tag"])
     hist = spark.createDataFrame(
