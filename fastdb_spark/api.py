@@ -55,6 +55,7 @@ CATALOG_TABLES = (
     "wantedspectra",
     "plannedspectra",
     "spectruminfo",
+    "diasource_brokerinfo",
 )
 
 
@@ -198,6 +199,46 @@ class FastdbAPI:
             self.tables["spectruminfo"],
             **kw,
         )
+
+    # -- broker classifications (reference ltcvapp.py /ltcv/getbrokerinfo) ---
+
+    def get_broker_info(
+        self,
+        diasourceids,
+        processing_version: str = "realtime",
+        brokername: str | None = None,
+        topic: str | None = None,
+    ) -> DataFrame:
+        """Broker classification messages for a batch of source ids
+        (reference ``src/webserver/ltcvapp.py:280-329``): restrict to the
+        processing version's base versions, one row per (diasourceid,
+        brokername, topic).  Where the reference's DISTINCT ON picks an
+        arbitrary row among multiple matching base versions, this picks
+        the highest-priority one (the A1 rule) — deterministic.  The
+        version mapping uses the diasource table's entry (the reference
+        joins the mapping without a table restriction)."""
+        from fastdb_spark.operators.dedup import dedup_top_priority
+
+        ids = (
+            [int(x) for x in diasourceids]
+            if isinstance(diasourceids, (list, tuple, set))
+            else [int(diasourceids)]
+        )
+        b = self.tables["diasource_brokerinfo"].filter(
+            F.col("diasourceid").isin(ids)
+        )
+        if brokername is not None:
+            b = b.filter(F.col("brokername") == brokername)
+        if topic is not None:
+            b = b.filter(F.col("topic") == topic)
+        mapping = self.resolver.bpv_mapping(processing_version, "diasource")
+        joined = b.join(F.broadcast(mapping), on="base_procver_id", how="inner")
+        out = dedup_top_priority(
+            joined, ["diasourceid", "brokername", "topic"], ["priority"]
+        )
+        return out.select(
+            "diasourceid", "brokername", "topic", "info"
+        ).orderBy("diasourceid", "brokername", "topic")
 
     # -- raw SQL (reference dbapp.py /db/runsqlquery, S11) -------------------
 

@@ -182,6 +182,25 @@ def build_golden_pandas() -> dict[str, pd.DataFrame]:
             src_rows += emit_phot(0, "bpv1a", 100, t0, 60015.0)
             frc_rows += emit_phot(0, "bpv1a", 100, t0 - 10.0, 60010.0, forced=True)
 
+    # broker classification messages: source 10000000 (objid 100 / bpv1
+    # family) carries the same (broker, topic) under two base versions —
+    # pv1's priority order must pick bpv1a over bpv1 — plus a second
+    # broker and a second source for the filter paths
+    bi_rows = [
+        {"brokername": "fink", "topic": "topic-a", "diasourceid": 10000000,
+         "base_procver_id": BPV["bpv1"], "diaobjectid": 100,
+         "info": '{"class": "SNIa", "p": 0.6}'},
+        {"brokername": "fink", "topic": "topic-a", "diasourceid": 10000000,
+         "base_procver_id": BPV["bpv1a"], "diaobjectid": 100,
+         "info": '{"class": "SNIa", "p": 0.9}'},
+        {"brokername": "antares", "topic": "topic-b", "diasourceid": 10000000,
+         "base_procver_id": BPV["bpv1"], "diaobjectid": 100,
+         "info": '{"class": "SNII", "p": 0.4}'},
+        {"brokername": "fink", "topic": "topic-a", "diasourceid": 20000000,
+         "base_procver_id": BPV["bpv2"], "diaobjectid": 200,
+         "info": '{"class": "AGN", "p": 0.7}'},
+    ]
+
     return {
         "processing_version": pd.DataFrame(pv_rows),
         "processing_version_alias": pd.DataFrame(alias_rows),
@@ -192,6 +211,7 @@ def build_golden_pandas() -> dict[str, pd.DataFrame]:
         "diaobject_position": pd.DataFrame(pos_rows),
         "diasource": pd.DataFrame(src_rows),
         "diaforcedsource": pd.DataFrame(frc_rows),
+        "diasource_brokerinfo": pd.DataFrame(bi_rows),
     }
 
 

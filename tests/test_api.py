@@ -113,3 +113,20 @@ def test_alert_reconstruction_golden(api, golden):
         for p in r["prvDiaForcedSources"]:
             assert p["midpointmjdtai"] < t - 1.0
         assert r["diaObject"] is not None
+
+
+def test_get_broker_info(api):
+    # pv1 maps bpv1b > bpv1a > bpv1: the duplicate (fink, topic-a) message
+    # must come from bpv1a (p=0.9), not bpv1 (p=0.6)
+    out = api.get_broker_info([10000000, 20000000], "pv1").collect()
+    rows = {(r["diasourceid"], r["brokername"], r["topic"]): r["info"] for r in out}
+    assert rows[(10000000, "fink", "topic-a")] == '{"class": "SNIa", "p": 0.9}'
+    assert (10000000, "antares", "topic-b") in rows
+    # source 20000000 is bpv2-only -> not visible under pv1
+    assert not any(k[0] == 20000000 for k in rows)
+    # broker/topic filters (reference's optional narrowing)
+    only_fink = api.get_broker_info(10000000, "pv1", brokername="fink").collect()
+    assert {r["brokername"] for r in only_fink} == {"fink"}
+    # and under pv2 the bpv2 message appears
+    pv2 = api.get_broker_info([20000000], "pv2").collect()
+    assert len(pv2) == 1 and pv2[0]["info"] == '{"class": "AGN", "p": 0.7}'
