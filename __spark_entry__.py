@@ -712,6 +712,30 @@ def _q_asof_latest_forced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_broker_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker classification lookup (reference ltcvapp.py:280-329 via
+    api.get_broker_info): restrict messages to an id set and a processing
+    version's mapped base versions (unmapped bpv0 drops out), keep the
+    highest-priority message per (source, broker, topic), extract a typed
+    field from the JSON info payload (F9)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    bi = ad.brokerinfo(li).filter(F.col("diasourceid") % 50 == 0)
+    mapping = spark.createDataFrame(
+        [("bpv1", 1), ("bpv2", 2)], ["base_procver_id", "priority"]
+    )
+    joined = bi.join(F.broadcast(mapping), on="base_procver_id", how="inner")
+    out = dedup_top_priority(
+        joined, ["diasourceid", "brokername", "topic"], ["priority", "msgid"]
+    )
+    return out.select(
+        "diasourceid",
+        "brokername",
+        "topic",
+        "info",
+        F.get_json_object(F.col("info"), "$.classId").cast("int").alias("classid"),
+    )
+
+
 def _q_skewed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a skewed grouping key (5 hot
     event types across all events)."""
@@ -779,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "corpus_quantiles": _q_corpus_quantiles,
         "json_extract": _q_json_extract,
+        "broker_info": _q_broker_info,
         "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
         "sql_passthrough": _q_sql_passthrough,
@@ -1259,6 +1284,21 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
             FROM events
+        """,
+        "broker_info": f"""
+            WITH b AS ({ad.BROKERINFO_SQL}),
+            m(base_procver_id, priority) AS (
+              SELECT 'bpv1', 1 UNION ALL SELECT 'bpv2', 2),
+            j AS (SELECT b.*, m.priority
+                  FROM b JOIN m USING (base_procver_id)
+                  WHERE diasourceid % 50 = 0)
+            SELECT diasourceid, brokername, topic, info,
+                   CAST(json_extract_string(info, '$.classId') AS INTEGER)
+                     AS classid
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY diasourceid, brokername, topic
+                      ORDER BY priority DESC, msgid DESC) AS rn FROM j)
+            WHERE rn = 1
         """,
         "skewed_aggregate": """
             SELECT event_type,

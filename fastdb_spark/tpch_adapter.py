@@ -102,6 +102,53 @@ def versioned_photometry(lineitem: DataFrame) -> DataFrame:
     )
 
 
+# --- broker classification messages keyed (diasourceid=l_orderkey):
+#     several (broker, topic) messages per source, duplicated across base
+#     versions (base_procver_id = 'bpv' || l_suppkey % 3), JSON info payload —
+#     used for the get_broker_info lookup ---------------------------------------
+
+BROKERINFO_SQL = """
+SELECT CAST(l_orderkey AS BIGINT)                     AS diasourceid,
+       CASE CAST(l_linenumber % 3 AS INTEGER)
+            WHEN 0 THEN 'fink' WHEN 1 THEN 'antares' ELSE 'alerce'
+       END                                            AS brokername,
+       'topic-' || CAST(l_partkey % 2 AS VARCHAR)     AS topic,
+       'bpv' || CAST(l_suppkey % 3 AS VARCHAR)        AS base_procver_id,
+       CAST(((l_orderkey * 1000000 + l_partkey) * 100000 + l_suppkey) * 10 + l_linenumber AS BIGINT) AS msgid,
+       '{"classId": ' || CAST(l_partkey % 100 AS VARCHAR)
+         || ', "nvotes": ' || CAST(l_suppkey AS VARCHAR) || '}' AS info
+FROM lineitem
+"""
+
+
+def brokerinfo(lineitem: DataFrame) -> DataFrame:
+    li = lineitem
+    ln3 = (F.col("l_linenumber") % 3).cast("int")
+    return li.select(
+        F.col("l_orderkey").cast("bigint").alias("diasourceid"),
+        F.when(ln3 == 0, "fink")
+        .when(ln3 == 1, "antares")
+        .otherwise("alerce")
+        .alias("brokername"),
+        F.concat(F.lit("topic-"), (F.col("l_partkey") % 2).cast("string")).alias(
+            "topic"
+        ),
+        F.concat(F.lit("bpv"), (F.col("l_suppkey") % 3).cast("string")).alias(
+            "base_procver_id"
+        ),
+        (((F.col("l_orderkey") * 1000000 + F.col("l_partkey")) * 100000 + F.col("l_suppkey")) * 10 + F.col("l_linenumber")).cast("bigint").alias(
+            "msgid"
+        ),
+        F.concat(
+            F.lit('{"classId": '),
+            (F.col("l_partkey") % 100).cast("string"),
+            F.lit(', "nvotes": '),
+            F.col("l_suppkey").cast("string"),
+            F.lit("}"),
+        ).alias("info"),
+    )
+
+
 # --- sky positions derived from part (for cone search / crossmatch) ----------
 
 PART_SKY_SQL = """
