@@ -605,6 +605,29 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, list(qvec), k=10, n_clusters=8, nprobe=2)
 
 
+_IVF_WRITTEN: set = set()
+
+
+def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED train-once index (build_ivf_index):
+    centroids ranked on the driver from a KB-sized table, then only the
+    nprobe nearest cluster partitions are read (PartitionFilters prune
+    before file IO) — rows-only check, approximate by design."""
+    import os
+    import tempfile
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_search_index
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"fastdb_ivf_{tag}")
+    if path not in _IVF_WRITTEN:
+        build_ivf_index(embs, path, n_clusters=8, strategy="seed")
+        _IVF_WRITTEN.add(path)
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_search_index(spark, path, list(qvec), k=10, nprobe=2)
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
     shape) next to the md5 content fingerprint."""
@@ -800,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "corpus_quantiles": _q_corpus_quantiles,
         "json_extract": _q_json_extract,

@@ -183,6 +183,78 @@ def with_ivf_cluster(
     return embeddings.withColumn(cluster_col, (-best["negidx"]).cast("int"))
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "seed",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index as an engine-owned layout: a tiny
+    ``centroids`` parquet table plus the corpus rewritten partitioned by
+    its nearest-centroid id (``vectors/cluster=N/``).
+
+    Train-once/query-many: the coarse quantizer is fit ONCE here (one
+    k-means job, or the deterministic seed pick) instead of per query, and
+    every subsequent ``ivf_search_index`` probe prunes whole partitions
+    via the directory layout before a single file opens — at 100 TB a
+    query touches ``nprobe/n_clusters`` of the files, and the centroid
+    table it ranks on the driver is a few KB."""
+    import os
+
+    cents = ivf_centroids(
+        embeddings, n_clusters, id_col, vec_col, strategy=strategy, seed=seed
+    )
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cluster", "centroid"]
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    with_ivf_cluster(embeddings, cents, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(os.path.join(path, "vectors"))
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a ``build_ivf_index`` layout: rank the persisted
+    centroids on the driver, read ONLY the ``nprobe`` nearest cluster
+    partitions (PartitionFilters — pruned before file listing IO), score,
+    take k."""
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cents = [list(map(float, r["centroid"])) for r in cents_rows]
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cosine_py(query_vec, cents[i]), i)
+    )
+    probes = order[:nprobe]
+    cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster").isin(probes)
+    )
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -112,6 +112,32 @@ def test_ann_ivf_kmeans_strategy(embs):
     assert 0 in approx
 
 
+def test_ivf_persisted_index_matches_inplace_and_prunes(embs, tmp_path):
+    """The train-once persisted IVF layout must return exactly what the
+    in-place (retrain-per-query) path returns for the same quantizer, and
+    its probe scan must prune cluster partitions BEFORE file IO."""
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_search_index, ivf_topk
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path, n_clusters=8, strategy="seed")
+    spark = embs.sparkSession
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+
+    indexed = ivf_search_index(spark, path, qvec, k=10, nprobe=2)
+    inplace = ivf_topk(embs, qvec, k=10, n_clusters=8, nprobe=2, strategy="seed")
+    assert [(r["vec_id"], r["cos"]) for r in indexed.collect()] == [
+        (r["vec_id"], r["cos"]) for r in inplace.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "cluster" in line
+        for line in plan.splitlines()
+    ), plan
+    # the layout holds the whole corpus across its cluster directories
+    assert spark.read.parquet(f"{path}/vectors").count() == embs.count()
+
+
 def test_ivf_cluster_assignment_partitions_corpus(embs):
     from fastdb_spark.pipeline.ann import ivf_centroids, with_ivf_cluster
 
