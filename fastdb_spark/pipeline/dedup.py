@@ -239,10 +239,13 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     keyed = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    rows = keyed.collect()  # corpus matrix must fit one machine's memory;
-    # at scale this becomes the per-bucket matrix, not the full corpus
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    # corpus matrix must fit one machine's memory; at scale this becomes
+    # the per-bucket matrix, not the full corpus.  Arrow toPandas is ~6x
+    # faster than collect() for the wide array column (measured 0.4s vs
+    # 2.6s on 2400x64 at sf0.1)
+    cpdf = keyed.toPandas()
+    ids = cpdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(cpdf["v"].tolist(), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     order = np.argsort(ids)
     ids, mat, norms = ids[order], mat[order], norms[order]
