@@ -85,3 +85,75 @@ def streaming_first_seen(
     return stream.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, _STATE_SCHEMA, "update", timeout
     )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the python ``protobuf`` package
+    (its state-server protocol is proto-encoded) and the RocksDB state
+    store provider; without protobuf the driver worker crashes at plan
+    time.  Feature-gate callers on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_first_seen_tws(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """``streaming_first_seen`` on the Spark-4 ``transformWithStateInPandas``
+    operator (successor to ``applyInPandasWithState``): the seen-flag lives
+    in a named ``ValueState`` with a NATIVE processing-time TTL, so expiry
+    is handled by the state store (RocksDB at scale) instead of per-key
+    timeout bookkeeping in Python.  Same contract as the classic variant:
+    each key's earliest row is emitted exactly once; post-TTL duplicates
+    re-emit harmlessly into idempotent downstream merges.
+
+    Requires ``tws_available()`` (python protobuf) and
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider on the session running the stream."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the python protobuf package; "
+            "use streaming_first_seen (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = stream.schema
+    cols = stream.columns
+    order = [ts_col] + [c for c in cols if c != ts_col]
+    ttl_ms = ttl_minutes * 60_000 if ttl_minutes else None
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", _STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return
+            best = None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(order, kind="mergesort")
+                row = pdf.iloc[0]
+                if best is None or row[ts_col] < best[ts_col]:
+                    best = row
+            if best is None:
+                return
+            self._seen.update((True, float(best[ts_col])))
+            yield pd.DataFrame([best[cols]])
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _FirstSeen(), out_schema, "Update", "ProcessingTime"
+    )

@@ -206,6 +206,67 @@ def test_streaming_first_seen_stateful(spark, tmp_path):
     assert got == {1: (10.0, "first"), 2: (12.0, "b"), 3: (21.0, "c")}
 
 
+def test_streaming_first_seen_tws(spark, tmp_path):
+    """Same cross-batch dedup contract on the Spark-4
+    transformWithStateInPandas operator (ValueState + native TTL).
+    Skipped where python protobuf is absent (this image): the operator's
+    state-server protocol needs it — the gate itself is what we assert."""
+    import pytest
+
+    from fastdb_spark.streaming.stateful import (
+        streaming_first_seen_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_first_seen_tws(
+                spark.createDataFrame(
+                    [(1, 1.0)], "msg_id long, savetime double"
+                ),
+                "msg_id",
+                "savetime",
+            )
+        pytest.skip("python protobuf not in image; gate verified")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "msgs")
+    schema = "msg_id long, savetime double, body string"
+    spark.createDataFrame(
+        [(1, 10.0, "first"), (1, 11.0, "dup-in-batch"), (2, 12.0, "b")],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(1, 20.0, "dup-cross-batch"), (3, 21.0, "c")], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    deduped = streaming_first_seen_tws(
+        stream, key_col="msg_id", ts_col="savetime"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen_tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["msg_id"]: (r["savetime"], r["body"])
+        for r in spark.sql("SELECT * FROM first_seen_tws_out").collect()
+    }
+    assert got == {1: (10.0, "first"), 2: (12.0, "b"), 3: (21.0, "c")}
+
+
 def test_windowed_alert_rates_with_watermark(spark, tmp_path):
     """Event-time tumbling windows + watermark over a file stream: counts
     land in the right windows; a too-late event (beyond the watermark,
