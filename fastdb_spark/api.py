@@ -18,8 +18,16 @@ framework-free):
 | ``/db/runsqlquery``                | ``run_sql``          |
 | ``/db/submitsqlquery``             | ``submit_sql_query`` |
 | ``/db/checksqlquery/<id>``         | ``check_sql_query``  |
-| ``/spectrum/askforspectrum`` etc.  | ``spectra_wanted``   |
+| ``/spectrum/askforspectrum``       | ``ask_for_spectrum`` |
+| ``/spectrum/spectrawanted``        | ``spectra_wanted``   |
+| ``/spectrum/planspectrum``         | ``plan_spectrum``    |
+| ``/spectrum/removespectrumplan``   | ``remove_spectrum_plan`` |
+| ``/spectrum/reportspectruminfo``   | ``report_spectrum_info`` |
+| ``/spectrum/getknownspectruminfo`` | ``get_known_spectrum_info`` |
+| ``/ltcv/getbrokerinfo``            | ``get_broker_info``  |
 | ``/getprocvers``                   | ``processing_versions``|
+| ``/procver/<procver>``             | ``procver_info``     |
+| ``/baseprocver/<pv>[/<table>]``    | ``base_procver_info``|
 
 (reference ``src/webserver/ltcvapp.py``, ``dbapp.py``, ``server.py``,
 ``spectrumapp.py``; SURVEY.md §3)
@@ -84,6 +92,87 @@ class FastdbAPI:
         pv = self.tables["processing_version"].select("description")
         al = self.tables["processing_version_alias"].select("description")
         return pv.unionByName(al).distinct().orderBy("description")  # U1
+
+    def procver_info(self, procver: str) -> dict:
+        """Full detail for one processing version (reference
+        ``src/webserver/server.py:54-84`` /procver/<procver>): id,
+        description, aliases, and the per-table priority-DESC base-version
+        lists (the reference's ARRAY_AGG, A7 — dimension tables are tiny,
+        assembled on the driver)."""
+        pvid = self.resolver.procver_id(procver)
+        pv = (
+            self.tables["processing_version"]
+            .filter(F.col("id") == pvid)
+            .collect()[0]
+        )
+        aliases = sorted(
+            r["description"]
+            for r in self.tables["processing_version_alias"]
+            .filter(F.col("procver_id") == pvid)
+            .collect()
+        )
+        bpv = self.tables["base_processing_version"].select(
+            F.col("id").alias("bpvid"),
+            F.col("description").alias("bpv_descr"),
+            F.col("_table").alias("bpv_table"),
+        )
+        joined = (
+            self.tables["base_procver_of_procver"]
+            .filter(F.col("procver_id") == pvid)
+            .join(bpv, F.col("base_procver_id") == F.col("bpvid"))
+            .select("bpv_table", "bpv_descr", "priority")
+            .collect()
+        )
+        base_procvers: dict[str, list[list]] = {}
+        for r in sorted(joined, key=lambda r: (r["bpv_table"], -r["priority"])):
+            base_procvers.setdefault(r["bpv_table"], []).append(
+                [r["bpv_descr"], r["priority"]]
+            )
+        return {
+            "id": pv["id"],
+            "description": pv["description"],
+            "aliases": aliases,
+            "base_procvers": base_procvers,
+        }
+
+    def base_procver_info(self, procver: str, table: str | None = None) -> dict:
+        """Detail for one base processing version (reference
+        ``src/webserver/server.py:90-115`` /baseprocver): identity plus the
+        processing versions that include it.  Base-version descriptions are
+        only unique per table — an ambiguous description without ``table``
+        raises, as in the reference."""
+        bpv = self.tables["base_processing_version"].filter(
+            (F.col("id") == procver) | (F.col("description") == procver)
+        )
+        if table is not None:
+            bpv = bpv.filter(F.col("_table") == table)
+        rows = bpv.collect()
+        if not rows:
+            raise KeyError(f"unknown base processing version {procver!r}")
+        if len(rows) > 1:
+            raise ValueError(
+                f"base processing version {procver!r} is ambiguous across "
+                f"tables {sorted(r['_table'] for r in rows)}; pass table="
+            )
+        row = rows[0]
+        pv = self.tables["processing_version"].select(
+            F.col("id").alias("pvid"), "description"
+        )
+        procvers = sorted(
+            r["description"]
+            for r in self.tables["base_procver_of_procver"]
+            .filter(F.col("base_procver_id") == row["id"])
+            .join(pv, F.col("procver_id") == F.col("pvid"))
+            .select("description")
+            .distinct()
+            .collect()
+        )
+        return {
+            "id": row["id"],
+            "description": row["description"],
+            "table": row["_table"],
+            "procvers": procvers,
+        }
 
     # -- lightcurves --------------------------------------------------------
 
@@ -192,13 +281,201 @@ class FastdbAPI:
 
     # -- spectra -------------------------------------------------------------
 
+    def _table_or_empty(self, name: str) -> DataFrame:
+        """The table if present, else an empty frame with its declared
+        schema — workflow tables come into existence on first write."""
+        if name in self.tables:
+            return self.tables[name]
+        from fastdb_spark.schemas import TABLES
+
+        return self.spark.createDataFrame([], TABLES[name])
+
     def spectra_wanted(self, **kw) -> DataFrame:
         return spectrum_q.spectra_wanted(
-            self.tables["wantedspectra"],
-            self.tables["plannedspectra"],
-            self.tables["spectruminfo"],
+            self._table_or_empty("wantedspectra"),
+            self._table_or_empty("plannedspectra"),
+            self._table_or_empty("spectruminfo"),
             **kw,
         )
+
+    # -- spectrum cycle write path (reference spectrumapp.py POST endpoints) -
+
+    def _store(self, name: str):
+        from fastdb_spark.storage import ParquetTable
+
+        return ParquetTable(self.spark, self.catalog.path(name))
+
+    def _refresh(self, name: str) -> None:
+        # parquet DataFrames pin their file listing at plan time; re-read
+        # after a write so subsequent queries see it
+        self.tables[name] = self.catalog.table(name)
+
+    def ask_for_spectrum(
+        self,
+        requester: str,
+        rootids: list[str],
+        priorities: list[int],
+        ras: list[float],
+        decs: list[float],
+        is_hosts: list[bool] | None = None,
+        user_id: str | None = None,
+        wanttime=None,
+    ) -> int:
+        """Register wanted spectra (reference ``src/webserver/spectrumapp.py
+        AskForSpectrum``): one row per rootid, natural key ``wantspec_id =
+        "<rootid> ; <requester>"``, priority clamped to [0, 5], upsert with
+        DO-UPDATE semantics (re-asking refreshes the request)."""
+        import datetime as _dt
+
+        if not (len(rootids) == len(priorities) == len(ras) == len(decs)):
+            raise ValueError("rootids, priorities, ras, decs must align")
+        hosts = is_hosts if is_hosts is not None else [False] * len(rootids)
+        now = wanttime or _dt.datetime.now(tz=_dt.timezone.utc)
+        rows = [
+            (
+                f"{r} ; {requester}",
+                str(r),
+                now,
+                str(user_id) if user_id else "",
+                requester,
+                max(0, min(5, int(p))),
+                bool(h),
+                float(ra),
+                float(dec),
+            )
+            for r, p, ra, dec, h in zip(rootids, priorities, ras, decs, hosts)
+        ]
+        from fastdb_spark.schemas import TABLES
+
+        updates = self.spark.createDataFrame(rows, TABLES["wantedspectra"])
+        self._store("wantedspectra").upsert(
+            updates, ["wantspec_id"], on_conflict="update"
+        )
+        self._refresh("wantedspectra")
+        return len(rows)
+
+    def plan_spectrum(
+        self,
+        root_diaobject_id: str,
+        facility: str,
+        plantime,
+        comment: str | None = None,
+        is_host: bool = False,
+    ) -> str:
+        """Claim an observation plan (reference ``PlanSpectrum``)."""
+        import datetime as _dt
+        import uuid as _uuid
+
+        if isinstance(plantime, str):
+            plantime = _dt.datetime.fromisoformat(plantime)
+        if plantime.tzinfo is None:
+            plantime = plantime.replace(tzinfo=_dt.timezone.utc)
+        pid = str(_uuid.uuid4())
+        from fastdb_spark.schemas import TABLES
+
+        row = self.spark.createDataFrame(
+            [
+                (
+                    pid,
+                    str(root_diaobject_id),
+                    str(facility),
+                    _dt.datetime.now(tz=_dt.timezone.utc),
+                    plantime,
+                    comment,
+                    bool(is_host),
+                )
+            ],
+            TABLES["plannedspectra"],
+        )
+        store = self._store("plannedspectra")
+        if store.exists():
+            store.append(row)
+        else:
+            store.overwrite(row)
+        self._refresh("plannedspectra")
+        return pid
+
+    def remove_spectrum_plan(self, root_diaobject_id: str, facility: str) -> int:
+        """Withdraw a plan (reference ``RemoveSpectrumPlan`` DELETE);
+        returns the number of rows removed."""
+        store = self._store("plannedspectra")
+        target = store.read()
+        match = (F.col("root_diaobject_id") == str(root_diaobject_id)) & (
+            F.col("facility") == str(facility)
+        )
+        ndel = target.filter(match).count()
+        if ndel:
+            store.overwrite(target.filter(~match))
+            self._refresh("plannedspectra")
+        return ndel
+
+    def report_spectrum_info(
+        self,
+        facility: str,
+        mjd: float,
+        ra: float,
+        dec: float,
+        root_diaobject_id: str | None = None,
+        z: float | None = None,
+        classid: int | None = None,
+        is_host: bool = False,
+        class_description: str | None = None,
+    ) -> str:
+        """Record an observed spectrum (reference ``ReportSpectrumInfo``)."""
+        import datetime as _dt
+        import uuid as _uuid
+
+        sid = str(_uuid.uuid4())
+        from fastdb_spark.schemas import TABLES
+
+        row = self.spark.createDataFrame(
+            [
+                (
+                    sid,
+                    str(root_diaobject_id) if root_diaobject_id else None,
+                    str(facility),
+                    _dt.datetime.now(tz=_dt.timezone.utc),
+                    float(mjd),
+                    float(z) if z is not None else None,
+                    int(classid) if classid is not None else None,
+                    float(ra),
+                    float(dec),
+                    bool(is_host),
+                    class_description,
+                )
+            ],
+            TABLES["spectruminfo"],
+        )
+        store = self._store("spectruminfo")
+        if store.exists():
+            store.append(row)
+        else:
+            store.overwrite(row)
+        self._refresh("spectruminfo")
+        return sid
+
+    def get_known_spectrum_info(self, **criteria: Any) -> DataFrame:
+        """Search reported spectra (reference ``GetSpectrumInfo`` →
+        ``src/spectrum.py:342-385``): the P1 keyword-spec surface over
+        spectruminfo, same searchable fields as the reference."""
+        from fastdb_spark.operators.predicates import FieldSpec, apply_where
+
+        # backwards-compat aliases (reference src/spectrum.py:357-363)
+        if "since" in criteria:
+            criteria["inserted_at_min"] = criteria.pop("since")
+        if "root_diaobject_ids" in criteria:
+            criteria["root_diaobject_id"] = criteria.pop("root_diaobject_ids")
+        specs = {
+            "root_diaobject_id": FieldSpec(mult=True),
+            "facility": FieldSpec(mult=True, substr=True, minmax=True),
+            "mjd": FieldSpec(minmax=True),
+            "z": FieldSpec(minmax=True),
+            "class_description": FieldSpec(mult=True, substr=True),
+            "classid": FieldSpec(mult=True, minmax=True),
+            "is_host": FieldSpec(),
+            "inserted_at": FieldSpec(minmax=True),
+        }
+        return apply_where(self._table_or_empty("spectruminfo"), specs, criteria)
 
     # -- broker classifications (reference ltcvapp.py /ltcv/getbrokerinfo) ---
 

@@ -130,3 +130,72 @@ def test_get_broker_info(api):
     # and under pv2 the bpv2 message appears
     pv2 = api.get_broker_info([20000000], "pv2").collect()
     assert len(pv2) == 1 and pv2[0]["info"] == '{"class": "AGN", "p": 0.7}'
+
+
+def test_spectrum_cycle_end_to_end(api):
+    """The full reference spectrum workflow through the facade:
+    askforspectrum -> spectrawanted -> planspectrum -> removespectrumplan
+    -> reportspectruminfo -> getknownspectruminfo (reference
+    src/webserver/spectrumapp.py)."""
+    r1 = "11111111-0000-0000-0000-000000000001"
+    r2 = "11111111-0000-0000-0000-000000000002"
+
+    n = api.ask_for_spectrum("bot", [r1, r2], [9, 3], [10.0, 20.0], [-5.0, -6.0])
+    assert n == 2
+    ws = {r["root_diaobject_id"]: r for r in api.tables["wantedspectra"].collect()}
+    assert ws[r1]["priority"] == 5  # clamped from 9 (reference clamps 0..5)
+    assert ws[r2]["priority"] == 3
+
+    # re-asking is an upsert on wantspec_id: no duplicate rows, refreshed
+    api.ask_for_spectrum("bot", [r1], [1], [10.0], [-5.0])
+    assert api.tables["wantedspectra"].count() == 2
+    ws = {r["root_diaobject_id"]: r for r in api.tables["wantedspectra"].collect()}
+    assert ws[r1]["priority"] == 1
+
+    # both wanted, none claimed or observed yet
+    wanted = {r["root_diaobject_id"] for r in api.spectra_wanted().collect()}
+    assert wanted == {r1, r2}
+
+    # claim r1: it drops out of the wanted list
+    api.plan_spectrum(r1, "bigscope", "2026-03-01 00:00:00")
+    wanted = {r["root_diaobject_id"] for r in api.spectra_wanted().collect()}
+    assert wanted == {r2}
+
+    # withdraw the plan: r1 is wanted again; second delete is a no-op
+    assert api.remove_spectrum_plan(r1, "bigscope") == 1
+    assert api.remove_spectrum_plan(r1, "bigscope") == 0
+    wanted = {r["root_diaobject_id"] for r in api.spectra_wanted().collect()}
+    assert wanted == {r1, r2}
+
+    # report an observed spectrum for r1: drops out of wanted
+    api.report_spectrum_info(
+        "bigscope", 60100.0, 10.0, -5.0,
+        root_diaobject_id=r1, z=0.05, classid=2222, class_description="SN Ia",
+    )
+    wanted = {r["root_diaobject_id"] for r in api.spectra_wanted().collect()}
+    assert wanted == {r2}
+
+    # keyword-spec search over reported spectra (P1 surface)
+    assert api.get_known_spectrum_info(facility="bigscope").count() == 1
+    assert api.get_known_spectrum_info(classid_min=3000).count() == 0
+    row = api.get_known_spectrum_info(class_description="Ia").collect()[0]
+    assert row["root_diaobject_id"] == r1 and abs(row["z"] - 0.05) < 1e-6
+    assert api.get_known_spectrum_info(root_diaobject_ids=[r2]).count() == 0
+
+
+def test_procver_info_lookups(api):
+    info = api.procver_info("pv1")
+    assert info["description"] == "pv1"
+    assert "diasource" in info["base_procvers"]
+    # priority-DESC order within each table's list
+    for entries in info["base_procvers"].values():
+        prios = [p for _, p in entries]
+        assert prios == sorted(prios, reverse=True)
+    # alias resolves to the same version
+    assert api.procver_info("realtime")["id"] == api.procver_info(
+        api.procver_info("realtime")["description"]
+    )["id"]
+
+    b = info["base_procvers"]["diasource"][0][0]  # top-priority bpv descr
+    bi = api.base_procver_info(b, "diasource")
+    assert bi["table"] == "diasource" and "pv1" in bi["procvers"]
