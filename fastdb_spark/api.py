@@ -542,6 +542,23 @@ class FastdbAPI:
         self.register_views()
         return self.queue.submit(userid, queries, fmt=fmt)
 
+    def get_sql_query_results(self, queryid: str) -> DataFrame:
+        """Fetch a finished async query's result set (reference dbapp.py
+        ``/db/getsqlqueryresults/<id>``)."""
+        if self.queue is None:
+            raise ValueError("no queue_root configured")
+        row = self.queue.status(queryid)
+        if row is None:
+            raise KeyError(f"unknown query {queryid!r}")
+        if row["error"]:
+            raise RuntimeError(f"query {queryid} failed: {row['errortext']}")
+        if not row["finished"]:
+            raise RuntimeError(f"query {queryid} not finished yet")
+        path = self.queue.results_path(queryid)
+        if row["format"] == "csv":
+            return self.spark.read.option("header", "true").csv(path)
+        return self.spark.read.parquet(path)
+
     def check_sql_query(self, queryid: str):
         if self.queue is None:
             raise ValueError("no queue_root configured")

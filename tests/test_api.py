@@ -90,6 +90,8 @@ def test_async_sql_lifecycle(api):
     assert api.check_sql_query(qid)["status"] == "queued"
     api.queue.run_one()
     assert api.check_sql_query(qid)["status"] == "finished"
+    res = api.get_sql_query_results(qid)
+    assert res.count() > 0 and set(res.columns) == {"diaobjectid", "n"}
 
 
 def test_alert_reconstruction_golden(api, golden):
