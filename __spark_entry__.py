@@ -642,6 +642,37 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the exact-correctness gate: documents'
+    utf-8 bytes stand in as opaque binary payloads with typed metadata;
+    feature extraction runs through the REAL Arrow mapInPandas path
+    (pipeline/multimodal.py) with the deterministic md5 fake decoder,
+    whose outputs duckdb reproduces bit-for-bit from md5 hex.  Features
+    posexploded to scalar rows for the hash compare."""
+    from fastdb_spark.pipeline.multimodal import extract_features
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    m3 = F.col("doc_id") % 3
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(m3 == 0, "image")
+        .when(m3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, n_features=8)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.col("sha").alias("first_byte"),
+        F.posexplode(F.transform(F.col("feat"), lambda x: F.round(x, 6))).alias(
+            "pos", "feat_val"
+        ),
+    )
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate -> exact dedup -> minhash
     near-dedup."""
@@ -651,6 +682,59 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     corpus = curate_docs(docs).repartition(spark.sparkContext.defaultParallelism)
     return curate_corpus(corpus)
+
+
+def _q_stream_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the exact-correctness gate: the events
+    table is consumed as a FILE STREAM (readStream + availableNow) through
+    the real watermarked tumbling-window operator
+    (streaming/metrics.windowed_alert_rates), drained to a memory sink,
+    and the final window rows are compared against a plain GROUP BY
+    oracle — stream-vs-batch equivalence, the Dataflow-model invariant."""
+    import tempfile
+    import uuid as _uuid
+
+    from fastdb_spark.streaming.metrics import windowed_alert_rates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file-stream source wants a directory; glob-filter to the events
+    # table inside the sf dir (works for both file- and dir-shaped tables)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rates = windowed_alert_rates(
+        ev,
+        time_col="ts",
+        band_col="event_type",
+        flux_col="value",
+        window="1 hour",
+        watermark="30 minutes",
+    )
+    qname = f"stream_rates_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fastdb_stream_gate_")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        "event_type",
+        "n_alerts",
+        "mean_flux",
+        "max_flux",
+    )
 
 
 def _q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broker_info": _q_broker_info,
         "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
+        "multimodal_features": _q_multimodal_features,
         "sql_passthrough": _q_sql_passthrough,
+        "stream_windowed_rates": _q_stream_windowed_rates,
         "alert_reconstruct": _q_alert_reconstruct,
     }
 
@@ -1280,6 +1366,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": po.ann_topk_sql(),
         # ann_lsh_topk: approximate by design -> rows-only check
         "curate_corpus": po.curate_sql(),
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   ('0x' || substr(hex(encode(text)), 1, 2))::INTEGER
+                     AS first_byte,
+                   CAST(i.i AS INTEGER) AS pos,
+                   round(CAST(('0x' || substr(md5(text), 2*(i.i % 16)+1, 2))
+                              ::INTEGER AS DOUBLE) / 255.0, 6) AS feat_val
+            FROM documents, (SELECT unnest(range(0, 8)) AS i) i
+        """,
         "sql_passthrough": """
             SELECT o_orderpriority,
                    count(*) AS n_orders,
@@ -1287,6 +1386,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus = 'O'
             GROUP BY o_orderpriority
+        """,
+        "stream_windowed_rates": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+                   event_type,
+                   count(*) AS n_alerts,
+                   round(avg(value), 6) AS mean_flux,
+                   round(max(value), 6) AS max_flux
+            FROM events
+            GROUP BY 1, 2
         """,
         "alert_reconstruct": _pat(
             """
