@@ -85,3 +85,13 @@ def test_scan_prunes_columns(spark):
     # ReadSchema carries only the two referenced columns
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "l_extendedprice" not in read[0] and "l_comment" not in read[0]
+
+
+def test_broker_info_broadcasts_mapping_and_prunes(spark):
+    """Broker lookup: version mapping broadcast; scan pruned to the four
+    source columns the derivation needs."""
+    df = entrymod.queries()["broker_info"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_extendedprice" not in scan[0]
