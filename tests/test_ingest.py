@@ -418,3 +418,52 @@ def test_snana_transform(spark):
     r2 = out[60001 * 20000]
     assert r2["is_detection"] is False
     assert r2["psfflux"] == pytest.approx(500.0, rel=1e-6)
+
+
+def test_import_host_matches_idempotent(spark, tmp_path):
+    """Host backfill (dr_importer semantics on the post-refactor model):
+    missing hosts ported with deterministic ids, links upserted on the
+    full PK, and the whole import is a no-op when re-run."""
+    from fastdb_spark.sources.hosts import best_host_per_object, import_host_matches
+    from fastdb_spark.storage import ParquetTable
+
+    BPV = "00000000-0000-4000-8000-00000000b001"
+    hg = ParquetTable(spark, str(tmp_path / "host_galaxy.parquet"))
+    hm = ParquetTable(spark, str(tmp_path / "diaobject_host_match.parquet"))
+
+    cand = spark.createDataFrame(
+        [
+            (100, "legacy", "L-1", 10.0, -5.0, None, 0),
+            (100, "legacy", "L-2", 10.1, -5.1, None, 1),
+            (200, "legacy", "L-1", 10.0, -5.0, None, 0),  # shared host
+            (200, "desi", "D-9", 11.0, -6.0, '{"z": 0.1}', 1),
+        ],
+        "diaobjectid long, host_catalog string, host_id string, "
+        "ra double, dec double, info string, prio int",
+    )
+    n_hosts, n_links = import_host_matches(cand, hg, hm, BPV)
+    assert n_hosts == 3  # L-1 shared between objects
+    assert n_links == 4
+    assert hg.read().count() == 3
+    assert hm.read().count() == 4
+
+    # re-run: fully idempotent (DO NOTHING on both stores)
+    n_hosts2, _ = import_host_matches(cand, hg, hm, BPV)
+    assert n_hosts2 == 0
+    assert hg.read().count() == 3 and hm.read().count() == 4
+
+    # incremental: one new host for an existing object
+    more = spark.createDataFrame(
+        [(100, "desi", "D-9", 11.0, -6.0, None, 2)],
+        cand.schema,
+    )
+    n_hosts3, n_links3 = import_host_matches(more, hg, hm, BPV)
+    assert n_hosts3 == 0  # D-9 already known
+    assert n_links3 == 1 and hm.read().count() == 5
+
+    # read side: prio-0 host per object with identity joined in
+    best = {
+        r["diaobjectid"]: r["host_id"]
+        for r in best_host_per_object(hm.read(), hg.read()).collect()
+    }
+    assert best == {100: "L-1", 200: "L-1"}
