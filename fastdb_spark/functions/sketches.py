@@ -71,21 +71,20 @@ def simhash60(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
         F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh")
     ).withColumn("_h", h60(F.col("_sh")))
 
+    # per-bit ±1 sum == 2*ones - n, so sum plain bit values (cheaper than
+    # 60 conditional ±1 expressions) plus one shared count; bit set when
+    # 2*ones > n (tie -> 0, same as ±1 sum > 0)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"_b{b}")
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
         for b in range(60)
     ]
-    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    agg = exploded.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("_n"))
 
     sim = F.lit(0).cast("long")
     for b in range(60):
-        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        sim = sim + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
