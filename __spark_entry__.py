@@ -420,6 +420,19 @@ def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def _q_pagination_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 at scale: the same page as ``pagination`` through the
+    range-partitioned path (distributed sort + partition-offset
+    arithmetic, no single-task global window) — same oracle."""
+    from fastdb_spark.operators.paginate import paginate_ranged
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    page = paginate_ranged(
+        orders, [F.desc("o_totalprice"), F.col("o_orderkey")], offset=100, limit=50
+    )
+    return page.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def _q_pseudorandom_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: deterministic 'ORDER BY random()' via md5 ordering."""
     from fastdb_spark.operators.paginate import pseudorandom_sample
@@ -893,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectrum_workflow": _q_spectrum_workflow,
         "versioned_count": _q_versioned_count,
         "pagination": _q_pagination,
+        "pagination_ranged": _q_pagination_ranged,
         "pseudorandom_sample": _q_pseudorandom_sample,
         "union_distinct": _q_union_distinct,
         "values_lookup": _q_values_lookup,
@@ -1281,6 +1295,11 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "pagination": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50 OFFSET 100
+        """,
+        "pagination_ranged": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 50 OFFSET 100

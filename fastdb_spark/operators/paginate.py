@@ -34,6 +34,64 @@ def paginate(
     )
 
 
+def paginate_ranged(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    offset: int,
+    limit: int,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """OFFSET/LIMIT page WITHOUT a single-task global window — the
+    unbounded-scale export path.
+
+    ``paginate`` ranks the whole table through one ``Window.orderBy``
+    task: correct, but at 100 TB that task sorts everything.  Here the
+    sort is a distributed range shuffle (``repartitionByRange`` — the same
+    machinery as ``orderBy``), each partition's row count is gathered with
+    one key-only job, and global positions are partition-base + local
+    index, computed per partition with no second shuffle.  Partitions
+    wholly outside ``[offset, offset+limit)`` emit nothing and short-
+    circuit immediately.
+
+    The frame is persisted between the count job and the page read so the
+    range shuffle runs once; caller may ``unpersist()`` after consuming.
+    ``order_by`` must be a total order (same caveat as SQL OFFSET).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    rdf = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    rdf = rdf.persist()
+    counts = {
+        r["pid"]: r["count"]
+        for r in rdf.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    }
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    lo, hi = offset, offset + limit
+
+    schema = rdf.schema
+
+    def op(pid: int, it):
+        base = bases.get(pid)
+        if base is None or base >= hi or base + counts[pid] <= lo:
+            return
+        for i, row in enumerate(it):
+            g = base + i
+            if g >= hi:
+                break
+            if g >= lo:
+                yield row
+
+    out = rdf.rdd.mapPartitionsWithIndex(op, preservesPartitioning=True)
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def pseudorandom_sample(
     df: DataFrame, id_col: str, n: int, salt: str = ""
 ) -> DataFrame:

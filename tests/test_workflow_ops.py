@@ -235,3 +235,18 @@ def test_get_object_infos_golden(golden, spark):
     assert all(r["ra"] is not None and r["ndets"] > 0 for r in rows.values())
     ids = spark.createDataFrame([(ROOT[0],)], ["rootid"])
     assert get_object_infos(golden, resolver, "pv2", objids=ids).count() == 1
+
+
+def test_paginate_ranged_matches_window_paginate(spark):
+    """The range-partitioned page (no single-task global window) must
+    return exactly the window paginate's rows, in any order, including
+    pages straddling partition boundaries and pages past the end."""
+    from fastdb_spark.operators.paginate import paginate_ranged
+
+    df = spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v")
+    for off, lim in [(0, 50), (137, 41), (990, 50), (1000, 10), (2000, 5)]:
+        want = sorted(r["k"] for r in paginate(df, ["k"], off, lim).collect())
+        got = sorted(
+            r["k"] for r in paginate_ranged(df, ["k"], off, lim, num_ranges=8).collect()
+        )
+        assert got == want, (off, lim)
