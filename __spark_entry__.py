@@ -655,6 +655,27 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_FRACTIONS = {"en": 0.3, "zh": 0.9, "es": 0.5}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset-mixing downsample: per-language keep rates
+    via the md5-hash uniform (pipeline/sample.py) — a scan-stage filter,
+    reproducible across engines and runs (no RNG state)."""
+    from fastdb_spark.pipeline.sample import hash_stratified_sample
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    kept = hash_stratified_sample(
+        docs,
+        "lang",
+        _SAMPLE_FRACTIONS,
+        id_col="doc_id",
+        salt="mix1",
+        default_fraction=0.1,
+    )
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the exact-correctness gate: documents'
     utf-8 bytes stand in as opaque binary payloads with typed metadata;
@@ -929,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_aggregate": _q_skewed_aggregate,
         "curate_corpus": _q_curate_corpus,
         "multimodal_features": _q_multimodal_features,
+        "stratified_sample": _q_stratified_sample,
         "sql_passthrough": _q_sql_passthrough,
         "stream_windowed_rates": _q_stream_windowed_rates,
         "alert_reconstruct": _q_alert_reconstruct,
@@ -956,6 +978,7 @@ _HAV_PAIR = (
 
 def oracle_sql() -> dict[str, str]:
     from fastdb_spark.pipeline import oracles as po
+    from fastdb_spark.pipeline.sample import sample_oracle_sql
     thr = {24: 912.011, 23: 2290.87, 22: 5754.40, 21: 14454.4}
     ndets_cases = ", ".join(
         f"CAST(sum(CASE WHEN psfflux >= {v} THEN 1 ELSE 0 END) AS BIGINT) AS ndets{m}"
@@ -1385,6 +1408,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": po.ann_topk_sql(),
         # ann_lsh_topk: approximate by design -> rows-only check
         "curate_corpus": po.curate_sql(),
+        "stratified_sample": sample_oracle_sql(
+            "(SELECT doc_id, lang, source, n_chars FROM documents) d",
+            "lang",
+            _SAMPLE_FRACTIONS,
+            "doc_id",
+            salt="mix1",
+            default_fraction=0.1,
+        ),
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER)

@@ -1,0 +1,76 @@
+"""Deterministic stratified sampling — dataset-mixing for training corpora.
+
+A 100 TB training pipeline downsamples per stratum (language, source,
+quality bucket) to hit a target mixture.  ``df.sampleBy`` does that with
+RNG state — irreproducible across runs/engines and not joinable with an
+oracle.  This operator derives a uniform in [0, 1) from md5 of the row id
+plus a salt: the SAME rows are kept on every engine, every run, and the
+decision is a pure column expression (no shuffle, fully pushed into the
+scan stage; changing the mixture re-reads, never re-shuffles).
+
+Spark shape: the per-stratum rate rides along as a broadcast map literal
+(``F.create_map``), the keep decision is ``u < rate[stratum]`` — a scan-
+stage filter.  Rejection-free, exact in expectation, and deterministic:
+re-running a failed job selects the identical sample (same idempotency
+trick as the ingest root ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^32 — the md5-prefix uniform's denominator
+_DENOM = 4294967296.0
+
+
+def hash_uniform(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from md5(salt || id): first 8 hex
+    chars -> 32-bit int -> /2^32.  Identical arithmetic is expressible in
+    ANSI SQL, so sampling decisions are oracle-checkable."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``fractions``: stratum value -> keep rate in [0, 1]; strata not listed
+    keep ``default_fraction``.  The id must be unique per row (the uniform
+    is a pure function of it)."""
+    pairs: list[Column] = []
+    for k, v in sorted(fractions.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(stratum_col)], F.lit(float(default_fraction))
+    )
+    return df.filter(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def sample_oracle_sql(
+    table: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> str:
+    """The duckdb twin of ``hash_stratified_sample`` (same md5 prefix
+    arithmetic, same CASE rates)."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(fractions.items())
+    )
+    return f"""
+        SELECT * FROM {table}
+        WHERE ('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))
+                ::BIGINT / {_DENOM!r}
+              < (CASE {stratum_col} {cases} ELSE {float(default_fraction)!r} END)
+    """

@@ -219,3 +219,30 @@ def test_multimodal_feature_plumbing(spark):
 def test_decode_image_is_gated_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+def test_hash_stratified_sample_deterministic_and_calibrated(spark):
+    """Same salt -> identical sample across runs; rates match fractions
+    within binomial noise; the keep decision is a scan-stage filter (no
+    exchange in the plan)."""
+    from fastdb_spark.pipeline.sample import hash_stratified_sample
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 4 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    frac = {"en": 0.2, "de": 0.8}
+    s1 = hash_stratified_sample(df, "lang", frac, "doc_id", salt="s")
+    s2 = hash_stratified_sample(df, "lang", frac, "doc_id", salt="s")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+
+    counts = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    assert abs(counts["en"] / 5000 - 0.2) < 0.03
+    assert abs(counts["de"] / 15000 - 0.8) < 0.03
+
+    # different salt -> a different (but equally sized-ish) draw
+    s3 = hash_stratified_sample(df, "lang", frac, "doc_id", salt="t")
+    assert sorted(r["doc_id"] for r in s3.collect()) != ids1
+
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
