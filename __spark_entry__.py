@@ -655,6 +655,32 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with planted emails/IPs/account numbers
+    (derived deterministically from doc_id so both engines build the same
+    input): regexp_replace chain, no UDF."""
+    from fastdb_spark.functions.text import redact_pii
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 acct 900"),
+            (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean"),
+        F.length(redact_pii(F.col("text"))).alias("clean_len"),
+    )
+
+
 _SAMPLE_FRACTIONS = {"en": 0.3, "zh": 0.9, "es": 0.5}
 
 
@@ -951,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "multimodal_features": _q_multimodal_features,
         "stratified_sample": _q_stratified_sample,
+        "pii_redaction": _q_pii_redaction,
         "sql_passthrough": _q_sql_passthrough,
         "stream_windowed_rates": _q_stream_windowed_rates,
         "alert_reconstruct": _q_alert_reconstruct,
@@ -1416,6 +1443,30 @@ def oracle_sql() -> dict[str, str]:
             salt="mix1",
             default_fraction=0.1,
         ),
+        "pii_redaction": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com at 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.1 acct 900'
+                          || CAST(doc_id + 1000000 AS VARCHAR) AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g'),
+                     '\b[0-9]{7,}\b', '<NUMBER>', 'g') AS clean,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g'),
+                     '\b[0-9]{7,}\b', '<NUMBER>', 'g')) AS clean_len
+            FROM planted
+        """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER)

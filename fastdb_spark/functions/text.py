@@ -166,3 +166,25 @@ def rolling_fingerprint(
 def prefix_fingerprint(text: Column, n_tokens: int = 8) -> Column:
     """Blocking fingerprint: md5 of the first ``n_tokens`` tokens."""
     return F.md5(F.array_join(F.slice(tokens(text), 1, n_tokens), " "))
+
+
+#: PII patterns — kept to syntax Java regex (Spark) and RE2 (duckdb)
+#: interpret identically: character classes, bounded repeats, \b anchors.
+#: Order matters: emails first (their local parts contain digit runs),
+#: then IPv4, then long digit runs (phone/account numbers).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{7,}\b", "<NUMBER>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, long digit runs) with typed
+    placeholder tokens — the standard pre-training corpus hygiene pass.
+    Pure ``regexp_replace`` chain: whole-stage-codegen JVM execution, no
+    UDF, and the same patterns run verbatim on the duckdb oracle."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -246,3 +246,22 @@ def test_hash_stratified_sample_deterministic_and_calibrated(spark):
 
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_scrubs_and_preserves(spark):
+    from fastdb_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "server at 192.168.0.1 port 80"),
+            (3, "acct 12345678 but keep 1234 and v2.0"),
+            (4, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    ).select("id", redact_pii(F.col("text")).alias("clean"))
+    got = {r["id"]: r["clean"] for r in df.collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port 80"
+    assert got[3] == "acct <NUMBER> but keep 1234 and v2.0"
+    assert got[4] == "nothing sensitive here"
