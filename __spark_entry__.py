@@ -655,6 +655,23 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-100 tokens by occurrence with document
+    frequency — explode -> one hash aggregate (map-side combined) ->
+    TakeOrdered; the tokenizer-side companion to doc_stats."""
+    from fastdb_spark.functions.text import tokens
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct(F.col("doc_id")).alias("doc_freq"),
+    )
+    return counts.orderBy(F.desc("n_occ"), "tok").limit(100)
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a corpus with planted emails/IPs/account numbers
     (derived deterministically from doc_id so both engines build the same
@@ -978,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "stratified_sample": _q_stratified_sample,
         "pii_redaction": _q_pii_redaction,
+        "vocab_topk": _q_vocab_topk,
         "sql_passthrough": _q_sql_passthrough,
         "stream_windowed_rates": _q_stream_windowed_rates,
         "alert_reconstruct": _q_alert_reconstruct,
@@ -1443,6 +1461,17 @@ def oracle_sql() -> dict[str, str]:
             salt="mix1",
             default_fraction=0.1,
         ),
+        "vocab_topk": """
+            SELECT tok,
+                   count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n_occ DESC, tok
+            LIMIT 100
+        """,
         "pii_redaction": r"""
             WITH planted AS (
               SELECT doc_id,
