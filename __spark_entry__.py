@@ -109,6 +109,43 @@ def _q_versioned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_WRITTEN: set = set()
+
+
+def _q_versioned_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the ENGINE-OWNED bucketed layout (Q10 done right): the
+    versioned photometry is written once bucketed by rootid
+    (bucketBy+sortBy saveAsTable), so the priority dedup's groupBy
+    (rootid, visit) is satisfied by the storage distribution — the plan
+    has NO Exchange before the aggregate.  At 100 TB this is the
+    difference between re-shuffling the photometry table on every read
+    and never shuffling it at all.  Same rows as priority_dedup (same
+    oracle)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl = f"versioned_phot_bucketed_{tag.replace('.', '_')}"
+    if tbl not in _BUCKETED_WRITTEN:
+        li = Catalog(spark, sf_dir).table("lineitem")
+        path = os.path.join(tempfile.gettempdir(), f"fastdb_bucketed_{tag}")
+        (
+            ad.versioned_photometry(li)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(8, "rootid")
+            .sortBy("rootid", "visit")
+            .saveAsTable(tbl)
+        )
+        _BUCKETED_WRITTEN.add(tbl)
+    phot = spark.table(tbl)
+    return dedup_top_priority(
+        phot,
+        ["rootid", "visit"],
+        ["priority", "srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+
+
 def _q_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/S4: first event per user (first-seen wins), min_by aggregate."""
     ev = Catalog(spark, sf_dir).table("events")
@@ -949,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
         "first_seen_dedup": _q_first_seen_dedup,
         "sessionize": _q_sessionize,
         "ltcv_patch": _q_ltcv_patch,
@@ -1050,6 +1088,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "priority_dedup": f"""
+            WITH v AS ({ad.VERSIONED_SQL})
+            SELECT rootid, visit, srcid, priority, band, midpointmjdtai,
+                   psfflux, psffluxerr
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY rootid, visit
+                      ORDER BY priority DESC, srcid DESC, band DESC,
+                               midpointmjdtai DESC, psfflux DESC,
+                               psffluxerr DESC) AS rn FROM v)
+            WHERE rn = 1
+        """,
+        # identical answer through the bucketed layout: co-location must
+        # not change results (it only removes the shuffle)
+        "versioned_dedup_bucketed": f"""
             WITH v AS ({ad.VERSIONED_SQL})
             SELECT rootid, visit, srcid, priority, band, midpointmjdtai,
                    psfflux, psffluxerr

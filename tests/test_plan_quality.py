@@ -95,3 +95,13 @@ def test_broker_info_broadcasts_mapping_and_prunes(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "l_extendedprice" not in scan[0]
+
+
+def test_bucketed_dedup_has_no_exchange(spark):
+    """The bucketed-layout dedup must run WITHOUT a shuffle: bucketBy
+    (rootid) satisfies the groupBy (rootid, visit) clustering, so no
+    Exchange may appear before the aggregate."""
+    df = entrymod.queries()["versioned_dedup_bucketed"](spark, SF_DIR)
+    plan = _plan(df)
+    agg_part = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange" not in agg_part, plan
