@@ -191,6 +191,44 @@ def _q_ltcv_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ltcv_patch_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 over the ENGINE-OWNED co-bucketed layout: forced and detections
+    both bucketed by rootid (bucketBy+sortBy), so the full-outer patch
+    join reuses the storage distribution — NO Exchange on either side
+    (needs spark.sql.requireAllClusterKeysForCoPartition=false, a session
+    default; set here too for plain driver sessions).  Same rows as
+    ltcv_patch (same oracle)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tables = {}
+    for side, maker in (("frc", ad.forced), ("det", ad.detections)):
+        tbl = f"phot_{side}_bucketed_{tag}"
+        if tbl not in _BUCKETED_WRITTEN:
+            li = Catalog(spark, sf_dir).table("lineitem")
+            path = os.path.join(
+                tempfile.gettempdir(), f"fastdb_bucketed_{tag}", side
+            )
+            (
+                maker(li)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, "rootid")
+                .sortBy("rootid", "visit")
+                .saveAsTable(tbl)
+            )
+            _BUCKETED_WRITTEN.add(tbl)
+        tables[side] = spark.table(tbl)
+    return patch_lightcurve(
+        tables["frc"],
+        tables["det"],
+        keys=("rootid", "visit"),
+        value_cols=["srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+
+
 def _q_ltcv_detections_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4+A1: band filter + mjd_now time-travel cut + priority dedup."""
     li = Catalog(spark, sf_dir).table("lineitem")
@@ -990,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_dedup": _q_first_seen_dedup,
         "sessionize": _q_sessionize,
         "ltcv_patch": _q_ltcv_patch,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
@@ -1156,6 +1195,24 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
         """,
         "ltcv_patch": _pat(
+            f"""
+            SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+                   COALESCE(f.visit, s.visit) AS visit,
+                   CASE WHEN f.rootid IS NULL THEN s.srcid ELSE f.srcid END AS srcid,
+                   CASE WHEN f.rootid IS NULL THEN s.band ELSE f.band END AS band,
+                   CASE WHEN f.rootid IS NULL THEN s.midpointmjdtai ELSE f.midpointmjdtai END AS midpointmjdtai,
+                   CASE WHEN f.rootid IS NULL THEN s.psfflux ELSE f.psfflux END AS psfflux,
+                   CASE WHEN f.rootid IS NULL THEN s.psffluxerr ELSE f.psffluxerr END AS psffluxerr,
+                   (s.rootid IS NOT NULL) AS isdet,
+                   (f.rootid IS NULL) AS ispatch
+            FROM (SELECT * FROM p WHERE {ad.FORCED_PRED_SQL}) f
+            FULL OUTER JOIN (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL}) s
+              ON f.rootid = s.rootid AND f.visit = s.visit
+            """
+        ),
+        # identical answer through the co-bucketed layout (shuffle-free
+        # full outer join)
+        "ltcv_patch_bucketed": _pat(
             f"""
             SELECT COALESCE(f.rootid, s.rootid) AS rootid,
                    COALESCE(f.visit, s.visit) AS visit,

@@ -44,6 +44,11 @@ def builder(
         # The catalog's dimension tables (processing versions, bpv mappings)
         # are tiny; raise the broadcast threshold so they always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins on (rootid, visit) over tables bucketed by rootid alone
+        # may reuse the storage distribution instead of re-shuffling
+        # (subset co-partitioning) — the patch join on the engine layout
+        # is Exchange-free with this.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow for any pandas_udf / toPandas path (10-100x over pickling).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The reference pins UTC everywhere (source_importer.py:1-12 documents

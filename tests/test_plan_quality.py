@@ -105,3 +105,11 @@ def test_bucketed_dedup_has_no_exchange(spark):
     plan = _plan(df)
     agg_part = plan.split("AdaptiveSparkPlan")[-1]
     assert "Exchange" not in agg_part, plan
+
+
+def test_bucketed_patch_join_has_no_exchange(spark):
+    """The co-bucketed full-outer patch join must reuse the storage
+    distribution: no Exchange on either join side."""
+    df = entrymod.queries()["ltcv_patch_bucketed"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
