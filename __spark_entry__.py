@@ -730,6 +730,25 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional corpus accounting: ROLLUP(lang, source) doc and
+    char totals with grouping indicators — the partial-aggregation
+    hierarchy (lang,source) -> (lang) -> () computed in ONE pass (Spark
+    expands grouping sets before the exchange; map-side combine still
+    applies).  Beyond the reference (it has no grouping sets at all)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "g_lang", "g_source", "n_docs", "total_chars")
+    )
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats: top-100 tokens by occurrence with document
     frequency — explode -> one hash aggregate (map-side combined) ->
@@ -1073,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_redaction": _q_pii_redaction,
         "vocab_topk": _q_vocab_topk,
+        "corpus_rollup": _q_corpus_rollup,
         "sql_passthrough": _q_sql_passthrough,
         "stream_windowed_rates": _q_stream_windowed_rates,
         "alert_reconstruct": _q_alert_reconstruct,
@@ -1569,6 +1589,15 @@ def oracle_sql() -> dict[str, str]:
             salt="mix1",
             default_fraction=0.1,
         ),
+        "corpus_rollup": """
+            SELECT lang, source,
+                   CAST(grouping(lang) AS INTEGER) AS g_lang,
+                   CAST(grouping(source) AS INTEGER) AS g_source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+        """,
         "vocab_topk": """
             SELECT tok,
                    count(*) AS n_occ,
