@@ -229,6 +229,33 @@ def _q_ltcv_patch_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ltcv_nested_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/X1: per-root nested lightcurve assembly (collect_list struct +
+    array_sort — the parquet-export format), probed back to scalars for
+    the hash compare: the array's length, endpoints, and detection count
+    must equal the oracle's flat aggregates (sort key = visit, the
+    struct's leading field, unique per root in the patch output)."""
+    from fastdb_spark.queries.ltcv import assemble_nested
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    flat = patch_lightcurve(
+        ad.forced(li),
+        ad.detections(li),
+        keys=("rootid", "visit"),
+        value_cols=["srcid", "band", "midpointmjdtai", "psfflux", "psffluxerr"],
+    )
+    nested = assemble_nested(flat)
+    lc = F.col("lightcurve")
+    return nested.select(
+        "rootid",
+        F.col("nobs").cast("long").alias("nobs"),
+        lc[0]["visit"].alias("first_visit"),
+        F.round(lc[0]["psfflux"], 6).alias("first_flux"),
+        F.element_at(lc, -1)["visit"].alias("last_visit"),
+        F.size(F.filter(lc, lambda x: x["isdet"])).cast("long").alias("n_det"),
+    )
+
+
 def _q_ltcv_detections_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4+A1: band filter + mjd_now time-travel cut + priority dedup."""
     li = Catalog(spark, sf_dir).table("lineitem")
@@ -1048,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "ltcv_patch": _q_ltcv_patch,
         "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "ltcv_nested_probe": _q_ltcv_nested_probe,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
@@ -1229,6 +1257,40 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL}) s
               ON f.rootid = s.rootid AND f.visit = s.visit
             """
+        ),
+        "ltcv_nested_probe": _pat(
+            f"""
+            SELECT a.rootid, a.nobs, a.first_visit,
+                   fst.first_flux, a.last_visit, a.n_det
+            FROM (
+              SELECT rootid,
+                     count(*) AS nobs,
+                     min(visit) AS first_visit,
+                     max(visit) AS last_visit,
+                     CAST(sum(CASE WHEN isdet THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_det
+              FROM h GROUP BY rootid) a
+            JOIN (
+              SELECT rootid, round(psfflux, 6) AS first_flux
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY rootid
+                        ORDER BY visit, midpointmjdtai, band, psfflux,
+                                 psffluxerr, isdet, ispatch) AS rn
+                    FROM h)
+              WHERE rn = 1) fst USING (rootid)
+            """,
+            f"""h AS (
+              SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+                     COALESCE(f.visit, s.visit) AS visit,
+                     CASE WHEN f.rootid IS NULL THEN s.midpointmjdtai ELSE f.midpointmjdtai END AS midpointmjdtai,
+                     CASE WHEN f.rootid IS NULL THEN s.band ELSE f.band END AS band,
+                     CASE WHEN f.rootid IS NULL THEN s.psfflux ELSE f.psfflux END AS psfflux,
+                     CASE WHEN f.rootid IS NULL THEN s.psffluxerr ELSE f.psffluxerr END AS psffluxerr,
+                     (s.rootid IS NOT NULL) AS isdet,
+                     (f.rootid IS NULL) AS ispatch
+              FROM (SELECT * FROM p WHERE {ad.FORCED_PRED_SQL}) f
+              FULL OUTER JOIN (SELECT * FROM p WHERE {ad.DETECTIONS_PRED_SQL}) s
+                ON f.rootid = s.rootid AND f.visit = s.visit)""",
         ),
         # identical answer through the co-bucketed layout (shuffle-free
         # full outer join)
