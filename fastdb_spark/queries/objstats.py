@@ -129,38 +129,59 @@ def combined_stats(per_band: DataFrame) -> DataFrame:
     )
 
 
+#: Accumulator type for the weighted-position sums.  Exact decimal addition
+#: is associative, so the per-partition summation order Spark happens to use
+#: cannot change the result — required for bit-identical parity with any
+#: single-threaded oracle (duckdb, or the reference's numpy loop).
+_ACC = "decimal(38,12)"
+
+
 def weighted_positions(detections: DataFrame, min_snr: float = 3.0) -> DataFrame:
     """(S/N)^2-weighted mean/std of detection ra/dec per root (reference
     ``src/ltcv.py:829-877``; SURVEY.md A8).
 
     The reference loops in numpy; here the two-pass formula is expanded
     algebraically (sum(w x^2)/sum(w) - mu^2) so one aggregation pass
-    suffices.
+    suffices.  Each double product is rounded once to a fixed 12-decimal
+    scale and summed as ``decimal(38,12)`` — order-insensitive, so the
+    result is deterministic across partitionings and engines.
     """
-    w = F.pow(F.col("psfflux") / F.col("psffluxerr"), F.lit(2.0))
+    snr = F.col("psfflux") / F.col("psffluxerr")
+    w = snr * snr
     det = detections.filter(
         (F.col("psfflux") / F.col("psffluxerr") > F.lit(min_snr))
         & F.col("ra").isNotNull()
         & F.col("dec").isNotNull()
     ).select("rootid", "ra", "dec", w.alias("w"))
+
+    def _acc(expr):
+        return F.sum(expr.cast(_ACC))
+
     agg = det.groupBy("rootid").agg(
-        F.sum("w").alias("sw"),
-        F.sum(F.col("w") * F.col("ra")).alias("swra"),
-        F.sum(F.col("w") * F.col("dec")).alias("swdec"),
-        F.sum(F.col("w") * F.col("ra") * F.col("ra")).alias("swra2"),
-        F.sum(F.col("w") * F.col("dec") * F.col("dec")).alias("swdec2"),
-        F.sum(F.col("w") * F.col("ra") * F.col("dec")).alias("swradec"),
+        _acc(F.col("w")).alias("sw"),
+        _acc(F.col("w") * F.col("ra")).alias("swra"),
+        _acc(F.col("w") * F.col("dec")).alias("swdec"),
+        _acc(F.col("w") * F.col("ra") * F.col("ra")).alias("swra2"),
+        _acc(F.col("w") * F.col("dec") * F.col("dec")).alias("swdec2"),
+        _acc(F.col("w") * F.col("ra") * F.col("dec")).alias("swradec"),
         F.count(F.lit(1)).alias("nposdets"),
     )
-    ra_mean = F.col("swra") / F.col("sw")
-    dec_mean = F.col("swdec") / F.col("sw")
+    # back to doubles for the ratios: numerator and denominator are already
+    # deterministic, so plain IEEE division/sqrt is reproducible everywhere
+    sw = F.col("sw").cast("double")
+    ra_mean = F.col("swra").cast("double") / sw
+    dec_mean = F.col("swdec").cast("double") / sw
     return agg.select(
         "rootid",
         ra_mean.alias("ra"),
         dec_mean.alias("dec"),
-        F.sqrt(F.greatest(F.col("swra2") / F.col("sw") - ra_mean * ra_mean, F.lit(0.0))).alias("raerr"),
-        F.sqrt(F.greatest(F.col("swdec2") / F.col("sw") - dec_mean * dec_mean, F.lit(0.0))).alias("decerr"),
-        (F.col("swradec") / F.col("sw") - ra_mean * dec_mean).alias("ra_dec_cov"),
+        F.sqrt(
+            F.greatest(F.col("swra2").cast("double") / sw - ra_mean * ra_mean, F.lit(0.0))
+        ).alias("raerr"),
+        F.sqrt(
+            F.greatest(F.col("swdec2").cast("double") / sw - dec_mean * dec_mean, F.lit(0.0))
+        ).alias("decerr"),
+        (F.col("swradec").cast("double") / sw - ra_mean * dec_mean).alias("ra_dec_cov"),
         "nposdets",
     )
 
