@@ -15,6 +15,7 @@ duckdb hash identically.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -898,9 +899,14 @@ def _q_stream_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fastdb_spark.streaming.metrics import windowed_alert_rates
 
+    # match the stream schema to however this testdata writes ts (NANOS ->
+    # legacy long; MICROS isAdjustedToUTC=false -> timestamp_ntz; else ltz)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, ts {raw_ts}, user_id long, event_type string, "
         "value double, props string"
     )
     # the file-stream source wants a directory; glob-filter to the events
@@ -910,7 +916,10 @@ def _q_stream_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_ts == "bigint":
+        ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     rates = windowed_alert_rates(
         ev,
         time_col="ts",

@@ -48,21 +48,33 @@ class Catalog:
 
     def table(self, table: str, check_schema: bool = False) -> DataFrame:
         if table == "events":
-            # the synthetic events table carries TIMESTAMP(NANOS) parquet
-            # timestamps, which Spark only reads via the legacy long path;
-            # expose both raw nanos and a microsecond-truncated timestamp
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = self.spark.read.parquet(self.path(table))
-            if dict(df.dtypes).get("ts") == "bigint":
-                from pyspark.sql import functions as F
-
-                df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            return df
+            return self._events()
         df = self.spark.read.parquet(self.path(table))
         if check_schema and table in schemas.TABLES:
             schemas.assert_schema(df.schema, table)
+        return df
+
+    def _events(self) -> DataFrame:
+        """Read ``events`` with ``ts`` normalised to session-TZ TIMESTAMP.
+
+        The test generator has written ``ts`` variously as TIMESTAMP(NANOS)
+        (legacy long read path) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        (read as TIMESTAMP_NTZ).  Downstream operators use ``unix_micros``,
+        which only accepts TIMESTAMP; with the session TZ pinned to UTC the
+        NTZ->LTZ cast is instant-preserving, so normalising here keeps every
+        call site engine-independent of how the file was written.
+        """
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(self.path("events"))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def exists(self, table: str) -> bool:

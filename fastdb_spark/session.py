@@ -57,6 +57,10 @@ def builder(
         # Timestamps written by external tools (duckdb) may be INT96/micros.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Parquet files written with isAdjustedToUTC=false would otherwise
+        # surface as TIMESTAMP_NTZ, which unix_micros() and window() reject;
+        # with the session TZ pinned UTC the LTZ reading is instant-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if master:
         b = b.master(master)
