@@ -173,13 +173,13 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
-    # decimal accumulation: exact + associative, so the session sum is
-    # identical under any partitioning / engine iteration order
+    # ordered double fold: one canonical addition order both engines
+    # reproduce bit-for-bit (see objstats.ordered_sum)
+    from fastdb_spark.queries.objstats import ordered_sum
+
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 6
-        ).alias("session_value"),
+        F.round(ordered_sum(F.col("value")), 6).alias("session_value"),
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
     )
@@ -1250,7 +1250,8 @@ def oracle_sql() -> dict[str, str]:
               FROM w)
             SELECT user_id, session_seq,
                    count(*) AS n_events,
-                   round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   round(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_sort(list(value))), (a,b) -> a+b), 6)
                      AS session_value,
                    min(ts_us) AS start_us,
                    max(ts_us) AS end_us
@@ -1429,26 +1430,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_position": _pat(
             """
-            -- decimal(38,12) accumulation mirrors the engine exactly:
-            -- exact addition is order-insensitive, so both engines see the
-            -- same sums regardless of their internal iteration order
+            -- bit-identical to the engine: every term is the same IEEE
+            -- double expression, and each sum is a left fold over the
+            -- ASCENDING-sorted terms — one canonical addition order that
+            -- both engines reproduce exactly (Spark: aggregate(array_sort(
+            -- collect_list(x)), 0.0, (a,x) -> a+x))
             SELECT rootid,
-                   round(CAST(swra AS DOUBLE)/CAST(sw AS DOUBLE), 6) AS ra,
-                   round(CAST(swdec AS DOUBLE)/CAST(sw AS DOUBLE), 6) AS "dec",
-                   round(sqrt(greatest(CAST(swra2 AS DOUBLE)/CAST(sw AS DOUBLE)
-                       - (CAST(swra AS DOUBLE)/CAST(sw AS DOUBLE))*(CAST(swra AS DOUBLE)/CAST(sw AS DOUBLE)), 0.0)), 6) AS raerr,
-                   round(sqrt(greatest(CAST(swdec2 AS DOUBLE)/CAST(sw AS DOUBLE)
-                       - (CAST(swdec AS DOUBLE)/CAST(sw AS DOUBLE))*(CAST(swdec AS DOUBLE)/CAST(sw AS DOUBLE)), 0.0)), 6) AS decerr,
-                   round(CAST(swradec AS DOUBLE)/CAST(sw AS DOUBLE)
-                       - (CAST(swra AS DOUBLE)/CAST(sw AS DOUBLE))*(CAST(swdec AS DOUBLE)/CAST(sw AS DOUBLE)), 6) AS ra_dec_cov,
+                   round(swra/sw, 6) AS ra,
+                   round(swdec/sw, 6) AS "dec",
+                   round(sqrt(greatest(swra2/sw - (swra/sw)*(swra/sw), 0.0)), 6) AS raerr,
+                   round(sqrt(greatest(swdec2/sw - (swdec/sw)*(swdec/sw), 0.0)), 6) AS decerr,
+                   round(swradec/sw - (swra/sw)*(swdec/sw), 6) AS ra_dec_cov,
                    nposdets
             FROM (SELECT rootid,
-                         sum(CAST(w AS DECIMAL(38,12))) AS sw,
-                         sum(CAST(w*ra AS DECIMAL(38,12))) AS swra,
-                         sum(CAST(w*"dec" AS DECIMAL(38,12))) AS swdec,
-                         sum(CAST(w*ra*ra AS DECIMAL(38,12))) AS swra2,
-                         sum(CAST(w*"dec"*"dec" AS DECIMAL(38,12))) AS swdec2,
-                         sum(CAST(w*ra*"dec" AS DECIMAL(38,12))) AS swradec,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w))), (a,b) -> a+b) AS sw,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w*ra))), (a,b) -> a+b) AS swra,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w*"dec"))), (a,b) -> a+b) AS swdec,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w*ra*ra))), (a,b) -> a+b) AS swra2,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w*"dec"*"dec"))), (a,b) -> a+b) AS swdec2,
+                         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w*ra*"dec"))), (a,b) -> a+b) AS swradec,
                          count(*) AS nposdets
                   FROM (SELECT rootid, ra, "dec",
                                (psfflux/psffluxerr)*(psfflux/psffluxerr) AS w

@@ -129,22 +129,43 @@ def combined_stats(per_band: DataFrame) -> DataFrame:
     )
 
 
-#: Accumulator type for the weighted-position sums.  Exact decimal addition
-#: is associative, so the per-partition summation order Spark happens to use
-#: cannot change the result — required for bit-identical parity with any
-#: single-threaded oracle (duckdb, or the reference's numpy loop).
-_ACC = "decimal(38,12)"
+def ordered_sum(expr) -> F.Column:
+    """Order-deterministic double summation: collect, sort ascending, left-
+    fold with IEEE addition.
+
+    Plain ``F.sum`` over doubles is partition-order-dependent (float addition
+    is not associative), so the last ulp varies run-to-run and engine-to-
+    engine; decimal-cast accumulation fails differently (Spark casts
+    double->decimal via the shortest decimal string with HALF_UP, duckdb
+    multiplies in double space — ADVICE r2).  Folding the *sorted* doubles
+    fixes one canonical order that any engine can reproduce exactly (duckdb:
+    ``list_reduce(list_prepend(0.0, list_sort(list(x))), (a,b) -> a+b)``).
+    Cost: a per-group array; fine when group sizes are bounded (per-object
+    detection counts).  Use plain ``F.sum`` when last-ulp determinism is not
+    required.
+    """
+    return F.aggregate(
+        F.array_sort(F.collect_list(expr)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
 
 
-def weighted_positions(detections: DataFrame, min_snr: float = 3.0) -> DataFrame:
+def weighted_positions(
+    detections: DataFrame, min_snr: float = 3.0, exact: bool = True
+) -> DataFrame:
     """(S/N)^2-weighted mean/std of detection ra/dec per root (reference
     ``src/ltcv.py:829-877``; SURVEY.md A8).
 
     The reference loops in numpy; here the two-pass formula is expanded
     algebraically (sum(w x^2)/sum(w) - mu^2) so one aggregation pass
-    suffices.  Each double product is rounded once to a fixed 12-decimal
-    scale and summed as ``decimal(38,12)`` — order-insensitive, so the
-    result is deterministic across partitionings and engines.
+    suffices.  Every term is an IEEE double produced by the same expression
+    in any engine, so with ``exact=True`` the six sums go through
+    :func:`ordered_sum` and the result is bit-deterministic; the downstream
+    division/sqrt/greatest are pure double ops on identical inputs.
+    ``exact=False`` keeps plain map-side-combined ``F.sum`` for the
+    matview-refresh path at 100 TB where last-ulp reproducibility is not
+    needed.
     """
     snr = F.col("psfflux") / F.col("psffluxerr")
     w = snr * snr
@@ -154,34 +175,33 @@ def weighted_positions(detections: DataFrame, min_snr: float = 3.0) -> DataFrame
         & F.col("dec").isNotNull()
     ).select("rootid", "ra", "dec", w.alias("w"))
 
-    def _acc(expr):
-        return F.sum(expr.cast(_ACC))
-
+    _acc = ordered_sum if exact else F.sum
+    terms = {
+        "sw": F.col("w"),
+        "swra": F.col("w") * F.col("ra"),
+        "swdec": F.col("w") * F.col("dec"),
+        "swra2": F.col("w") * F.col("ra") * F.col("ra"),
+        "swdec2": F.col("w") * F.col("dec") * F.col("dec"),
+        "swradec": F.col("w") * F.col("ra") * F.col("dec"),
+    }
     agg = det.groupBy("rootid").agg(
-        _acc(F.col("w")).alias("sw"),
-        _acc(F.col("w") * F.col("ra")).alias("swra"),
-        _acc(F.col("w") * F.col("dec")).alias("swdec"),
-        _acc(F.col("w") * F.col("ra") * F.col("ra")).alias("swra2"),
-        _acc(F.col("w") * F.col("dec") * F.col("dec")).alias("swdec2"),
-        _acc(F.col("w") * F.col("ra") * F.col("dec")).alias("swradec"),
+        *[_acc(e).alias(k) for k, e in terms.items()],
         F.count(F.lit(1)).alias("nposdets"),
     )
-    # back to doubles for the ratios: numerator and denominator are already
-    # deterministic, so plain IEEE division/sqrt is reproducible everywhere
-    sw = F.col("sw").cast("double")
-    ra_mean = F.col("swra").cast("double") / sw
-    dec_mean = F.col("swdec").cast("double") / sw
+    sw = F.col("sw")
+    ra_mean = F.col("swra") / sw
+    dec_mean = F.col("swdec") / sw
     return agg.select(
         "rootid",
         ra_mean.alias("ra"),
         dec_mean.alias("dec"),
         F.sqrt(
-            F.greatest(F.col("swra2").cast("double") / sw - ra_mean * ra_mean, F.lit(0.0))
+            F.greatest(F.col("swra2") / sw - ra_mean * ra_mean, F.lit(0.0))
         ).alias("raerr"),
         F.sqrt(
-            F.greatest(F.col("swdec2").cast("double") / sw - dec_mean * dec_mean, F.lit(0.0))
+            F.greatest(F.col("swdec2") / sw - dec_mean * dec_mean, F.lit(0.0))
         ).alias("decerr"),
-        (F.col("swradec").cast("double") / sw - ra_mean * dec_mean).alias("ra_dec_cov"),
+        (F.col("swradec") / sw - ra_mean * dec_mean).alias("ra_dec_cov"),
         "nposdets",
     )
 
