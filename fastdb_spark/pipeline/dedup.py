@@ -209,20 +209,31 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    strategy: str = "blas",
+    strategy: str = "block",
+    n_blocks: int = 8,
+    lsh_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs over the full corpus.
+    """Cosine near-dup pairs over an embedding corpus.
 
-    ``strategy='blas'`` (default): broadcast the (small) normalized matrix
-    to every task and scan the corpus with an Arrow-batched numpy matmul —
-    each batch of rows scores against all higher-id rows in one GEMM.
-    This is the textbook "builtins can't express it efficiently" case:
-    the expression-level nested-loop join evaluates an interpreted
-    higher-order aggregate per pair (~100x slower).  At 100 TB the same
-    kernel runs per LSH/IVF bucket instead of the full matrix.
+    ``strategy='block'`` (default, exact, distributed): sqrt-decomposition
+    of the all-pairs GEMM.  Rows hash into ``n_blocks`` blocks; each of the
+    B(B+1)/2 unordered block pairs becomes one cogroup task whose two sides
+    are Arrow-batched into numpy and scored with a single matmul.  Nothing
+    is ever materialized on the driver, per-task memory is two blocks (~2
+    n/B rows), and replication is ~B copies of the corpus across the
+    cluster — the standard distributed exact-all-pairs shape.  Raise
+    ``n_blocks`` with corpus size so a block fits executor memory.
 
-    ``strategy='expr'``: pure Column-expression nested-loop join —
-    JVM-only, no Arrow; kept as the portable fallback and oracle twin.
+    ``strategy='lsh'`` (approximate, the 100 TB path): the same GEMM kernel
+    per random-hyperplane LSH bucket (``ann.with_lsh_bucket`` — the stored
+    layout column at scale), so candidate scoring touches only intra-bucket
+    pairs.  Misses cross-bucket pairs by design; recall is governed by
+    ``lsh_planes``.
+
+    ``strategy='expr'``: pure Column-expression nested-loop join — JVM-only,
+    no Arrow; the portable fallback and oracle twin (~100x slower per pair:
+    interpreted higher-order aggregate vs one GEMM).
     """
     if strategy == "expr":
         keyed = df.select(
@@ -237,40 +248,87 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    def _score(apdf: "pd.DataFrame", bpdf: "pd.DataFrame", upper: bool):
+        """GEMM one side against the other; emit (min_id, max_id, cos)."""
+        if not len(apdf) or not len(bpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        am = np.array(apdf["v"].tolist(), dtype=np.float64)
+        bm = np.array(bpdf["v"].tolist(), dtype=np.float64)
+        aid = apdf[id_col].to_numpy(dtype=np.int64)
+        bid = bpdf[id_col].to_numpy(dtype=np.int64)
+        an = np.sqrt((am * am).sum(axis=1))
+        bn = np.sqrt((bm * bm).sum(axis=1))
+        cos = np.round((am @ bm.T) / np.outer(an, bn), 6)
+        # one emission per unordered pair: the diagonal block sees both
+        # orders of each pair, off-diagonal blocks see each pair once
+        keep = (cos >= threshold) & (aid[:, None] < bid[None, :])
+        if upper:
+            r, c = np.nonzero(keep)
+        else:
+            keep |= (cos >= threshold) & (aid[:, None] > bid[None, :])
+            r, c = np.nonzero(keep)
+        lo = np.minimum(aid[r], bid[c])
+        hi = np.maximum(aid[r], bid[c])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[r, c]})
+
     spark = df.sparkSession
     keyed = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    # corpus matrix must fit one machine's memory; at scale this becomes
-    # the per-bucket matrix, not the full corpus.  Arrow toPandas is ~6x
-    # faster than collect() for the wide array column (measured 0.4s vs
-    # 2.6s on 2400x64 at sf0.1)
-    cpdf = keyed.toPandas()
-    ids = cpdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.array(cpdf["v"].tolist(), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    order = np.argsort(ids)
-    ids, mat, norms = ids[order], mat[order], norms[order]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
 
-    def op(batches):
-        aids, amat, anorms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q = np.array(pdf["v"].tolist(), dtype=np.float64)
-            qids = pdf[id_col].to_numpy()
-            qn = np.sqrt((q * q).sum(axis=1))
-            cos = (q @ amat.T) / np.outer(qn, anorms)
-            for r in range(len(qids)):
-                mask = (aids > qids[r]) & (
-                    np.round(cos[r], 6) >= threshold
-                )
-                if mask.any():
-                    yield pd.DataFrame(
-                        {
-                            "id_a": np.full(mask.sum(), qids[r], dtype=np.int64),
-                            "id_b": aids[mask],
-                            "cos": np.round(cos[r][mask], 6),
-                        }
-                    )
+    if strategy == "lsh":
+        from fastdb_spark.pipeline.ann import with_lsh_bucket
 
-    return keyed.mapInPandas(op, schema="id_a long, id_b long, cos double")
+        bucketed = with_lsh_bucket(keyed, lsh_planes, dim, "v")
+
+        def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return _score(pdf, pdf, upper=True)
+
+        return bucketed.groupBy("bucket").applyInPandas(
+            per_bucket, schema="id_a long, id_b long, cos double"
+        )
+
+    # exact blocked all-pairs ("block" / legacy "blas")
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pairs_meta = F.broadcast(
+        spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "blk_i int, blk_j int",
+        )
+    )
+    tagged = keyed.withColumn("blk", blk)
+    # each row fans out to every block pair it participates in: as the A
+    # side of (blk, j>=blk), as the B side of (i<=blk, blk) — explode of a
+    # generated sequence, no self-join, ~B-fold replication
+    left = tagged.select(
+        F.col(id_col),
+        "v",
+        F.explode(
+            F.expr(f"transform(sequence(blk, {n_blocks - 1}), j -> struct(blk AS blk_i, j AS blk_j))")
+        ).alias("bp"),
+    ).select(id_col, "v", "bp.blk_i", "bp.blk_j")
+    right = tagged.select(
+        F.col(id_col),
+        "v",
+        F.explode(
+            F.expr("transform(sequence(0, blk), i -> struct(i AS blk_i, blk AS blk_j))")
+        ).alias("bp"),
+    ).select(id_col, "v", "bp.blk_i", "bp.blk_j")
+
+    def gemm(key, apdf: "pd.DataFrame", bpdf: "pd.DataFrame") -> "pd.DataFrame":
+        return _score(apdf, bpdf, upper=key[0] == key[1])
+
+    # the two sides share lineage (one scan, two explodes); Spark's
+    # ambiguous-self-join heuristic cannot see that the cogroup keys are
+    # disjoint projections, so gate it off just while building this plan
+    sess = df.sparkSession
+    flag = sess.conf.get("spark.sql.analyzer.failAmbiguousSelfJoin", "true")
+    sess.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    try:
+        return (
+            left.groupby("blk_i", "blk_j")
+            .cogroup(right.groupby("blk_i", "blk_j"))
+            .applyInPandas(gemm, schema="id_a long, id_b long, cos double")
+        )
+    finally:
+        sess.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", flag)

@@ -180,6 +180,25 @@ def test_neardup_embs_cosine(embs, spark):
     assert (pairs.id_b - pairs.id_a == 1000000).all()
 
 
+def test_neardup_block_matches_expr_and_lsh_is_subset(embs):
+    from fastdb_spark.pipeline.dedup import embedding_neardup_pairs
+
+    corp = neardup_embs(embs)
+
+    def key_set(pdf):
+        return set(zip(pdf.id_a.tolist(), pdf.id_b.tolist()))
+
+    block = embedding_neardup_pairs(corp, strategy="block", n_blocks=5).toPandas()
+    expr = embedding_neardup_pairs(corp, strategy="expr").toPandas()
+    a = block.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = expr.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert a.equals(b)  # blocked GEMM is exact, any block count
+
+    lsh = embedding_neardup_pairs(corp, strategy="lsh").toPandas()
+    assert key_set(lsh) <= key_set(expr)  # bucketed path never invents pairs
+    assert len(lsh) >= 0.5 * len(expr)  # and keeps reasonable recall here
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         (1, "image", bytes([10, 20, 30, 40]), "image/png", 2, 2, None),
