@@ -13,18 +13,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: most recent paginate_ranged cache, unpersisted when the next call (or
+#: :func:`unpersist_pages`) supersedes it — bounds session cache growth to
+#: one page frame without making every caller cache-manage.
+_LAST_PAGE_CACHE: list = []
+
+
+def unpersist_pages() -> None:
+    """Release the cached range-partitioned frame of the last
+    ``paginate_ranged`` call (no-op if none)."""
+    while _LAST_PAGE_CACHE:
+        _LAST_PAGE_CACHE.pop().unpersist()
+
+
 def paginate(
     df: DataFrame,
     order_by: Sequence[str | Column],
     offset: int,
     limit: int,
+    strategy: str = "auto",
 ) -> DataFrame:
     """OFFSET/LIMIT page over a total order.
 
-    Uses a ranked window (portable, deterministic).  ``order_by`` must be a
-    total order (append a unique id) or page boundaries are ambiguous —
-    same caveat as SQL OFFSET.
+    ``strategy='window'`` ranks through one global ``Window.orderBy`` —
+    portable, but that window is a single task sorting everything, so it is
+    only acceptable for frames already known to be small.
+    ``strategy='ranged'`` delegates to :func:`paginate_ranged`.
+    ``'auto'`` (default) picks the window plan only when the input is a
+    single partition (where one task is the data layout anyway) and the
+    distributed ranged plan otherwise.
+
+    ``order_by`` must be a total order (append a unique id) or page
+    boundaries are ambiguous — same caveat as SQL OFFSET.
     """
+    if strategy == "auto":
+        strategy = "window" if df.rdd.getNumPartitions() <= 1 else "ranged"
+    if strategy == "ranged":
+        return paginate_ranged(df, order_by, offset, limit)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.orderBy(*cols)
     return (
@@ -44,29 +69,34 @@ def paginate_ranged(
     """OFFSET/LIMIT page WITHOUT a single-task global window — the
     unbounded-scale export path.
 
-    ``paginate`` ranks the whole table through one ``Window.orderBy``
-    task: correct, but at 100 TB that task sorts everything.  Here the
-    sort is a distributed range shuffle (``repartitionByRange`` — the same
-    machinery as ``orderBy``), each partition's row count is gathered with
-    one key-only job, and global positions are partition-base + local
-    index, computed per partition with no second shuffle.  Partitions
-    wholly outside ``[offset, offset+limit)`` emit nothing and short-
-    circuit immediately.
+    The sort is a distributed range shuffle (``repartitionByRange`` — the
+    same machinery as ``orderBy``), each range's row count is gathered with
+    one key-only job, and the page is then read entirely JVM-side: range
+    partitions wholly outside ``[offset, offset+limit)`` are filtered out
+    at the scan (at most two boundary ranges plus ⌈limit/range⌉ interior
+    ranges survive), each survivor gets a partition-local ``row_number``
+    (the window re-clusters only the surviving sliver, not the table), and
+    the global position is the broadcast partition-base plus the local
+    rank.  No Python row path anywhere.
 
-    The frame is persisted between the count job and the page read so the
-    range shuffle runs once; caller may ``unpersist()`` after consuming.
+    The range-partitioned frame is persisted so the shuffle feeding the
+    count job is reused by the page read; the cache is released when the
+    next call (or :func:`unpersist_pages`) supersedes it.
     ``order_by`` must be a total order (same caveat as SQL OFFSET).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
-    rdf = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    rdf = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    unpersist_pages()
     rdf = rdf.persist()
+    _LAST_PAGE_CACHE.append(rdf)
     counts = {
-        r["pid"]: r["count"]
-        for r in rdf.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
+        r["_pid"]: r["count"]
+        for r in rdf.groupBy("_pid").count().collect()
     }
     bases: dict[int, int] = {}
     acc = 0
@@ -74,22 +104,25 @@ def paginate_ranged(
         bases[pid] = acc
         acc += counts[pid]
     lo, hi = offset, offset + limit
+    overlap = [
+        pid
+        for pid in sorted(counts)
+        if bases[pid] < hi and bases[pid] + counts[pid] > lo
+    ]
+    if not overlap:
+        return rdf.limit(0).drop("_pid")
 
-    schema = rdf.schema
-
-    def op(pid: int, it):
-        base = bases.get(pid)
-        if base is None or base >= hi or base + counts[pid] <= lo:
-            return
-        for i, row in enumerate(it):
-            g = base + i
-            if g >= hi:
-                break
-            if g >= lo:
-                yield row
-
-    out = rdf.rdd.mapPartitionsWithIndex(op, preservesPartitioning=True)
-    return df.sparkSession.createDataFrame(out, schema)
+    base_map = F.create_map(
+        *[F.lit(v) for pid in overlap for v in (pid, bases[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    page = (
+        rdf.filter(F.col("_pid").isin(overlap))
+        .withColumn("_g", base_map[F.col("_pid")] + F.row_number().over(w) - 1)
+        .filter((F.col("_g") >= lo) & (F.col("_g") < hi))
+    )
+    # the page is <= limit rows; a final sort keeps global order cheap
+    return page.orderBy("_g").drop("_pid", "_g")
 
 
 def pseudorandom_sample(

@@ -113,3 +113,32 @@ def test_bucketed_patch_join_has_no_exchange(spark):
     df = entrymod.queries()["ltcv_patch_bucketed"](spark, SF_DIR)
     plan = _plan(df)
     assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
+def test_paginate_ranged_stays_jvm_side(spark):
+    """The ranged page must contain no Python evaluation stage (the old
+    implementation dropped to rdd.mapPartitionsWithIndex) and no global
+    partition-less Window."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.operators.paginate import paginate_ranged
+
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    page = paginate_ranged(li, ["l_orderkey", "l_linenumber"], 100, 25)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+    assert page.count() == 25
+
+
+def test_paginate_auto_switches_to_ranged(spark):
+    """paginate(strategy='auto') must pick the distributed ranged plan for
+    multi-partition input instead of the single-task global window."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.operators.paginate import paginate
+
+    li = Catalog(spark, SF_DIR).table("lineitem").repartition(4)
+    page = paginate(li, ["l_orderkey", "l_linenumber"], 10, 5)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    # the global-window plan has a Window with an empty partition spec
+    # sorting ALL rows in one task; the ranged plan windows per range
+    assert "row_number" in plan
+    assert page.count() == 5
