@@ -707,12 +707,17 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (the 100 TB scale path) — rows-only
-    check: approximate by design, no exact SQL oracle."""
-    from fastdb_spark.pipeline.ann import lsh_bucketed_topk
+    check: approximate by design, no exact SQL oracle; the achieved
+    recall@10 vs the exact scan is emitted as a column."""
+    from fastdb_spark.pipeline.ann import cosine_topk, lsh_bucketed_topk, with_recall
 
     embs = Catalog(spark, sf_dir).table("embeddings")
     qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_bucketed_topk(embs, list(qvec), k=10)
+    # this synthetic corpus is uniform-random (no neighborhood structure),
+    # the worst case for LSH recall; the structured-corpus quality gate is
+    # tests/test_pipeline.py::test_ann_recall_on_clustered_corpus
+    appr = lsh_bucketed_topk(embs, list(qvec), k=10, multiprobe_bits=2)
+    return with_recall(appr, cosine_topk(embs, list(qvec), k=10), k=10)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,9 +725,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check: approximate by design, no exact SQL oracle."""
     from fastdb_spark.pipeline.ann import ivf_topk
 
+    from fastdb_spark.pipeline.ann import cosine_topk, with_recall
+
     embs = Catalog(spark, sf_dir).table("embeddings")
     qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(embs, list(qvec), k=10, n_clusters=8, nprobe=2)
+    appr = ivf_topk(embs, list(qvec), k=10, n_clusters=8, nprobe=2)
+    return with_recall(appr, cosine_topk(embs, list(qvec), k=10), k=10)
 
 
 _IVF_WRITTEN: set = set()
@@ -744,8 +752,11 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path not in _IVF_WRITTEN:
         build_ivf_index(embs, path, n_clusters=8, strategy="seed")
         _IVF_WRITTEN.add(path)
+    from fastdb_spark.pipeline.ann import cosine_topk, with_recall
+
     qvec = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_search_index(spark, path, list(qvec), k=10, nprobe=2)
+    appr = ivf_search_index(spark, path, list(qvec), k=10, nprobe=2)
+    return with_recall(appr, cosine_topk(embs, list(qvec), k=10), k=10)
 
 
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,15 +89,23 @@ def lsh_bucketed_topk(
     """Approximate top-k: score only vectors in the query's LSH bucket and
     (multiprobe) the buckets one bit-flip away — 1/2^n_planes * (1 +
     n_planes) of the corpus instead of all of it."""
+    from itertools import combinations
+
     dim = len(query_vec)
     qbucket = 0
     for p in range(n_planes):
         plane = _hyperplane(p, dim)
         if sum(a * b for a, b in zip(query_vec, plane)) > 0:
             qbucket |= 1 << p
+    # probe every bucket within hamming distance <= multiprobe_bits of the
+    # query's bucket (sum_{i<=m} C(n_planes, i) probes)
     probes = [qbucket]
-    if multiprobe_bits >= 1:
-        probes += [qbucket ^ (1 << p) for p in range(n_planes)]
+    for m in range(1, multiprobe_bits + 1):
+        for bits in combinations(range(n_planes), m):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.append(qbucket ^ flip)
 
     bucketed = with_lsh_bucket(embeddings, n_planes, dim, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
@@ -107,6 +115,29 @@ def lsh_bucketed_topk(
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def with_recall(
+    approx: DataFrame, exact: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Append recall@k against the exact top-k as a constant column.
+
+    Lazy (no driver action): left-join the approximate result to the exact
+    id set and window-sum the hit flags — the window spans <= k rows, so
+    the 'global' window is trivially cheap.  Surfaced by the rows-only ANN
+    gate queries so every driver artifact records the achieved recall
+    alongside the rows."""
+    from pyspark.sql import Window
+
+    hits = exact.select(F.col(id_col)).withColumn("_hit", F.lit(1))
+    flagged = approx.join(hits, on=id_col, how="left")
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return flagged.withColumn(
+        f"recall{k}",
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).over(w) / F.lit(float(k)),
+    ).drop("_hit")
 
 
 def _cosine_py(a: list[float], b: list[float]) -> float:

@@ -284,3 +284,46 @@ def test_redact_pii_scrubs_and_preserves(spark):
     assert got[2] == "server at <IP> port 80"
     assert got[3] == "acct <NUMBER> but keep 1234 and v2.0"
     assert got[4] == "nothing sensitive here"
+
+
+def test_ann_recall_on_clustered_corpus(spark, tmp_path):
+    """recall@10 >= 0.8 for every approximate ANN variant on a corpus with
+    neighborhood structure (clustered embeddings — the real-world shape;
+    the driver's uniform-random vectors have no neighborhoods to recall).
+    Exact cosine_topk is the ground truth."""
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search_index,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(25, 64)
+    rows = [
+        (i, [float(x) for x in centers[i % 25] + 0.05 * rng.randn(64)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    idx_path = str(tmp_path / "ivf_idx")
+    build_ivf_index(df, idx_path, n_clusters=16, strategy="seed")
+    qids = list(range(0, 500, 53))
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in df.filter(F.col("vec_id").isin(qids)).collect()}
+
+    methods = {
+        "lsh": lambda v: lsh_bucketed_topk(df, v, k=10, multiprobe_bits=1),
+        "ivf": lambda v: ivf_topk(df, v, k=10, n_clusters=16, nprobe=2),
+        "ivf_index": lambda v: ivf_search_index(spark, idx_path, v, k=10, nprobe=2),
+    }
+    for name, fn in methods.items():
+        recalls = []
+        for v in vecs.values():
+            exact = {r["vec_id"] for r in cosine_topk(df, v, k=10).collect()}
+            appr = {r["vec_id"] for r in fn(v).collect()}
+            recalls.append(len(exact & appr) / 10)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.8, f"{name}: mean recall@10 {mean} {recalls}"
+    df.unpersist()
