@@ -5,16 +5,22 @@ State machine on a small parquet-backed table: queued (started NULL) ->
 started -> finished/error; results land as csv or parquet files; rows and
 results prune after ``PRUNE_DAYS``.
 
-Claiming: the reference serializes claims with ``LOCK TABLE``; this
-implementation is a SINGLE-runner loop (the common deployment).  Multi-
-runner claiming needs a transactional table (Delta MERGE with a claim
-condition) — the API is claim/finish-shaped so that swap is local.
+Claiming: the reference serializes claims across up to 20 runner
+processes with ``LOCK TABLE`` (``src/services/long_query_runner.py:
+92-109,236-251``).  The parquet analog is a filesystem mutex: the whole
+read-pick-write claim section runs under an atomically-created lockfile
+(O_CREAT|O_EXCL — atomic on POSIX and NFSv3+), so N runners sharing the
+queue directory cannot double-claim; a crashed claimant's lock is broken
+after ``CLAIM_LOCK_STALE`` seconds.  On a transactional table (Delta/
+Iceberg) the same API maps to a conditional MERGE on ``started IS NULL``.
 """
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import os
+import time
 import uuid as uuidlib
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -24,6 +30,8 @@ from fastdb_spark import schemas
 from fastdb_spark.storage import ParquetTable
 
 PRUNE_DAYS = 7  # reference long_query_runner.py:69-89
+CLAIM_LOCK_TIMEOUT = 30.0  # seconds a claimant waits for the mutex
+CLAIM_LOCK_STALE = 120.0  # break locks older than this (crashed claimant)
 
 
 class QueryQueue:
@@ -61,26 +69,59 @@ class QueryQueue:
 
     # -- runner ------------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _claim_mutex(self):
+        """Filesystem mutex for the read-pick-write claim section (the
+        LOCK TABLE analog).  O_CREAT|O_EXCL creation is atomic; stale
+        locks from crashed claimants are broken after CLAIM_LOCK_STALE."""
+        lock = self.table.path + ".claim.lock"
+        deadline = time.monotonic() + CLAIM_LOCK_TIMEOUT
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > CLAIM_LOCK_STALE:
+                        os.unlink(lock)  # break a crashed claimant's lock
+                        continue
+                except OSError:
+                    continue  # lock vanished between check and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"claim lock held too long: {lock}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
     def claim_next(self) -> Row | None:
-        """Oldest unstarted row (FIFO, reference ORDER BY submitted)."""
+        """Claim the oldest unstarted row (FIFO, reference ORDER BY
+        submitted).  Safe under concurrent runners: the read-pick-write
+        runs inside the claim mutex, so the 'started IS NULL' check a
+        claimant bases its write on cannot be invalidated by another."""
         if not self.table.exists():
             return None
-        q = self.table.read()
-        nxt = (
-            q.filter(F.col("started").isNull())
-            .orderBy("submitted", "queryid")
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
-            return None
-        row = nxt[0]
-        claimed = self.spark.createDataFrame(
-            [row.asDict() | {"started": dt.datetime.now(dt.timezone.utc)}],
-            schemas.QUERY_QUEUE,
-        )
-        self.table.upsert(claimed, ["queryid"], "update")
-        return row
+        with self._claim_mutex():
+            q = self.table.read()
+            nxt = (
+                q.filter(F.col("started").isNull())
+                .orderBy("submitted", "queryid")
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                return None
+            row = nxt[0]
+            claimed = self.spark.createDataFrame(
+                [row.asDict() | {"started": dt.datetime.now(dt.timezone.utc)}],
+                schemas.QUERY_QUEUE,
+            )
+            self.table.upsert(claimed, ["queryid"], "update")
+            return row
 
     def run_one(self) -> str | None:
         """Claim and execute the next queued query against the registered

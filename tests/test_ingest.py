@@ -403,6 +403,26 @@ def test_query_queue_lifecycle(spark, tmp_path):
     assert qq.status(qid1) is None
 
 
+def test_query_queue_concurrent_claims_are_disjoint(spark, tmp_path):
+    """N concurrent claimants must never claim the same query: the claim
+    section is serialized by the filesystem mutex (the LOCK TABLE analog,
+    reference long_query_runner.py:92-109)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qq = QueryQueue(spark, str(tmp_path / "queue"))
+    uid = "00000000-0000-4000-8000-0000000000ee"
+    submitted = [qq.submit(uid, [f"SELECT {i}"], fmt="csv") for i in range(4)]
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        rows = list(ex.map(lambda _: qq.claim_next(), range(6)))
+    claimed = [r["queryid"] for r in rows if r is not None]
+    assert sorted(claimed) == sorted(submitted)  # each claimed exactly once
+    assert len(set(claimed)) == len(claimed)
+    assert qq.claim_next() is None  # drained
+    # no stale lockfile left behind
+    assert not os.path.exists(qq.table.path + ".claim.lock")
+
+
 def test_snana_transform(spark):
     from fastdb_spark.sources.loaders import snana_transform
 
