@@ -1,29 +1,100 @@
 """Kafka avro stream builders (SURVEY.md S1/S10; reference
 ``src/kafka_consumer.py:261-409``, ``src/services/projectsim.py:213-714``).
 
-The spark-avro and spark-sql-kafka jars are not in the test image, so the
-builders are import/classpath-gated: they CONSTRUCT the reader/writer
-(proving the plan shape) but raise a clear error when the packages are
-absent.  The nested frame they produce/consume is exactly
-``sources.alerts.ALERT_SCHEMA`` — the file-based transport used in tests
-is drop-in interchangeable.
+The spark-sql-kafka jar is not in the test image, so the TRANSPORT
+builders are classpath-gated: they construct the reader/writer (proving
+the plan shape) but raise a clear error when the package is absent; the
+file-based transport used in tests is drop-in interchangeable.
+
+The avro CODEC is never gated: :func:`decode_alert_frame` /
+:func:`encode_alert_frame` use the JVM ``from_avro``/``to_avro`` when the
+spark-avro jar is loaded (fast path, whole-stage codegen) and otherwise
+fall back to the pure-Python spec codec (``sources.avro_codec``) through
+Arrow-batched ``mapInPandas`` — so real avro alert payloads decode
+end-to-end in any image.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastdb_spark.sources import avro_codec
+
+_AVRO_JAR_STATE: dict = {}
 
 
-def _require_avro(spark: SparkSession):
-    try:
-        from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: F401
+def have_spark_avro(spark: SparkSession) -> bool:
+    """True when the spark-avro datasource jar is actually usable (the
+    Python wrapper always imports; the failure surfaces at analysis)."""
+    key = id(spark)
+    if key not in _AVRO_JAR_STATE:
+        try:
+            from pyspark.sql.avro.functions import from_avro
 
-        return from_avro, to_avro
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "spark-avro is not on the classpath in this image; add "
-            "org.apache.spark:spark-avro to spark.jars.packages"
-        ) from e
+            spark.range(1).select(
+                from_avro(F.lit(bytes([2])), '"long"').alias("v")
+            ).collect()
+            _AVRO_JAR_STATE[key] = True
+        except Exception:
+            _AVRO_JAR_STATE[key] = False
+    return _AVRO_JAR_STATE[key]
+
+
+def decode_alert_frame(
+    df: DataFrame, avro_schema_json: str, value_col: str = "value"
+) -> DataFrame:
+    """Binary avro datum column -> nested alert columns (works on batch
+    and streaming frames)."""
+    spark = df.sparkSession
+    if have_spark_avro(spark):
+        from pyspark.sql.avro.functions import from_avro
+
+        return df.select(
+            from_avro(F.col(value_col), avro_schema_json).alias("alert")
+        ).select("alert.*")
+
+    sch = avro_codec.parse(avro_schema_json)
+    stype = sch.spark_type()
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"alert": [sch.decode(v) for v in pdf[value_col]]})
+
+    out = df.mapInPandas(
+        op, schema=T.StructType([T.StructField("alert", stype)])
+    )
+    return out.select("alert.*")
+
+
+def encode_alert_frame(
+    alerts: DataFrame, avro_schema_json: str
+) -> DataFrame:
+    """Nested alert frame -> single binary avro datum column ``value``."""
+    spark = alerts.sparkSession
+    if have_spark_avro(spark):
+        from pyspark.sql.avro.functions import to_avro
+
+        return alerts.select(
+            to_avro(F.struct(*alerts.columns), avro_schema_json).alias("value")
+        )
+
+    sch = avro_codec.parse(avro_schema_json)
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        sch.encode(rec)
+                        for rec in pdf.to_dict(orient="records")
+                    ]
+                }
+            )
+
+    return alerts.mapInPandas(op, schema="value binary")
 
 
 def read_alert_stream(
@@ -37,8 +108,9 @@ def read_alert_stream(
 
     Micro-batch sizing mirrors the reference's 1000-message polls (T1);
     consumer-group offsets are replaced by the streaming checkpoint (T2).
+    Requires the spark-sql-kafka package for the transport; the avro
+    decode itself never gates (see :func:`decode_alert_frame`).
     """
-    from_avro, _ = _require_avro(spark)
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -47,9 +119,7 @@ def read_alert_stream(
         .option("startingOffsets", "earliest")
         .load()
     )
-    return raw.select(
-        from_avro(raw["value"], avro_schema_json).alias("alert")
-    ).select("alert.*")
+    return decode_alert_frame(raw, avro_schema_json)
 
 
 def write_alert_stream(
@@ -60,12 +130,7 @@ def write_alert_stream(
     checkpoint: str,
 ):
     """Nested alert frame -> avro -> Kafka (the projectsim send path)."""
-    _, to_avro = _require_avro(alerts.sparkSession)
-    import pyspark.sql.functions as F
-
-    payload = alerts.select(
-        to_avro(F.struct(*alerts.columns), avro_schema_json).alias("value")
-    )
+    payload = encode_alert_frame(alerts, avro_schema_json)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
