@@ -45,15 +45,79 @@ def visit_from_mjd(mjd: Column) -> Column:
     return F.floor(mjd * 20000).cast("long")
 
 
-def mjd_from_timestamp(ts: Column) -> Column:
-    """UTC MJD from a timestamp column (reference ``src/util.py:303-416``;
-    TAI needs a constant leap-second offset applied by the caller)."""
-    return F.unix_timestamp(ts) / 86400.0 + F.lit(MJD_UNIX_EPOCH)
+#: TAI-UTC leap-second steps since 1972 (public IERS Bulletin C table),
+#: as (utc unix seconds when the step takes effect, TAI-UTC seconds).
+#: The survey's ``midpointmjdtai`` columns are on the TAI scale (reference
+#: ``src/webserver/spectrumapp.py:110``, ``src/spectrum.py:127`` convert
+#: with astropy ``scale='tai'``); ``scale='tai'`` below reproduces that.
+_LEAP_STEPS: list[tuple[int, int]] = [
+    (63072000, 10),  # 1972-01-01
+    (78796800, 11),  # 1972-07-01
+    (94694400, 12),  # 1973-01-01
+    (126230400, 13),  # 1974-01-01
+    (157766400, 14),  # 1975-01-01
+    (189302400, 15),  # 1976-01-01
+    (220924800, 16),  # 1977-01-01
+    (252460800, 17),  # 1978-01-01
+    (283996800, 18),  # 1979-01-01
+    (315532800, 19),  # 1980-01-01
+    (362793600, 20),  # 1981-07-01
+    (394329600, 21),  # 1982-07-01
+    (425865600, 22),  # 1983-07-01
+    (489024000, 23),  # 1985-07-01
+    (567993600, 24),  # 1988-01-01
+    (631152000, 25),  # 1990-01-01
+    (662688000, 26),  # 1991-01-01
+    (709948800, 27),  # 1992-07-01
+    (741484800, 28),  # 1993-07-01
+    (773020800, 29),  # 1994-07-01
+    (820454400, 30),  # 1996-01-01
+    (867715200, 31),  # 1997-07-01
+    (915148800, 32),  # 1999-01-01
+    (1136073600, 33),  # 2006-01-01
+    (1230768000, 34),  # 2009-01-01
+    (1341100800, 35),  # 2012-07-01
+    (1435708800, 36),  # 2015-07-01
+    (1483228800, 37),  # 2017-01-01
+]
 
 
-def timestamp_from_mjd(mjd: Column) -> Column:
-    """Inverse of mjd_from_timestamp."""
-    return F.timestamp_seconds((mjd - F.lit(MJD_UNIX_EPOCH)) * 86400.0)
+def tai_offset_seconds(unix_utc: Column) -> Column:
+    """TAI-UTC in seconds at the given UTC unix-seconds instant — a CASE
+    chain over the leap-second table (0 before 1972, where UTC-TAI drift
+    was rubber-band rate, out of survey scope)."""
+    expr = F.lit(0)
+    for threshold, offset in _LEAP_STEPS:
+        expr = F.when(unix_utc >= F.lit(threshold), F.lit(offset)).otherwise(expr)
+    return expr
+
+
+def mjd_from_timestamp(ts: Column, scale: str = "utc") -> Column:
+    """MJD from a (UTC) timestamp column (reference ``src/util.py:
+    303-416``).  ``scale='tai'`` yields the TAI MJD the survey's
+    ``midpointmjdtai`` columns carry: UTC MJD + (TAI-UTC)/86400 from the
+    leap-second table."""
+    u = F.unix_timestamp(ts)
+    mjd_utc = u / 86400.0 + F.lit(MJD_UNIX_EPOCH)
+    if scale == "utc":
+        return mjd_utc
+    if scale == "tai":
+        return mjd_utc + tai_offset_seconds(u).cast("double") / 86400.0
+    raise ValueError(f"unknown scale {scale!r}")
+
+
+def timestamp_from_mjd(mjd: Column, scale: str = "utc") -> Column:
+    """Inverse of mjd_from_timestamp.  For ``scale='tai'`` the offset at
+    the target instant is looked up from the UTC-first approximation —
+    exact everywhere except within 37 s of a leap step (offsets are
+    constant for years at a time)."""
+    u_guess = (mjd - F.lit(MJD_UNIX_EPOCH)) * 86400.0
+    if scale == "utc":
+        return F.timestamp_seconds(u_guess)
+    if scale == "tai":
+        off = tai_offset_seconds(u_guess.cast("long"))
+        return F.timestamp_seconds(u_guess - off.cast("double"))
+    raise ValueError(f"unknown scale {scale!r}")
 
 
 def sexagesimal_to_deg(text: Column, is_ra: bool) -> Column:

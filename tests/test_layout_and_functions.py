@@ -81,6 +81,43 @@ def test_mjd_timestamp_roundtrip(spark):
     )
 
 
+def test_mjd_tai_scale_golden(spark):
+    """Golden TAI MJD values (astropy Time(..., scale='utc').tai.mjd — the
+    reference converts midpointmjdtai with scale='tai', e.g.
+    src/webserver/spectrumapp.py:110)."""
+    import datetime as dt
+
+    from fastdb_spark.functions.photometry import tai_offset_seconds
+
+    rows = [
+        ("2021-06-01T00:00:00", 59366.0 + 37.0 / 86400.0, 37),
+        ("2017-01-01T00:00:00", 57754.0 + 37.0 / 86400.0, 37),
+        ("2015-01-01T00:00:00", 57023.0 + 35.0 / 86400.0, 35),
+        ("1998-01-01T00:00:00", 50814.0 + 31.0 / 86400.0, 31),
+        ("1980-06-01T00:00:00", 44391.0 + 19.0 / 86400.0, 19),
+    ]
+    df = spark.createDataFrame(
+        [(dt.datetime.fromisoformat(s),) for s, _, _ in rows], ["ts"]
+    )
+    out = df.select(
+        mjd_from_timestamp(F.col("ts"), scale="tai").alias("mjd_tai"),
+        tai_offset_seconds(F.unix_timestamp("ts")).alias("off"),
+    ).collect()
+    for r, (_, want_mjd, want_off) in zip(out, rows):
+        assert r["off"] == want_off
+        assert r["mjd_tai"] == pytest.approx(want_mjd, abs=1e-9)
+
+    # TAI roundtrip: timestamp -> tai mjd -> timestamp
+    back = df.select(
+        timestamp_from_mjd(
+            mjd_from_timestamp(F.col("ts"), scale="tai"), scale="tai"
+        ).alias("back"),
+        "ts",
+    ).collect()
+    for r in back:
+        assert abs((r["back"] - r["ts"]).total_seconds()) < 1e-5
+
+
 def test_bitmask_pack_unpack(spark):
     df = spark.createDataFrame([(True, False), (False, True)], ["a", "b"])
     packed = df.select(
