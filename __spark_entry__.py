@@ -949,7 +949,13 @@ def _q_stream_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("stream_windowed_rates did not drain in 300s")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname).select(
         F.unix_micros("window_start").alias("win_start_us"),
         "event_type",

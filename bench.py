@@ -51,7 +51,13 @@ def main() -> None:
             _force(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            # each query self-contained: no cross-run cache reuse
+            # each query self-contained: release tracked stages, then
+            # drop any remaining cached blocks — no cross-run reuse
+            from fastdb_spark.cachereg import release_staged
+            from fastdb_spark.operators.paginate import unpersist_pages
+
+            release_staged()
+            unpersist_pages()
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
         total += best

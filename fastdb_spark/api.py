@@ -329,6 +329,8 @@ class FastdbAPI:
 
         if not (len(rootids) == len(priorities) == len(ras) == len(decs)):
             raise ValueError("rootids, priorities, ras, decs must align")
+        if is_hosts is not None and len(is_hosts) != len(rootids):
+            raise ValueError("is_hosts must align with rootids")
         hosts = is_hosts if is_hosts is not None else [False] * len(rootids)
         now = wanttime or _dt.datetime.now(tz=_dt.timezone.utc)
         rows = [
@@ -510,8 +512,12 @@ class FastdbAPI:
             b = b.filter(F.col("topic") == topic)
         mapping = self.resolver.bpv_mapping(processing_version, "diasource")
         joined = b.join(F.broadcast(mapping), on="base_procver_id", how="inner")
+        # base_procver_id tiebreak: equal priorities would otherwise pick
+        # a partition-order-dependent row
         out = dedup_top_priority(
-            joined, ["diasourceid", "brokername", "topic"], ["priority"]
+            joined,
+            ["diasourceid", "brokername", "topic"],
+            ["priority", "base_procver_id"],
         )
         return out.select(
             "diasourceid", "brokername", "topic", "info"

@@ -45,10 +45,12 @@ def curate_corpus(
     # candidate generation and the final anti-join — without persistence
     # the quality/fingerprint projection re-executes per branch (the
     # reference stages the same intermediates as temp tables, SURVEY.md Q3).
-    # eager count: lazily-filled caches lose the race when both consuming
-    # branches run inside the same downstream job
-    kept = kept.join(canon, on=[id_col, "fingerprint"], how="left_semi").persist()
-    kept.count()
+    # cachereg-tracked: consumer releases after materializing the result
+    from fastdb_spark.cachereg import stage
+
+    kept = stage(
+        kept.join(canon, on=[id_col, "fingerprint"], how="left_semi"), eager=True
+    )
 
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold

@@ -69,14 +69,12 @@ def _stage(df: DataFrame) -> DataFrame:
     at 100 TB the signature frame is a small fraction of the corpus and
     spills gracefully rather than OOMing.
 
-    Materialization is EAGER (count action): the consuming branches run
-    concurrently inside one downstream job, and a lazily-filled cache
-    loses the race — both branches recompute the full projection before
-    either populates it (measured ~2x on the composed curation pipeline).
+    Tracked in ``fastdb_spark.cachereg``: the consumer releases the cache
+    with ``release_staged()`` once its result is materialized.
     """
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
+    from fastdb_spark.cachereg import stage
+
+    return stage(df, eager=True)
 
 
 def _candidate_pairs(
