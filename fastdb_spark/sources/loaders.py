@@ -18,16 +18,101 @@ from pyspark.sql import functions as F
 from fastdb_spark.functions.photometry import ZEROPOINT, visit_from_mjd
 
 
-def read_snana_fits(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """FITS ingestion requires astropy — gated (not in the runtime image)."""
-    try:
-        import astropy.io.fits  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "SNANA FITS parsing requires astropy; load the PHOT/HEAD tables "
-            "to parquet externally and use snana_transform instead"
-        ) from e
-    raise NotImplementedError("driver-side FITS reader: out of scope for v1")
+#: SNANA photflag detection bit (reference load_snana_fits.py CLI default)
+SNANA_PHOTFLAG_DETECT = 4096
+
+
+def read_snana_fits(
+    spark: SparkSession,
+    head_paths: list[str],
+    max_sources_per_object: int = 100000,
+    snana_zeropoint: float = 27.5,
+) -> DataFrame:
+    """SNANA ``*HEAD.FITS.gz``/``*PHOT.FITS.gz`` pairs -> forced-photometry
+    rows (reference ``src/admin/load_snana_fits.py:115-246``; SURVEY.md S6).
+
+    Distributed by FILE PAIR: each (head, phot) pair is one Arrow task —
+    the reference fans a process pool across files the same way.  Per
+    pair: HEAD's 1-indexed ``PTROBS_MIN/MAX`` pointers slice PHOT into
+    per-object lightcurves; fluxes rescale from the SNANA zeropoint to
+    31.4 (nJy); ``visit = floor(mjd*20000)``;
+    ``diaforcedsourceid = snid*max_sources_per_object + seq``.  Detection
+    rows are this frame filtered on ``is_detection`` (photflag bit 4096),
+    exactly the reference's second pass.  FITS parsing is
+    ``sources.fits.read_bintable`` (pure numpy, no astropy).
+    """
+    import pandas as pd
+
+    from fastdb_spark.sources.fits import read_bintable
+
+    pairs = [(h, h.replace("HEAD", "PHOT")) for h in head_paths]
+    pairs_df = spark.createDataFrame(pairs, "head_path string, phot_path string")
+    zp_scale = 10.0 ** ((31.4 - snana_zeropoint) / 2.5)
+
+    def op(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for head_path, phot_path in zip(pdf["head_path"], pdf["phot_path"]):
+                head = read_bintable(head_path)
+                if not len(head["SNID"]):
+                    continue
+                phot = read_bintable(phot_path)
+                snid = head["SNID"].astype(np.int64)
+                n_phot = len(phot["MJD"])
+                objid = np.full(n_phot, -1, dtype=np.int64)
+                fsid = np.full(n_phot, -1, dtype=np.int64)
+                ra = np.full(n_phot, -1.0)
+                dec = np.full(n_phot, -100.0)
+                for k in range(len(snid)):
+                    # pointers are 1-indexed inclusive (reference :202-216)
+                    pmin = int(head["PTROBS_MIN"][k]) - 1
+                    pmax = int(head["PTROBS_MAX"][k]) - 1
+                    n = pmax - pmin + 1
+                    if n > max_sources_per_object:
+                        raise ValueError(
+                            f"SNID {snid[k]}: {n} sources > cap "
+                            f"{max_sources_per_object}"
+                        )
+                    objid[pmin : pmax + 1] = snid[k]
+                    fsid[pmin : pmax + 1] = (
+                        snid[k] * max_sources_per_object + np.arange(n)
+                    )
+                    ra[pmin : pmax + 1] = head["RA"][k]
+                    dec[pmin : pmax + 1] = head["DEC"][k]
+                keep = objid >= 0  # PHOT has -777 separator rows between objects
+                mjd = phot["MJD"][keep].astype(np.float64)
+                band_col = phot.get("BAND", phot.get("FLT"))
+                out = pd.DataFrame(
+                    {
+                        "diaobjectid": objid[keep],
+                        "diaforcedsourceid": fsid[keep],
+                        "visit": np.floor(mjd * 20000).astype(np.int64),
+                        "band": np.char.strip(band_col[keep].astype(str)),
+                        "midpointmjdtai": mjd,
+                        "psfflux": (phot["FLUXCAL"][keep] * zp_scale).astype(
+                            np.float32
+                        ),
+                        "psffluxerr": (
+                            phot["FLUXCALERR"][keep] * zp_scale
+                        ).astype(np.float32),
+                        "ra": ra[keep],
+                        "dec": dec[keep],
+                        "is_detection": (
+                            phot["PHOTFLAG"][keep].astype(np.int64)
+                            & SNANA_PHOTFLAG_DETECT
+                        )
+                        != 0,
+                    }
+                )
+                yield out
+
+    schema = (
+        "diaobjectid long, diaforcedsourceid long, visit long, band string, "
+        "midpointmjdtai double, psfflux float, psffluxerr float, "
+        "ra double, dec double, is_detection boolean"
+    )
+    return pairs_df.repartition(max(1, len(pairs))).mapInPandas(op, schema=schema)
 
 
 def snana_transform(
