@@ -117,3 +117,125 @@ def merge_upsert(
     # Delta path intentionally unimplemented in this image (no jars);
     # the ParquetTable emulation is the portable behavior under test.
     ParquetTable(spark, path).upsert(updates, keys, on_conflict)
+
+
+class BucketedParquetTable:
+    """Hash-bucket-partitioned parquet table with INCREMENTAL upsert — the
+    100 TB write path on plain parquet (reference COPY + ``ON CONFLICT``,
+    ``src/db.py:1406-1515``; SURVEY.md S5).
+
+    Layout: ``<path>/_bucket=K/`` directories keyed by
+    ``pmod(xxhash64(keys), n_buckets)``.  An upsert computes the buckets
+    its update keys hash into (at most ``n_buckets`` values, collected
+    from the update side only), reads ONLY those partitions (Spark prunes
+    the directory scan), merges, and atomically swaps just those
+    directories.  Partitions untouched by the batch are never read or
+    written — a micro-batch whose keys land in 3 of 1024 buckets does 3
+    partition rewrites, not a table rewrite.  DO-NOTHING appends new-key
+    rows into their bucket directories without rewriting anything.
+
+    The same layout co-partitions the table for key-equi merges: every
+    matched key pair lives in the same bucket by construction.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    # -- helpers -----------------------------------------------------------
+
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.BUCKET_COL, self._bucket_expr())
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # partition filter on the directory column: pruned before file IO
+        return self.spark.read.parquet(self.path).filter(
+            F.col(self.BUCKET_COL).isin(list(buckets))
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        self._with_bucket(df).write.partitionBy(self.BUCKET_COL).mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    # -- incremental merge -------------------------------------------------
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        on_conflict: str = "nothing",
+    ) -> list[int]:
+        """MERGE a key-unique update batch; returns the bucket ids that
+        were touched (the incremental-write evidence tests assert on)."""
+        if not self.exists():
+            self.overwrite(updates)
+            return list(range(self.n_buckets))
+        up = self._with_bucket(updates)
+        affected = [
+            r[self.BUCKET_COL]
+            for r in up.select(self.BUCKET_COL).distinct().collect()
+        ]
+        if not affected:
+            return []
+        target = self._read_buckets(affected)
+        if on_conflict == "nothing":
+            fresh = up.join(
+                target.select(*self.keys), on=self.keys, how="left_anti"
+            )
+            # append lands files under the right _bucket=K dirs; nothing
+            # existing is read back or rewritten
+            fresh.select(*target.columns).write.partitionBy(
+                self.BUCKET_COL
+            ).mode("append").parquet(self.path)
+            return affected
+        if on_conflict == "update":
+            kept = target.join(
+                up.select(*self.keys), on=self.keys, how="left_anti"
+            )
+            merged = kept.unionByName(up.select(*target.columns))
+            tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+            merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(tmp)
+            # atomic per-partition swap: only affected dirs change
+            for b in affected:
+                src = os.path.join(tmp, f"{self.BUCKET_COL}={b}")
+                dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+                old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+                if os.path.exists(dst):
+                    os.rename(dst, old)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return affected
+        raise ValueError(f"unknown on_conflict={on_conflict!r}")

@@ -541,3 +541,47 @@ def test_snana_fits_reader_end_to_end(spark, tmp_path):
     # per-object sequential forced-source ids
     assert out.diaforcedsourceid[0] == 101 * 100000
     assert out.diaforcedsourceid[4] == 202 * 100000 + 1
+
+
+def test_bucketed_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """The incremental MERGE path: a DO-UPDATE batch must rewrite only the
+    bucket directories its keys hash into; every other partition's files
+    stay byte-identical on disk (same inodes)."""
+    import glob
+
+    from fastdb_spark.storage import BucketedParquetTable
+
+    t = BucketedParquetTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "v"])
+    t.upsert(base, "nothing")
+
+    def files():
+        return {
+            p: os.stat(p).st_ino
+            for p in glob.glob(str(tmp_path / "tbl" / "_bucket=*" / "*.parquet"))
+        }
+
+    before = files()
+    updates = spark.createDataFrame([(5, "NEW5"), (17, "NEW17")], ["k", "v"])
+    touched = t.upsert(updates, "update")
+    assert 0 < len(touched) <= 2
+    after = files()
+
+    untouched_dirs = {
+        d
+        for d in glob.glob(str(tmp_path / "tbl" / "_bucket=*"))
+        if int(d.rsplit("=", 1)[1]) not in touched
+    }
+    for p, ino in before.items():
+        if any(p.startswith(d + os.sep) for d in untouched_dirs):
+            assert after.get(p) == ino, f"untouched partition rewritten: {p}"
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 200
+    assert got[5] == "NEW5" and got[17] == "NEW17" and got[6] == "v6"
+
+    # DO-NOTHING with a mix of existing and new keys: appends only
+    mix = spark.createDataFrame([(5, "IGNORED"), (777, "v777")], ["k", "v"])
+    t.upsert(mix, "nothing")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == "NEW5" and got[777] == "v777" and len(got) == 201
