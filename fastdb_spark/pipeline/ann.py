@@ -316,3 +316,143 @@ def ivf_topk(
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+# --- product quantization (IVF-PQ's compression half) ----------------------
+#
+# The classic memory lever for billion-vector ANN (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", public literature): split the
+# d-dim vector into M subvectors, quantize each against a K-entry codebook,
+# store M small codes instead of d floats (64 doubles -> 8 bytes at
+# M=8/K=256-).  Queries scan codes with an ADC lookup table — here a pure
+# Column expression over a broadcast literal LUT, so the scan stays inside
+# whole-stage codegen; only the train/encode build step uses Arrow batches.
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks (M x K x d/M), trained 'seed'-style: the
+    subvectors of K evenly-id-spaced corpus vectors — deterministic, one
+    tiny collect, same spirit as ivf_centroids(strategy='seed')."""
+    import numpy as np
+
+    n = embeddings.count()
+    stride = max(1, n // k)
+    rows = (
+        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    # normalize so inner-product ADC approximates cosine
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1]
+    sub = d // m
+    return [
+        [list(map(float, mat[j, i * sub : (i + 1) * sub])) for j in range(len(mat))]
+        for i in range(m)
+    ]
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the M-byte PQ code (argmin subspace distance per codebook) —
+    an Arrow batch job run once at index-build time; at scale the codes are
+    a stored column of the embedding table."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    keyed = embeddings.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    )
+
+    def op(batches):
+        for pdf in batches:
+            vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            vmat = vmat / np.maximum(
+                np.linalg.norm(vmat, axis=1, keepdims=True), 1e-30
+            )
+            codes = np.empty((len(vmat), m), dtype=np.int32)
+            for i in range(m):
+                seg = vmat[:, i * sub : (i + 1) * sub]
+                d2 = ((seg[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], code_col: list(codes.tolist())}
+            )
+
+    return keyed.mapInPandas(op, schema=f"{id_col} long, {code_col} array<int>")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance (ADC) inner product.
+
+    The query builds an M*K lookup table of subspace inner products; each
+    row's score is the sum of M ``element_at`` probes into that literal —
+    pure Column expression (zip_with + aggregate), no UDF, broadcast by
+    construction, TakeOrderedAndProject plan.  With ``rerank > 0`` the
+    ADC top-``rerank`` candidates are exactly re-scored against the full
+    vectors (requires ``embeddings``) — the standard PQ-then-refine
+    pipeline; returns (id, cos).  Without rerank returns (id, adc_score).
+    """
+    import math
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    flat_lut = [
+        sum(q[i * sub + t] * codebooks[i][j][t] for t in range(sub))
+        for i in range(m)
+        for j in range(kk)
+    ]
+    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
+    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            subspace_idx,
+            lambda c, i: F.element_at(lut, i * kk + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.select(F.col(id_col), score.alias("adc_score"))
+    if not rerank:
+        return scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(k)
+    if embeddings is None:
+        raise ValueError("rerank needs the full-vector frame")
+    cand = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
+    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = embeddings.join(F.broadcast(cand.select(id_col)), on=id_col).select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
+    )
+    return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
