@@ -759,6 +759,25 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(appr, cosine_topk(embs, list(qvec), k=10), k=10)
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC expression scan + exact rerank) —
+    rows-only: approximate by design; recall@10 emitted as a column."""
+    from fastdb_spark.pipeline.ann import (
+        cosine_topk,
+        encode_pq,
+        pq_topk,
+        train_pq,
+        with_recall,
+    )
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = list(embs.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    books = train_pq(embs, m=8, k=16)
+    enc = encode_pq(embs, books)
+    appr = pq_topk(enc, books, qvec, k=10, rerank=50, embeddings=embs)
+    return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
     shape) next to the md5 content fingerprint."""
@@ -1162,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_ranged": _q_pagination_ranged,
         "latest_mag_per_band": _q_latest_mag_per_band,
         "json_extract": _q_json_extract,
+        "ann_pq_topk": _q_ann_pq,
     }
 
 

@@ -327,3 +327,54 @@ def test_ann_recall_on_clustered_corpus(spark, tmp_path):
         mean = sum(recalls) / len(recalls)
         assert mean >= 0.8, f"{name}: mean recall@10 {mean} {recalls}"
     df.unpersist()
+
+
+def test_pq_adc_topk_and_rerank(spark):
+    """Product quantization: the ADC expression scan must rank the
+    clustered corpus well enough that PQ->exact-rerank recovers the exact
+    top-10 (the standard PQ-then-refine pipeline), and the codes must be
+    compact (M small ints per vector)."""
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import (
+        cosine_topk,
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(20, 64)
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + 0.05 * rng.randn(64)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    books = train_pq(df, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = encode_pq(df, books).cache()
+    first = enc.head()
+    assert len(first["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in first["pq_code"])
+
+    recalls = []
+    for qid in range(0, 400, 57):
+        qvec = rows[qid][1]
+        exact = {r["vec_id"] for r in cosine_topk(df, qvec, k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in pq_topk(
+                enc, books, qvec, k=10, rerank=50, embeddings=df
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # pure ADC (no rerank) still returns a full ranked page, JVM-side
+    adc = pq_topk(enc, books, rows[0][1], k=10)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+    assert adc.count() == 10
+    df.unpersist()
+    enc.unpersist()
