@@ -957,6 +957,9 @@ def _q_stream_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         flux_col="value",
         window="1 hour",
         watermark="30 minutes",
+        # exact-hash gate: integral-double quantized mean is accumulation-
+        # order-deterministic (see windowed_alert_rates docstring)
+        quantize_scale=1e6,
     )
     qname = f"stream_rates_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="fastdb_stream_gate_")
@@ -1788,7 +1791,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
                    event_type,
                    count(*) AS n_alerts,
-                   round(avg(value), 6) AS mean_flux,
+                   -- integral-double quantized mean: floor(x*1e6) is the
+                   -- same IEEE ops in every engine, the integer sum is
+                   -- associative (order-independent), and the final floor
+                   -- avoids round()'s half-boundary engine disagreement
+                   -- (matches the streaming side's quantize_scale=1e6)
+                   floor(sum(floor(value*1000000.0))/count(value))/1000000.0
+                     AS mean_flux,
                    round(max(value), 6) AS max_flux
             FROM events
             GROUP BY 1, 2

@@ -27,6 +27,7 @@ def windowed_alert_rates(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     extra_aggs: list[Column] | None = None,
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """Tumbling-window per-band alert statistics with late-data tolerance.
 
@@ -35,10 +36,28 @@ def windowed_alert_rates(
     ``watermark`` behind the stream's max event time are dropped from
     these METRICS only; the ingest merge path keeps them (the patch-join
     semantics handle late forced photometry at query time, T5).
+
+    ``quantize_scale`` (e.g. 1e6) makes ``mean_flux`` bit-deterministic
+    under ANY accumulation order: each flux is floored to an integral
+    double (``floor(x*scale)`` is the same IEEE ops everywhere) and the
+    sum of integral doubles below 2^53 is exact integer arithmetic —
+    associative, so streaming's arbitrary state-merge order cannot change
+    it.  Plain ``avg`` keeps full precision but its last ulp is
+    accumulation-order-dependent (only matters for exact-hash gates).
     """
+    if quantize_scale:
+        # floor twice, round never: round() half-boundaries are where
+        # engines disagree, and integer/count quotients land on them often
+        q = F.floor(F.col(flux_col) * F.lit(quantize_scale))
+        mean = (
+            F.floor(F.sum(q) / F.count(F.col(flux_col))).cast("double")
+            / F.lit(quantize_scale)
+        )
+    else:
+        mean = F.round(F.avg(flux_col), 6)
     aggs = [
         F.count(F.lit(1)).alias("n_alerts"),
-        F.round(F.avg(flux_col), 6).alias("mean_flux"),
+        mean.alias("mean_flux"),
         F.round(F.max(flux_col), 6).alias("max_flux"),
     ]
     if extra_aggs:

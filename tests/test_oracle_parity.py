@@ -104,5 +104,10 @@ def test_queries_have_oracles():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
     # non-SQL-expressible / approximate-by-design ops get rows-only checks
     # approximate-by-design (no exact SQL twin) -> driver rows-only check
-    allowed_missing = {"ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index"}
+    allowed_missing = {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_ivf_index",
+        "ann_pq_topk",
+    }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
