@@ -161,7 +161,10 @@ def read_bintable(path_or_bytes) -> dict[str, np.ndarray]:
     for name in names:
         col = table[name]
         if name in string_cols:
-            out[name] = np.char.strip(np.char.decode(col, "ascii"))
+            if len(col) == 0:  # np.char chokes on empty decode results
+                out[name] = np.array([], dtype="U1")
+            else:
+                out[name] = np.char.strip(np.char.decode(col, "ascii"))
         elif name in logical_cols:
             out[name] = col == ord("T")
         else:
