@@ -456,3 +456,47 @@ def pq_topk(
         F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
     )
     return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_strategy: str = "seed",
+) -> DataFrame:
+    """IVF-PQ: the two halves composed — the coarse quantizer prunes to
+    ``nprobe`` clusters (a partition-pruned directory read on the stored
+    layout) and the PQ ADC expression scores only the surviving codes,
+    with an exact rerank of the top candidates.  At 100 TB this is the
+    canonical billion-vector shape: scan nprobe/n_clusters of the corpus,
+    touch M bytes per vector, re-read full vectors only for ``rerank``
+    rows."""
+    cents = ivf_centroids(
+        embeddings, n_clusters, id_col, vec_col, strategy=ivf_strategy
+    )
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cosine_py(query_vec, cents[i]), i)
+    )
+    probes = order[:nprobe]
+    cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
+        F.col("cluster").isin(probes)
+    )
+    books = train_pq(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
+    enc = encode_pq(cand, books, id_col=id_col, vec_col=vec_col)
+    return pq_topk(
+        enc,
+        books,
+        query_vec,
+        k=k,
+        rerank=rerank,
+        embeddings=cand,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -239,3 +239,37 @@ class BucketedParquetTable:
             shutil.rmtree(tmp, ignore_errors=True)
             return affected
         raise ValueError(f"unknown on_conflict={on_conflict!r}")
+
+    def compact(
+        self, max_files_per_bucket: int = 4, target_files: int = 1
+    ) -> list[int]:
+        """OPTIMIZE analog: DO-NOTHING appends accumulate a file per
+        micro-batch inside each bucket directory; rewrite only the buckets
+        whose file count exceeds ``max_files_per_bucket`` (coalesced to
+        ``target_files``), leaving every other partition untouched —
+        incremental maintenance matching the incremental write path."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        todo = []
+        for d in glob.glob(os.path.join(self.path, f"{self.BUCKET_COL}=*")):
+            n = len(glob.glob(os.path.join(d, "*.parquet")))
+            if n > max_files_per_bucket:
+                todo.append(int(d.rsplit("=", 1)[1]))
+        for b in sorted(todo):
+            part = self.spark.read.parquet(self.path).filter(
+                F.col(self.BUCKET_COL) == b
+            )
+            tmp = f"{self.path}.cmp-{uuid.uuid4().hex[:8]}"
+            part.coalesce(target_files).write.partitionBy(
+                self.BUCKET_COL
+            ).mode("overwrite").parquet(tmp)
+            src = os.path.join(tmp, f"{self.BUCKET_COL}={b}")
+            dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+        return sorted(todo)

@@ -585,3 +585,37 @@ def test_bucketed_upsert_touches_only_affected_partitions(spark, tmp_path):
     t.upsert(mix, "nothing")
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[5] == "NEW5" and got[777] == "v777" and len(got) == 201
+
+
+def test_bucketed_compact_rewrites_only_fragmented_buckets(spark, tmp_path):
+    import glob
+
+    from fastdb_spark.storage import BucketedParquetTable
+
+    t = BucketedParquetTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    t.upsert(spark.createDataFrame([(i, i) for i in range(40)], ["k", "v"]), "nothing")
+    # fragment one bucket with repeated single-row appends
+    frag_key = 1  # whatever bucket k=1 hashes to gets the appends
+    for j in range(6):
+        t.upsert(
+            spark.createDataFrame([(1000 + j * 4 + frag_key, j)], ["k", "v"]),
+            "nothing",
+        )
+    before = {
+        d: len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(str(tmp_path / "tbl" / "_bucket=*"))
+    }
+    n_rows = t.read().count()
+    compacted = t.compact(max_files_per_bucket=4)
+    assert compacted  # at least the fragmented bucket rewritten
+    after = {
+        d: len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(str(tmp_path / "tbl" / "_bucket=*"))
+    }
+    for d, n in after.items():
+        b = int(d.rsplit("=", 1)[1])
+        if b in compacted:
+            assert n == 1
+        else:
+            assert n == before[d]  # untouched buckets keep their files
+    assert t.read().count() == n_rows

@@ -378,3 +378,31 @@ def test_pq_adc_topk_and_rerank(spark):
     assert adc.count() == 10
     df.unpersist()
     enc.unpersist()
+
+
+def test_ivfpq_topk_recall(spark):
+    """IVF-PQ composition: coarse-quantizer pruning + ADC code scan +
+    exact rerank recovers the exact top-10 on a clustered corpus."""
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import cosine_topk, ivfpq_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(16, 64)
+    rows = [
+        (i, [float(x) for x in centers[i % 16] + 0.05 * rng.randn(64)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    recalls = []
+    for qid in (0, 111, 222, 333):
+        exact = {r["vec_id"] for r in cosine_topk(df, rows[qid][1], k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                df, rows[qid][1], k=10, n_clusters=8, nprobe=3, rerank=40
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    df.unpersist()
