@@ -778,6 +778,17 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (cluster pruning + ADC scan + rerank) —
+    rows-only, recall@10 emitted."""
+    from fastdb_spark.pipeline.ann import cosine_topk, ivfpq_topk, with_recall
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = list(embs.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    appr = ivfpq_topk(embs, qvec, k=10, n_clusters=8, nprobe=3, rerank=50)
+    return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
     shape) next to the md5 content fingerprint."""
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_mag_per_band": _q_latest_mag_per_band,
         "json_extract": _q_json_extract,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
     }
 
 

@@ -109,5 +109,6 @@ def test_queries_have_oracles():
         "ann_ivf_topk",
         "ann_ivf_index",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
