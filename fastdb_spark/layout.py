@@ -69,3 +69,58 @@ def read_cone(
     zhi = math.floor((center_dec + radius_deg) / zone_deg)
     pruned = df.filter(F.col(ZONE_COL).between(zlo, zhi))
     return cone_search(pruned, center_ra, center_dec, radius_deg)
+
+
+def morton_key(ra, dec, bits: int = 16):
+    """Z-order (Morton) interleave of quantized (ra, dec) — a pure Column
+    expression (shift/or chain, whole-stage codegen'd).
+
+    Sorting files by this key clusters 2-D-nearby sky positions into the
+    same row groups, so parquet min/max stats prune cone-search scans in
+    BOTH coordinates (the dec-zone partition prunes only one).  This is
+    the columnar analog of the reference's q3c spatial index (reference
+    ``db/2026-02-02_refactor.sql:279-285``), built as layout instead of a
+    btree.  ``bits`` per axis; 16 gives ~0.005 deg cells.
+    """
+    scale_ra = (1 << bits) / 360.0
+    scale_dec = (1 << bits) / 180.0
+    qra = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor(ra * F.lit(scale_ra)).cast("long"),
+    )
+    qdec = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((dec + F.lit(90.0)) * F.lit(scale_dec)).cast("long"),
+    )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(qra, b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(qdec, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return key
+
+
+def write_spatial_zordered(
+    df: DataFrame,
+    path: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    zone_deg: float = ZONE_DEG,
+) -> None:
+    """Zone-partitioned + Z-ORDER-clustered layout: partition pruning on
+    dec zones, then files sorted by the Morton key inside each zone so
+    row-group stats prune on both ra and dec (the Delta OPTIMIZE ZORDER
+    analog on plain parquet)."""
+    out = df.withColumn(ZONE_COL, zone_bucket(F.col(dec_col), zone_deg)).withColumn(
+        "_zkey", morton_key(F.col(ra_col), F.col(dec_col))
+    )
+    (
+        out.repartition(ZONE_COL)
+        .sortWithinPartitions(ZONE_COL, "_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .partitionBy(ZONE_COL)
+        .parquet(path)
+    )

@@ -150,3 +150,55 @@ def test_objstats_gold_refresh(spark, golden, tmp_path):
     # refresh is idempotent-overwrite
     refresh_objstats(spark, golden, resolver, "pv2", gold)
     assert read_objstats(spark, gold, "pv2")[1].count() == 4
+
+
+def test_morton_key_clusters_neighbors(spark):
+    """Z-order property: spatially-near points get numerically-near keys
+    (shared high bits), far points differ in high bits — the invariant
+    row-group pruning relies on."""
+    from fastdb_spark.layout import morton_key
+
+    rows = [
+        (1, 100.0, -30.0),
+        (2, 100.001, -30.001),  # ~arcsec neighbor of 1
+        (3, 100.002, -29.999),  # also near 1
+        (4, 250.0, 45.0),  # far
+    ]
+    df = spark.createDataFrame(rows, ["id", "ra", "dec"])
+    keys = {
+        r["id"]: r["k"]
+        for r in df.select("id", morton_key(F.col("ra"), F.col("dec")).alias("k")).collect()
+    }
+    # near pair within a few cells; far pair separated by many high bits
+    assert abs(keys[1] - keys[2]) < (1 << 10)
+    assert abs(keys[1] - keys[3]) < (1 << 12)
+    assert abs(keys[1] - keys[4]) > (1 << 24)
+    # keys are bounded by 2*bits
+    assert all(0 <= k < (1 << 32) for k in keys.values())
+
+
+def test_zordered_layout_roundtrip_and_rowgroup_locality(spark, tmp_path):
+    from fastdb_spark.layout import ZONE_COL, morton_key, write_spatial_zordered
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), float(rng.uniform(0, 360)), float(rng.uniform(-10, 10)))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, ["diaobjectid", "ra", "dec"])
+    path = str(tmp_path / "sky")
+    write_spatial_zordered(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert ZONE_COL in back.columns
+    # within a zone the file order follows the morton key (monotone ra
+    # cell prefix when dec is fixed-ish) — verify keys are sorted per file
+    import glob
+
+    f = sorted(glob.glob(f"{path}/{ZONE_COL}=*/*.parquet"))[0]
+    pdf = spark.read.parquet(f).select(
+        morton_key(F.col("ra"), F.col("dec")).alias("k")
+    ).toPandas()
+    assert (pdf["k"].diff().dropna() >= 0).all()
