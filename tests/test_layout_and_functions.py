@@ -202,3 +202,40 @@ def test_zordered_layout_roundtrip_and_rowgroup_locality(spark, tmp_path):
         morton_key(F.col("ra"), F.col("dec")).alias("k")
     ).toPandas()
     assert (pdf["k"].diff().dropna() >= 0).all()
+
+
+def test_catalog_events_ts_encoding_matrix(spark, tmp_path):
+    """Catalog.table('events') must normalize ts to session-TZ TIMESTAMP
+    whatever parquet encoding the generator used: MICROS isAdjustedToUTC
+    false (reads as TIMESTAMP_NTZ), true (plain LTZ), or NANOS (legacy
+    long path).  Round 2 was lost to exactly this changing under us."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastdb_spark.catalog import Catalog
+
+    base = pa.array([1_700_000_000_000_000 + i for i in range(5)])
+    cases = {
+        "ntz": pa.table({"event_id": pa.array(range(5), pa.int64()),
+                         "ts": base.cast(pa.timestamp("us"))}),
+        "ltz": pa.table({"event_id": pa.array(range(5), pa.int64()),
+                         "ts": base.cast(pa.timestamp("us", tz="UTC"))}),
+        "nanos": pa.table({"event_id": pa.array(range(5), pa.int64()),
+                           "ts": pa.array([v * 1000 for v in
+                                           [1_700_000_000_000_000 + i for i in range(5)]],
+                                          pa.timestamp("ns"))}),
+    }
+    for name, tbl in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"),
+                       coerce_timestamps=None, use_deprecated_int96_timestamps=False)
+        ev = Catalog(spark, str(d)).table("events")
+        got = (
+            ev.select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .collect()
+        )
+        assert [r["us"] for r in got] == [
+            1_700_000_000_000_000 + i for i in range(5)
+        ], name
