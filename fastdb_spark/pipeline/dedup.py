@@ -247,15 +247,16 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     def _score(apdf: "pd.DataFrame", bpdf: "pd.DataFrame", upper: bool):
-        """GEMM one side against the other; emit (min_id, max_id, cos)."""
+        """GEMM one side against the other; emit (min_id, max_id, cos).
+        Sides carry distinct column names (v/rv, id/rid) — see below."""
         if not len(apdf) or not len(bpdf):
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
             )
         am = np.array(apdf["v"].tolist(), dtype=np.float64)
-        bm = np.array(bpdf["v"].tolist(), dtype=np.float64)
+        bm = np.array(bpdf["rv" if "rv" in bpdf else "v"].tolist(), dtype=np.float64)
         aid = apdf[id_col].to_numpy(dtype=np.int64)
-        bid = bpdf[id_col].to_numpy(dtype=np.int64)
+        bid = bpdf["rid" if "rid" in bpdf else id_col].to_numpy(dtype=np.int64)
         an = np.sqrt((am * am).sum(axis=1))
         bn = np.sqrt((bm * bm).sum(axis=1))
         cos = np.round((am @ bm.T) / np.outer(an, bn), 6)
@@ -297,7 +298,11 @@ def embedding_neardup_pairs(
     tagged = keyed.withColumn("blk", blk)
     # each row fans out to every block pair it participates in: as the A
     # side of (blk, j>=blk), as the B side of (i<=blk, blk) — explode of a
-    # generated sequence, no self-join, ~B-fold replication
+    # generated sequence, no self-join, ~B-fold replication.  The two
+    # sides share lineage, so the RIGHT side gets DISTINCT column names
+    # (rid/rv): with identical names, attribute resolution can bind a
+    # side's column to the other plan's exprId under default analyzer
+    # settings and the right batch arrives without its columns.
     left = tagged.select(
         F.col(id_col),
         "v",
@@ -306,12 +311,12 @@ def embedding_neardup_pairs(
         ).alias("bp"),
     ).select(id_col, "v", "bp.blk_i", "bp.blk_j")
     right = tagged.select(
-        F.col(id_col),
-        "v",
+        F.col(id_col).alias("rid"),
+        F.col("v").alias("rv"),
         F.explode(
             F.expr("transform(sequence(0, blk), i -> struct(i AS blk_i, blk AS blk_j))")
         ).alias("bp"),
-    ).select(id_col, "v", "bp.blk_i", "bp.blk_j")
+    ).select("rid", "rv", "bp.blk_i", "bp.blk_j")
 
     def gemm(key, apdf: "pd.DataFrame", bpdf: "pd.DataFrame") -> "pd.DataFrame":
         return _score(apdf, bpdf, upper=key[0] == key[1])
