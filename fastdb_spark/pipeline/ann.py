@@ -500,3 +500,42 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def cosine_topk_many(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors — the shape a
+    training pipeline actually runs (dedup a new shard against anchors,
+    mine hard negatives for a whole batch).
+
+    The query set broadcasts against the corpus scan (one pass over the
+    big side however many queries ride along), and per-query top-k is a
+    rank window partitioned by query id — state per group is k rows.
+    At 100 TB compose with the bucket/cluster prefilters (probe each
+    query's LSH bucket or IVF clusters first) exactly as the single-query
+    variants do."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(query_vec_col)).alias("_qv")
+    )
+    scored = embeddings.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    ).join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

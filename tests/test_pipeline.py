@@ -406,3 +406,27 @@ def test_ivfpq_topk_recall(spark):
         recalls.append(len(exact & got) / 10)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     df.unpersist()
+
+
+def test_cosine_topk_many_matches_single(embs):
+    """Batched multi-query top-k must return exactly what the one-query
+    operator returns for each query, in one corpus pass."""
+    from fastdb_spark.pipeline.ann import cosine_topk, cosine_topk_many
+
+    qids = [0, 100, 250]
+    queries = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    many = cosine_topk_many(embs, queries, k=5)
+    got = {
+        qid: [(r["vec_id"], r["cos"]) for r in many.filter(F.col("query_id") == qid)
+              .orderBy(F.desc("cos"), "vec_id").collect()]
+        for qid in qids
+    }
+    for qid in qids:
+        qvec = list(embs.filter(F.col("vec_id") == qid).head()["embedding"])
+        single = [(r["vec_id"], r["cos"]) for r in cosine_topk(embs, qvec, k=5).collect()]
+        assert got[qid] == single, qid
+    # one broadcast join, no shuffle of the corpus before scoring
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
