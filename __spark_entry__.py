@@ -1128,6 +1128,53 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: minhash-LSH candidate pairs closed
+    under connectivity by the large-star/small-star map-reduce CC
+    algorithm (pipeline/cluster.py) — one label per transitive group even
+    when the endpoints never shared an LSH bucket."""
+    from fastdb_spark.pipeline.cluster import dup_cluster_labels
+    from fastdb_spark.pipeline.corpus import neardup_docs
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = neardup_docs(docs).repartition(spark.sparkContext.defaultParallelism)
+    return dup_cluster_labels(minhash_lsh_pairs(corpus)).select(
+        "doc_id", "cluster_id", "cluster_size", "is_keeper"
+    )
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top word/bigram coverage
+    and duplicate-trigram fraction per document, as integral ppm."""
+    from fastdb_spark.pipeline.textstats import repetition_stats
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return repetition_stats(docs)
+
+
+#: domain-mix targets: rebalance the lang-skewed corpus (en is ~40%)
+#: toward an even five-way mixture at half the corpus budget
+_MIX_SHARES = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+_MIX_BUDGET = 0.5
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sampler: per-language keep rates derived from the
+    corpus counts so the kept set approaches an even language mixture."""
+    from fastdb_spark.pipeline.sample import domain_mix_sample
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "source"
+    )
+    out = domain_mix_sample(
+        docs, "lang", _MIX_SHARES, _MIX_BUDGET, "doc_id", salt="mix2"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  The tail holds layout/plan variants whose operator
@@ -1197,6 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "dup_clusters": _q_dup_clusters,
+        "doc_repetition": _q_doc_repetition,
+        "domain_mix_sample": _q_domain_mix,
     }
 
 
@@ -1221,7 +1271,7 @@ _HAV_PAIR = (
 
 def oracle_sql() -> dict[str, str]:
     from fastdb_spark.pipeline import oracles as po
-    from fastdb_spark.pipeline.sample import sample_oracle_sql
+    from fastdb_spark.pipeline.sample import domain_mix_oracle_sql, sample_oracle_sql
     thr = {24: 912.011, 23: 2290.87, 22: 5754.40, 21: 14454.4}
     ndets_cases = ", ".join(
         f"CAST(sum(CASE WHEN psfflux >= {v} THEN 1 ELSE 0 END) AS BIGINT) AS ndets{m}"
@@ -1857,4 +1907,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) / count(*), 6) AS avg_value
             FROM events GROUP BY event_type
         """,
+        "dup_clusters": po.dup_clusters_sql(),
+        "doc_repetition": po.doc_repetition_sql(),
+        "domain_mix_sample": domain_mix_oracle_sql(
+            "documents",
+            "lang",
+            _MIX_SHARES,
+            _MIX_BUDGET,
+            "doc_id",
+            salt="mix2",
+            select_cols="d.doc_id, d.lang, d.source",
+        ),
     }

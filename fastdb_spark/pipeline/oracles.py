@@ -184,6 +184,72 @@ def curate_sql(
     """
 
 
+def dup_clusters_sql(
+    shingle_k: int = 3, n_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Transitive duplicate clusters over the minhash-LSH pairs: the
+    recursive-CTE transitive closure labels every node with the minimum
+    reachable id — the SQL twin of the large-star/small-star DataFrame
+    algorithm in ``pipeline.cluster`` (same labels, different algorithm;
+    closure is fine at oracle scale, star-contraction is the 100 TB one).
+    """
+    ctes = _minhash_pair_ctes("corpus", shingle_k, n_hashes, bands, threshold)
+    return f"""
+        WITH RECURSIVE corpus AS ({NEARDUP_DOCS_SQL}),
+        {ctes},
+        edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+                  UNION SELECT id_b, id_a FROM mh_pairs),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                FROM reach GROUP BY u)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_keeper
+        FROM lab
+    """
+
+
+def doc_repetition_sql() -> str:
+    """duckdb twin of ``textstats.repetition_stats`` — identical n-gram
+    construction (1-indexed inclusive slices) and integral-ppm floors."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        grams AS (
+          SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+          UNION ALL
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+1], ' '))) AS gram
+          FROM toks
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+          FROM toks),
+        cnt AS (SELECT doc_id, n, gram, count(*) AS c
+                FROM grams GROUP BY doc_id, n, gram),
+        per AS (SELECT doc_id, n, max(c) AS topc, sum(c) AS tot,
+                       count(*) AS nd
+                FROM cnt GROUP BY doc_id, n)
+        SELECT doc_id,
+               CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(FLOOR(max(CASE WHEN n = 1 THEN topc END)
+                    * 1000000.0 / max(CASE WHEN n = 1 THEN tot END)), 0)
+                    AS BIGINT) AS top_word_ppm,
+               CAST(COALESCE(FLOOR(max(CASE WHEN n = 2 THEN topc END)
+                    * 1000000.0 / max(CASE WHEN n = 2 THEN tot END)), 0)
+                    AS BIGINT) AS top_bigram_ppm,
+               CAST(COALESCE(FLOOR((max(CASE WHEN n = 3 THEN tot END)
+                    - max(CASE WHEN n = 3 THEN nd END))
+                    * 1000000.0 / max(CASE WHEN n = 3 THEN tot END)), 0)
+                    AS BIGINT) AS dup_trigram_ppm
+        FROM per GROUP BY doc_id
+    """
+
+
 def simhash_sql(shingle_k: int = 3, max_hamming: int = 16) -> str:
     bitsums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"

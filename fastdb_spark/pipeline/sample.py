@@ -55,6 +55,84 @@ def hash_stratified_sample(
     return df.filter(hash_uniform(F.col(id_col), salt) < rate)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    stratum_col: str,
+    shares: dict[str, float],
+    budget_frac: float,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample toward a TARGET MIXTURE: each stratum's keep rate is
+    derived from its actual row count so the output approximates
+    ``budget_frac`` of the corpus split per ``shares`` (dataset-mixing /
+    domain-rebalancing for training corpora — over-represented strata
+    get downsampled, rare strata keep everything).
+
+    rate(s) = min(1, shares[s] * budget_frac * N_total / N_s), applied
+    with the same deterministic md5 uniform as
+    ``hash_stratified_sample`` — exact, reproducible, oracle-checkable.
+
+    Shape: one global count + one per-stratum count (both map-side
+    combined), the tiny rate table broadcast back onto the scan — the
+    sampling decision itself never shuffles the corpus.
+    """
+    tot = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    cnts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_stratum"))
+    pairs: list[Column] = []
+    for k, v in sorted(shares.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    share = F.coalesce(F.create_map(*pairs)[F.col(stratum_col)], F.lit(0.0))
+    rates = cnts.crossJoin(tot).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            share
+            * F.lit(float(budget_frac))
+            * F.col("_n_total")
+            / F.col("_n_stratum"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def domain_mix_oracle_sql(
+    table: str,
+    stratum_col: str,
+    shares: dict[str, float],
+    budget_frac: float,
+    id_col: str,
+    salt: str = "",
+    select_cols: str = "*",
+) -> str:
+    """duckdb twin of ``domain_mix_sample`` — identical rate arithmetic
+    (left-associated share * budget * total / stratum) and md5 uniform."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(shares.items())
+    )
+    return f"""
+        WITH tot AS (SELECT count(*) AS n_total FROM {table}),
+        cnts AS (SELECT {stratum_col}, count(*) AS n_stratum
+                 FROM {table} GROUP BY {stratum_col}),
+        rates AS (SELECT {stratum_col},
+                         least(1.0,
+                               (CASE {stratum_col} {cases} ELSE 0.0 END)
+                               * {float(budget_frac)!r} * n_total / n_stratum)
+                           AS rate
+                  FROM cnts, tot)
+        SELECT {select_cols} FROM {table} d
+        JOIN rates r USING ({stratum_col})
+        WHERE ('0x' || substr(md5('{salt}' || CAST(d.{id_col} AS VARCHAR)), 1, 8))
+                ::BIGINT / {_DENOM!r}
+              < r.rate
+    """
+
+
 def sample_oracle_sql(
     table: str,
     stratum_col: str,
