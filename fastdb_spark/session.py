@@ -61,6 +61,14 @@ def builder(
         # surface as TIMESTAMP_NTZ, which unix_micros() and window() reject;
         # with the session TZ pinned UTC the LTZ reading is instant-identical.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Runtime bloom-filter join pruning: when one join side carries a
+        # selective filter (the id-list semi-join pattern — P5/J5), inject
+        # a bloom filter of its keys into the other side's scan so rows
+        # that cannot match are dropped BEFORE the shuffle.  The size
+        # thresholds stay at their defaults (creation side <= 10 MB,
+        # application side >= 10 GB scanned) — i.e. this activates exactly
+        # in the 100 TB regime it exists for, never on test-size inputs.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if master:
         b = b.master(master)

@@ -142,3 +142,38 @@ def test_paginate_auto_switches_to_ranged(spark):
     # sorting ALL rows in one task; the ranged plan windows per range
     assert "row_number" in plan
     assert page.count() == 5
+
+
+def test_runtime_bloom_filter_prunes_idlist_join(spark):
+    """The session enables runtime bloom-filter join pruning (J5/P5 id-list
+    pattern): with a selective filter on the small side, Catalyst must
+    inject might_contain(...) into the big side's scan stage.  Size
+    thresholds are lowered here only to make the 100 TB behavior visible
+    at test scale — production defaults (apply side >= 10 GB) mean the
+    rewrite activates exactly when it pays."""
+    from fastdb_spark.catalog import Catalog
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        cat = Catalog(spark, SF_DIR)
+        li = cat.table("lineitem")
+        orders = cat.table("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderdate"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
