@@ -69,6 +69,17 @@ def builder(
         # application side >= 10 GB scanned) — i.e. this activates exactly
         # in the 100 TB regime it exists for, never on test-size inputs.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # InferFiltersFromGenerate turns explode(f(text)) into an inferred
+        # `size(f(text)) > 0` filter and pushes it into the scan — so every
+        # expensive generator input (shingle arrays, n-grams, signatures)
+        # is computed TWICE per row, once in the scan filter and once in
+        # the projection.  The rule only pays when many rows carry empty
+        # arrays (ours essentially never do: sketches derive from non-null
+        # text); measured on the sketch pipelines it costs 40-50%.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master:
         b = b.master(master)

@@ -144,6 +144,23 @@ def test_paginate_auto_switches_to_ranged(spark):
     assert page.count() == 5
 
 
+def test_no_duplicated_generator_input_in_scan(spark):
+    """The shingle expression feeding explode() must NOT be re-computed as
+    an inferred `size(...) > 0` scan filter (InferFiltersFromGenerate is
+    excluded: it doubles the per-row cost of every sketch pipeline)."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.functions.text import word_shingles
+    from fastdb_spark.pipeline.corpus import neardup_docs
+
+    docs = neardup_docs(Catalog(spark, SF_DIR).table("documents"))
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    plan = exploded._jdf.queryExecution().optimizedPlan().toString()
+    # without the exclusion the optimized plan contains a Filter over
+    # size(array_distinct(transform(...))) below the Generate
+    assert "Filter (size(array_distinct" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_idlist_join(spark):
     """The session enables runtime bloom-filter join pruning (J5/P5 id-list
     pattern): with a selective filter on the small side, Catalyst must
