@@ -107,6 +107,9 @@ def connected_components(
     the connected component.  Nodes absent from ``pairs`` (singletons)
     are not emitted — union them in with label = own id if needed.
     """
+    # lazy checkpoints: the _signature() collect right after is the one
+    # action that materializes each round — eager=True would run a second
+    # job per round for nothing
     cur = (
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("a"),
@@ -114,11 +117,11 @@ def connected_components(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _signature(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         cur = nxt
         if nsig == sig:
