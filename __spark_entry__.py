@@ -1353,15 +1353,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             s AS (
               SELECT user_id, ts_us, value,
-                     sum(is_new) OVER (PARTITION BY user_id
+                     -- duckdb SUM(int) is HUGEINT (int128) which pandas
+                     -- renders as float; cast to match Spark's bigint
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
                          ORDER BY ts_us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_seq
+                       AS BIGINT) AS session_seq
               FROM w)
             SELECT user_id, session_seq,
                    count(*) AS n_events,
+                   -- +0.0 collapses IEEE -0.0 to +0.0 (Spark's round goes
+                   -- through BigDecimal, which has no signed zero)
                    round(list_reduce(list_prepend(0.0::DOUBLE,
-                         list_sort(list(value))), (a,b) -> a+b), 6)
+                         list_sort(list(value))), (a,b) -> a+b), 6) + 0.0
                      AS session_value,
                    min(ts_us) AS start_us,
                    max(ts_us) AS end_us
@@ -1545,12 +1549,16 @@ def oracle_sql() -> dict[str, str]:
             -- ASCENDING-sorted terms — one canonical addition order that
             -- both engines reproduce exactly (Spark: aggregate(array_sort(
             -- collect_list(x)), 0.0, (a,x) -> a+x))
+            -- the trailing +0.0 collapses IEEE -0.0 to +0.0: duckdb's
+            -- round preserves the sign of zero while Spark's round goes
+            -- through java BigDecimal, which has no signed zero — the
+            -- last hash divergence after the ordered-fold sums
             SELECT rootid,
-                   round(swra/sw, 6) AS ra,
-                   round(swdec/sw, 6) AS "dec",
-                   round(sqrt(greatest(swra2/sw - (swra/sw)*(swra/sw), 0.0)), 6) AS raerr,
-                   round(sqrt(greatest(swdec2/sw - (swdec/sw)*(swdec/sw), 0.0)), 6) AS decerr,
-                   round(swradec/sw - (swra/sw)*(swdec/sw), 6) AS ra_dec_cov,
+                   round(swra/sw, 6) + 0.0 AS ra,
+                   round(swdec/sw, 6) + 0.0 AS "dec",
+                   round(sqrt(greatest(swra2/sw - (swra/sw)*(swra/sw), 0.0)), 6) + 0.0 AS raerr,
+                   round(sqrt(greatest(swdec2/sw - (swdec/sw)*(swdec/sw), 0.0)), 6) + 0.0 AS decerr,
+                   round(swradec/sw - (swra/sw)*(swdec/sw), 6) + 0.0 AS ra_dec_cov,
                    nposdets
             FROM (SELECT rootid,
                          list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w))), (a,b) -> a+b) AS sw,
