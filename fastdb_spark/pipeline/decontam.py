@@ -1,0 +1,110 @@
+"""Benchmark decontamination: drop training documents that share word
+n-grams with an evaluation/benchmark set.
+
+Standard LLM training-data hygiene (GPT-3 used 13-gram overlap, Llama-2
+8-gram / skip-gram variants): any training document containing a long
+n-gram that also appears in a held-out benchmark is suspected test-set
+leakage and must be flagged or removed before training.
+
+Shape (the 100 TB design):
+
+- The benchmark side is *small* (thousands of eval documents, ~1e6
+  distinct n-grams) — its distinct-gram set is built once and broadcast,
+  so the training corpus is matched in a single map-side pass: explode
+  per-doc distinct grams -> broadcast-hash semi/inner join -> per-doc
+  count.  No shuffle of the corpus at all when the join broadcasts; the
+  only aggregation is the per-doc hit count, keyed by near-unique doc_id
+  (skew-free, map-side combinable).
+- Gram explosion is bounded: ``array_distinct`` first, so a document
+  contributes each gram once regardless of internal repetition.
+- Everything is built-in Column expressions (split / transform / slice /
+  explode) — whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastdb_spark.pipeline.textstats import _ngrams
+
+#: default overlap gram length (words) — Llama-2-style
+DEFAULT_N = 8
+
+
+def _distinct_grams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(toks, n))).alias("gram"),
+    )
+
+
+def contamination(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-document contamination evidence.
+
+    Returns ``(id_col, n_hits)`` for every training document sharing at
+    least one distinct word ``n``-gram with ``eval_docs`` — ``n_hits`` is
+    the number of *distinct* shared grams.  Documents with no overlap are
+    absent (filter-side semantics; join them back for a full ledger).
+    """
+    ev = (
+        _distinct_grams(eval_docs, n, id_col, text_col)
+        .select("gram")
+        .distinct()
+    )
+    tr = _distinct_grams(documents, n, id_col, text_col)
+    hits = tr.join(F.broadcast(ev), "gram")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_N,
+    max_hits: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The clean corpus: training documents with at most ``max_hits``
+    distinct benchmark n-grams (default: zero tolerance).
+
+    Implemented as an anti-join against the flagged set — the corpus
+    payload never shuffles; only doc_ids of flagged docs (a tiny frame)
+    move.
+    """
+    flagged = contamination(documents, eval_docs, n, id_col, text_col).filter(
+        F.col("n_hits") > max_hits
+    )
+    return documents.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
+
+
+def contamination_oracle_sql(
+    n: int = DEFAULT_N, eval_pred: str = "doc_id % 97 = 0"
+) -> str:
+    """duckdb twin of ``contamination`` with the eval split taken from the
+    same table by predicate (how the gate query builds its benchmark)."""
+    grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(t) - {n - 1}, 0)), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        ev AS (SELECT DISTINCT unnest({grams}) AS gram
+               FROM toks WHERE {eval_pred}),
+        tr AS (SELECT doc_id, unnest({grams}) AS gram
+               FROM toks WHERE NOT ({eval_pred}))
+        SELECT tr.doc_id, count(*) AS n_hits
+        FROM tr JOIN ev USING (gram)
+        GROUP BY tr.doc_id
+    """

@@ -1,0 +1,144 @@
+"""BM25 ranked retrieval over the document corpus.
+
+Okapi BM25 (Robertson & Zaragoza 2009) with the Lucene idf variant:
+
+    score(d, q) = sum_t idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1 - b + b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Shape (the 100 TB design):
+
+- Query terms are filtered *inside the token array* (``F.filter`` before
+  ``explode``), so the generate stage emits only matching tokens — for a
+  3-term query that is ~3/|vocab| of the corpus token stream, and the
+  filter + explode run in the scan stage (no shuffle of non-matching
+  text).
+- ``df(t)`` is a per-term aggregate over those rows (|q| rows total) and
+  ``(N, avgdl)`` is a 1-row corpus aggregate — both broadcast back, so
+  the only real shuffle is the (doc, term) tf aggregation, keyed by
+  near-unique pairs (skew-free, map-side combinable).
+- Final top-k is ``orderBy(...).limit(k)`` = TakeOrderedAndProject: no
+  global sort materializes.
+
+Everything is built-in Column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query, BM25-scored.
+
+    Returns ``(id_col, n_terms, score_q)`` where ``score_q`` is the score
+    quantized to ``floor(score * 1e4)`` (coarse enough that a last-ulp
+    ``ln`` difference between engines cannot flip it) and ``n_terms`` is
+    how many distinct query terms the document contains.  Ties broken by
+    ascending ``id_col``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    is_q = lambda t: reduce(  # noqa: E731 — tiny predicate combinator
+        lambda a, c: a | c, [t == F.lit(w) for w in query_terms]
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, is_q).alias("qtoks"),
+    )
+    # corpus stats: one row, broadcast into every score row
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("qtoks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # ordered double fold: one canonical addition order both engines
+    # reproduce bit-for-bit (see objstats.ordered_sum)
+    from fastdb_spark.queries.objstats import ordered_sum
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        ordered_sum(F.col("contrib")).alias("score"),
+    )
+    return (
+        per_doc.select(
+            id_col,
+            "n_terms",
+            F.floor(F.col("score") * F.lit(10000.0)).cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """duckdb twin of ``bm25_topk`` — same Lucene-idf formula, same
+    floor-quantization, same tie-break."""
+    terms = ", ".join(f"'{w}'" for w in query_terms)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 list_filter(string_split(text, ' '),
+                             t -> t IN ({terms})) AS qtoks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        tf AS (SELECT doc_id, dl, unnest(qtoks) AS term FROM base),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM tf GROUP BY doc_id, dl, term),
+        dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        scored AS (
+          SELECT tfc.doc_id,
+                 ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tfc.tf * {k1 + 1.0})
+                 / (tfc.tf + {k1} * ({1.0 - b} + {b} * tfc.dl / s.avgdl))
+                   AS contrib
+          FROM tfc JOIN dft USING (term) CROSS JOIN stats s)
+        SELECT doc_id,
+               count(*) AS n_terms,
+               CAST(FLOOR(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_sort(list(contrib))), (a, x) -> a + x)
+                    * 10000.0) AS BIGINT) AS score_q
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id
+        LIMIT {k}
+    """

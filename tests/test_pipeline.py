@@ -430,3 +430,71 @@ def test_cosine_topk_many_matches_single(embs):
     # one broadcast join, no shuffle of the corpus before scoring
     plan = many._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination + BM25 retrieval
+
+
+def test_contamination_planted(spark):
+    """A training doc embedding a verbatim eval passage is flagged with the
+    right distinct-gram count; clean docs are not."""
+    from fastdb_spark.pipeline.decontam import contamination, decontaminate
+
+    passage = " ".join(f"w{i}" for i in range(10))  # 10 tokens -> 3 distinct 8-grams
+    ev = spark.createDataFrame([(1, passage)], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [
+            (10, "prefix " + passage + " suffix"),  # contains all 3 grams
+            (11, "totally unrelated words " + " ".join(f"x{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination(tr, ev, n=8).collect()}
+    assert hits == {10: 3}
+    clean = decontaminate(tr, ev, n=8)
+    assert [r["doc_id"] for r in clean.collect()] == [11]
+
+
+def test_contamination_short_doc_safe(spark):
+    """Docs shorter than n grams contribute nothing (no negative sequence)."""
+    from fastdb_spark.pipeline.decontam import contamination
+
+    ev = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    tr = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    assert contamination(tr, ev, n=8).count() == 0
+
+
+def test_bm25_ranks_relevant_first(spark):
+    """The doc stuffed with query terms outranks one brushing past them,
+    and a doc with zero query terms is absent."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk
+
+    filler = " ".join(f"f{i}" for i in range(30))
+    tr = spark.createDataFrame(
+        [
+            (1, "vector merge filter vector merge filter " + filler),
+            (2, "vector " + filler),
+            (3, filler),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(tr, ["vector", "merge", "filter"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["n_terms"] == 3 and out[1]["n_terms"] == 1
+    assert out[0]["score_q"] > out[1]["score_q"] > 0
+
+
+def test_bm25_plan_no_python(spark):
+    """The scoring pipeline stays JVM-side: no BatchEvalPython/ArrowEval
+    stages in the physical plan."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk
+
+    docs = Catalog(spark, SF).table("documents")
+    plan = (
+        bm25_topk(docs, ["vector", "merge"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
