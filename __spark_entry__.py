@@ -1175,6 +1175,12 @@ def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _pack_oracle() -> str:
+    from fastdb_spark.pipeline.packing import pack_oracle_sql
+
+    return pack_oracle_sql(seq_len=2048)
+
+
 def _decontam_oracle() -> str:
     from fastdb_spark.pipeline.decontam import contamination_oracle_sql
 
@@ -1194,6 +1200,16 @@ _DECONTAM_EVAL_PRED = "doc_id % 7 = 0"
 
 #: fixed bag-of-words query for the BM25 gate (mid-frequency corpus terms)
 _BM25_QUERY = ["vector", "merge", "filter"]
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing ledger at 2048 tokens: global
+    token cumsum via range shuffle + partition-local windows + broadcast
+    base offsets (no single-task global window)."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return pack_sequences(docs, seq_len=2048)
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "doc_repetition": _q_doc_repetition,
         "domain_mix_sample": _q_domain_mix,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1967,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_clusters": po.dup_clusters_sql(),
         "doc_repetition": po.doc_repetition_sql(),
+        "pack_sequences": _pack_oracle(),
         "domain_mix_sample": domain_mix_oracle_sql(
             "documents",
             "lang",

@@ -72,3 +72,42 @@ def windowed_alert_rates(
         F.col("win.end").alias("window_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+def session_stream_stats(
+    stream: DataFrame,
+    time_col: str = "savetime",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Streaming sessionization via native session windows — the
+    continuous counterpart of the batch lag+cumsum ``sessionize`` query.
+
+    ``F.session_window`` merges events per key whose gaps are below
+    ``gap``; a session closes (and, in append mode, emits exactly once)
+    when the watermark passes its end.  State per live (key, session) is
+    bounded by the watermark horizon, so the query runs indefinitely —
+    the scale story tumbling windows have, extended to data-driven
+    windows.  No custom state code: Catalyst's session-window operator
+    handles merge/expiry (contrast ``streaming.stateful``, which keeps
+    the applyInPandasWithState variant for state shapes Spark lacks).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if extra_aggs:
+        aggs.extend(extra_aggs)
+    out = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        *[c for c in out.columns if c not in ("sess", key_col)],
+    )

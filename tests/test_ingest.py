@@ -619,3 +619,70 @@ def test_bucketed_compact_rewrites_only_fragmented_buckets(spark, tmp_path):
         else:
             assert n == before[d]  # untouched buckets keep their files
     assert t.read().count() == n_rows
+
+
+def test_session_stream_stats(spark, tmp_path):
+    """Native streaming session windows: events within the gap merge into
+    one session per key, a larger gap splits sessions, and append mode
+    emits each session exactly once after the watermark closes it."""
+    from datetime import datetime, timezone
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from fastdb_spark.streaming.metrics import session_stream_stats
+
+    def ts(hour, minute):
+        return datetime(2026, 3, 1, hour, minute, tzinfo=timezone.utc)
+
+    src = str(tmp_path / "events")
+    _os.makedirs(src)
+
+    def write_file(name, rows):
+        t = pa.table(
+            {
+                "savetime": pa.array([r[0] for r in rows], pa.timestamp("us", "UTC")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        _pq.write_table(t, f"{src}/{name}")
+
+    # user 1: 12:00/12:10/12:20 chain -> one session 12:00-12:50;
+    # user 1 again at 14:00 -> second session; user 2: single event
+    write_file("f1.parquet", [(ts(12, 0), 1), (ts(12, 10), 1), (ts(12, 20), 1),
+                              (ts(12, 5), 2)])
+    _time.sleep(2.1)
+    write_file("f2.parquet", [(ts(14, 0), 1)])
+    _time.sleep(2.1)
+    # far-future event pushes the watermark past every session's end
+    write_file("f3.parquet", [(ts(20, 0), 9)])
+
+    stream = (
+        spark.readStream.schema("savetime timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = session_stream_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_stats").collect()
+    got = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): (
+            r["n_events"],
+            (r["session_end"].hour, r["session_end"].minute),
+        )
+        for r in rows
+    }
+    # session end = last event + gap (session_window semantics)
+    assert got[(1, 12, 0)] == (3, (12, 50))
+    assert got[(2, 12, 5)] == (1, (12, 35))
+    assert got[(1, 14, 0)] == (1, (14, 30))

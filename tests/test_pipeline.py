@@ -498,3 +498,40 @@ def test_bm25_plan_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_ledger(spark):
+    """Hand-checkable packing: 3 docs of 5/3/6 tokens at seq_len=4.
+    Stream offsets 0,5,8 -> seq ids 0,1,2; doc 1 spans seqs 0-1."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    tr = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, "i j k l m n")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in pack_sequences(tr, seq_len=4).collect()
+    }
+    assert out == {1: (0, 0, 2), 2: (1, 1, 1), 3: (2, 0, 2)}
+
+
+def test_pack_sequences_matches_single_partition(spark):
+    """The distributed (range-partitioned) ledger equals the trivial
+    single-range one — broadcast base offsets stitch partitions exactly."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    docs = Catalog(spark, SF).table("documents")
+    a = pack_sequences(docs, seq_len=512, num_ranges=8).toPandas()
+    b = pack_sequences(docs, seq_len=512, num_ranges=1).toPandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    # total sequences = ceil(total tokens / 512)
+    tot = int(a.n_tokens.sum())
+    last = a.iloc[-1]
+    assert int(last.seq_id) + int(last.n_seqs_spanned) - 1 == (tot - 1) // 512
