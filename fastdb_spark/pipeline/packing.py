@@ -14,25 +14,31 @@ re-ordering).  The ledger is
 where ``seq_id = floor(start / seq_len)``, ``seq_offset = start mod
 seq_len`` and ``start`` is the document's global token offset.
 
-The 100 TB shape — a global running sum WITHOUT a single-task window:
+The 100 TB shape — a global running sum WITHOUT a single-task window and
+with ONE shuffle:
 
-1. range-shuffle on the order key (``repartitionByRange`` — the same
-   machinery as ``orderBy``),
-2. partition-local cumulative sums via a partition-bounded window (each
-   task scans only its own range),
-3. ONE key-only job gathers per-partition token totals; their prefix
-   sums become broadcast base offsets,
-4. global offset = partition base + local cumsum (a map-side add).
+1. an order-preserving bucket is computed directly from the numeric
+   order key (``floor((id - min) * n / span)`` after a min/max scan
+   aggregate — no shuffle, no sampling pass),
+2. per-bucket token totals aggregate straight off the scan (map-side
+   combined — only ``n`` partial rows ever move); their prefix sums
+   become broadcast base offsets,
+3. bucket-local cumulative sums via ``Window.partitionBy(bucket)`` —
+   the hash exchange Catalyst inserts here is the single full shuffle,
+   and it carries only ``(id, n_tokens, bucket)``,
+4. global offset = bucket base + local cumsum (a map-side add).
 
-This is the ``paginate_ranged`` pattern applied to weights instead of row
-counts; everything stays JVM-side and all arithmetic is exact integers.
+``repartitionByRange`` + ``spark_partition_id()`` (the
+``paginate_ranged`` pattern) would be two full shuffles: Catalyst cannot
+prove the range layout satisfies the window's hash-clustering
+requirement and re-shuffles.  Deriving the bucket as a column expression
+makes the clustering provable.  Everything stays JVM-side and all
+arithmetic is exact integers.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastdb_spark.functions.text import token_count
@@ -41,20 +47,20 @@ from fastdb_spark.functions.text import token_count
 def pack_sequences(
     df: DataFrame,
     seq_len: int,
-    order_by: Sequence[str | Column] = ("doc_id",),
     id_col: str = "doc_id",
     text_col: str = "text",
     token_col: str | None = None,
     num_ranges: int | None = None,
 ) -> DataFrame:
-    """Placement ledger for concat-and-chunk packing at ``seq_len`` tokens.
+    """Placement ledger for concat-and-chunk packing at ``seq_len`` tokens,
+    concatenating in ascending ``id_col`` order (must be numeric non-null
+    — doc ids are).
 
     ``token_col`` supplies precomputed token counts; otherwise tokens are
     counted from ``text_col`` (single-space split, matching the corpus
     tokenizer).  Zero-token documents get ``n_seqs_spanned = 0`` at the
     position where they fall.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if token_col is None:
         base = df.select(
             F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
@@ -62,40 +68,49 @@ def pack_sequences(
     else:
         base = df.select(F.col(id_col), F.col(token_col).alias("n_tokens"))
 
-    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
-    # staged (cachereg-tracked) so the range shuffle feeding the totals
-    # job is reused by the ledger read — same policy as paginate_ranged
-    from fastdb_spark.cachereg import stage
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism * 4
+    lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return base.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_offset"),
+            F.lit(None).cast("long").alias("n_seqs_spanned"),
+        ).limit(0)
+    span = int(hi) - int(lo) + 1
+    n = max(1, min(n, span))
+    # order-preserving bucket straight from the key: provably clusters the
+    # window below, so Catalyst inserts exactly one exchange
+    bucket = F.floor(
+        (F.col(id_col) - F.lit(int(lo))).cast("double") * n / F.lit(span)
+    ).cast("int")
+    bb = base.withColumn("_b", bucket)
 
-    rdf = stage(
-        base.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id()),
-        eager=True,
-    )
+    # per-bucket totals off the raw scan: map-side combined, n rows move
     totals = {
-        r["_pid"]: r["tok"]
-        for r in rdf.groupBy("_pid").agg(F.sum("n_tokens").alias("tok")).collect()
+        r["_b"]: r["tok"]
+        for r in bb.groupBy("_b").agg(F.sum("n_tokens").alias("tok")).collect()
     }
     bases: dict[int, int] = {}
     acc = 0
-    for pid in sorted(totals):
-        bases[pid] = acc
-        acc += totals[pid] or 0
+    for b in sorted(totals):
+        bases[b] = acc
+        acc += totals[b] or 0
 
     base_map = F.create_map(
-        *[F.lit(v) for pid in sorted(bases) for v in (pid, bases[pid])]
+        *[F.lit(v) for b in sorted(bases) for v in (b, bases[b])]
     )
     w = (
-        Window.partitionBy("_pid")
-        .orderBy(*cols)
+        Window.partitionBy("_b")
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    start = base_map[F.col("_pid")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    start = base_map[F.col("_b")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
     # integer-exact until total tokens ~2^53 (double division both engines;
     # quotients stay exactly representable far past any real corpus)
     L = F.lit(seq_len)
-    return rdf.select(
+    return bb.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.floor(start / L).cast("long").alias("seq_id"),
