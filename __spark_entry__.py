@@ -1175,6 +1175,21 @@ def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _split_oracle() -> str:
+    from fastdb_spark.pipeline.corpus import EXACTDUP_DOCS_SQL
+    from fastdb_spark.pipeline.sample import split_oracle_sql
+
+    return (
+        f"WITH corpus AS ({EXACTDUP_DOCS_SQL}) "
+        + split_oracle_sql(
+            "corpus",
+            _SPLIT_WEIGHTS,
+            group_sql="md5(regexp_replace(trim(text), ' +', ' ', 'g'))",
+            select_cols="doc_id",
+        )
+    )
+
+
 def _pack_oracle() -> str:
     from fastdb_spark.pipeline.packing import pack_oracle_sql
 
@@ -1200,6 +1215,21 @@ _DECONTAM_EVAL_PRED = "doc_id % 7 = 0"
 
 #: fixed bag-of-words query for the BM25 gate (mid-frequency corpus terms)
 _BM25_QUERY = ["vector", "merge", "filter"]
+
+
+#: leakage-safe split shares for the gate query
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-consistent train/val/test assignment over the planted-
+    duplicate corpus: the uniform hashes the content fingerprint, so
+    byte-identical documents always share a split (no eval leakage)."""
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+
+    docs = exactdup_docs(Catalog(spark, sf_dir).table("documents"))
+    return leakage_safe_split(docs, _SPLIT_WEIGHTS).select("doc_id", "split")
 
 
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "domain_mix_sample": _q_domain_mix,
         "pack_sequences": _q_pack_sequences,
+        "leakage_safe_split": _q_leakage_safe_split,
     }
 
 
@@ -1985,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": po.dup_clusters_sql(),
         "doc_repetition": po.doc_repetition_sql(),
         "pack_sequences": _pack_oracle(),
+        "leakage_safe_split": _split_oracle(),
         "domain_mix_sample": domain_mix_oracle_sql(
             "documents",
             "lang",

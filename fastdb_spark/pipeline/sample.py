@@ -101,6 +101,79 @@ def domain_mix_sample(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: Column | str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicated content
+    across splits: the uniform is drawn from a GROUP key — by default the
+    document's content fingerprint — so byte-identical documents (or all
+    members of a near-dup cluster, if ``group_col`` carries
+    ``dup_cluster_labels`` output) always land in the same split.
+
+    Hashing the row id instead (the naive split) puts two copies of the
+    same document in train and test with probability 2·p·(1-p) each —
+    the classic eval-contamination bug this operator exists to prevent.
+
+    ``weights`` maps split name -> share (must sum to ~1); assignment is
+    by cumulative-interval lookup on the md5 uniform, so it is a pure
+    scan-stage expression: no shuffle, deterministic, oracle-checkable.
+    Returns the frame with a ``split`` column appended.
+    """
+    if group_col is None:
+        from fastdb_spark.functions.text import doc_fingerprint
+
+        key = doc_fingerprint(F.col(text_col)).cast("string")
+    else:
+        key = (
+            F.col(group_col) if isinstance(group_col, str) else group_col
+        ).cast("string")
+    u = hash_uniform(key, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += float(weights[name])
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def split_oracle_sql(
+    table: str,
+    weights: dict[str, float],
+    group_sql: str,
+    salt: str = "",
+    select_cols: str = "*",
+) -> str:
+    """duckdb twin of :func:`leakage_safe_split` (``group_sql`` is the
+    SQL expression for the group key, e.g. the fingerprint expression)."""
+    u = (
+        f"('0x' || substr(md5('{salt}' || CAST({group_sql} AS VARCHAR)), 1, 8))"
+        f"::BIGINT / {_DENOM!r}"
+    )
+    names = sorted(weights)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += float(weights[name])
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    case = " ".join(whens)
+    return f"""
+        SELECT {select_cols},
+               CASE {case} ELSE '{names[-1]}' END AS split
+        FROM {table}
+    """
+
+
 def domain_mix_oracle_sql(
     table: str,
     stratum_col: str,

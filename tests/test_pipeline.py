@@ -535,3 +535,39 @@ def test_pack_sequences_matches_single_partition(spark):
     tot = int(a.n_tokens.sum())
     last = a.iloc[-1]
     assert int(last.seq_id) + int(last.n_seqs_spanned) - 1 == (tot - 1) // 512
+
+
+def test_leakage_safe_split_groups_duplicates(spark):
+    """Byte-identical documents always land in the same split; shares
+    roughly match the weights; naive id-hash would leak."""
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+
+    docs = exactdup_docs(Catalog(spark, SF).table("documents"))
+    out = leakage_safe_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).toPandas()
+    planted = out[out.doc_id >= 2000000].copy()
+    planted["orig"] = planted.doc_id - 2000000
+    merged = planted.merge(
+        out, left_on="orig", right_on="doc_id", suffixes=("_copy", "_orig")
+    )
+    assert len(merged) > 0
+    assert (merged.split_copy == merged.split_orig).all()
+    share = (out.split == "train").mean()
+    assert 0.8 < share < 0.97
+
+
+def test_leakage_safe_split_by_cluster_label(spark):
+    """group_col plugs in near-dup cluster labels: all members of a
+    cluster share a split."""
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, "x", 100), (2, "y", 100), (3, "z", 200)],
+        "doc_id long, text string, cluster long",
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(df, {"train": 0.5, "test": 0.5},
+                              group_col="cluster").collect()}
+    assert out[1] == out[2]
