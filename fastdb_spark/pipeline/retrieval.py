@@ -108,6 +108,94 @@ def bm25_topk(
     )
 
 
+def bm25_topk_many(
+    documents: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` per query for a BATCH of bag-of-words queries in ONE
+    corpus pass — the retrieval shape a data pipeline actually runs
+    (mining contrastive pairs, labeling a whole query log).
+
+    The union of all query terms is filtered in-array before explode (one
+    scan regardless of batch size); tf and df aggregate once and are
+    shared across queries; a broadcast (term -> query) map fans each tf
+    row out to only the queries containing that term; per-query ranking
+    is a rank window partitioned by query id (state per group is k rows —
+    same idiom as ``ann.cosine_topk_many``).
+
+    Returns ``(query_id, id_col, n_terms, score_q)``.
+    """
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    toks = F.split(F.col(text_col), " ")
+    is_q = lambda t: reduce(  # noqa: E731
+        lambda a, c: a | c, [t == F.lit(w) for w in all_terms]
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, is_q).alias("qtoks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("qtoks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_query = documents.sparkSession.createDataFrame(
+        [(t, qid) for qid, ts in sorted(queries.items()) for t in ts],
+        "term string, query_id string",
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(term_query), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    from fastdb_spark.queries.objstats import ordered_sum
+
+    per = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        ordered_sum(F.col("contrib")).alias("score"),
+    )
+    per = per.select(
+        "query_id",
+        id_col,
+        "n_terms",
+        F.floor(F.col("score") * F.lit(10000.0)).cast("long").alias("score_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        per.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def bm25_oracle_sql(
     query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:

@@ -571,3 +571,20 @@ def test_leakage_safe_split_by_cluster_label(spark):
            leakage_safe_split(df, {"train": 0.5, "test": 0.5},
                               group_col="cluster").collect()}
     assert out[1] == out[2]
+
+
+def test_bm25_many_matches_single(spark):
+    """Batched BM25 gives each query exactly the single-query answer."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk, bm25_topk_many
+
+    docs = Catalog(spark, SF).table("documents")
+    qs = {"q1": ["vector", "merge", "filter"], "q2": ["join", "hash"]}
+    many = bm25_topk_many(docs, qs, k=5).toPandas()
+    for qid, terms in qs.items():
+        single = bm25_topk(docs, terms, k=5).toPandas()
+        got = (
+            many[many.query_id == qid]
+            .drop(columns="query_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(single)

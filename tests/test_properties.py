@@ -139,3 +139,36 @@ def test_dedup_strategies_agree(spark, rows):
         for strat in ("agg", "window", "narrow")
     }
     assert outs["agg"] == outs["window"] == outs["narrow"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    seq_len=st.integers(min_value=1, max_value=17),
+)
+def test_pack_sequences_invariants(spark, toks, seq_len):
+    """Ledger invariants for arbitrary token-count shapes: starts are the
+    exact prefix sums in id order, offsets < seq_len, span counts match
+    ceil arithmetic, zero-token docs span nothing."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = (
+        pack_sequences(df, seq_len=seq_len, token_col="n_tokens", num_ranges=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    start = 0
+    for r in out:
+        n = r["n_tokens"]
+        assert r["seq_id"] == start // seq_len
+        assert r["seq_offset"] == start % seq_len
+        if n == 0:
+            assert r["n_seqs_spanned"] == 0
+        else:
+            assert (
+                r["n_seqs_spanned"]
+                == (start + n - 1) // seq_len - start // seq_len + 1
+            )
+        start += n
