@@ -26,8 +26,35 @@ def curate_corpus(
     min_tokens: int = 10,
     min_quality: float = 0.6,
     jaccard_threshold: float = 0.5,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 8,
+    max_top_word_ppm: int | None = None,
 ) -> DataFrame:
-    """Surviving documents with their quality metrics."""
+    """Surviving documents with their quality metrics.
+
+    Optional gates extending the core pipeline:
+
+    - ``eval_docs``: benchmark decontamination first — drop any document
+      sharing a distinct word ``decontam_n``-gram with the eval set
+      (``pipeline.decontam``; broadcast gram set, one scan pass).
+    - ``max_top_word_ppm``: Gopher-style repetition cut — drop documents
+      whose most frequent word covers more than this many parts-per-
+      million of the text (``pipeline.textstats.repetition_stats``).
+    """
+    if eval_docs is not None:
+        from fastdb_spark.pipeline.decontam import decontaminate
+
+        df = decontaminate(
+            df, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col
+        )
+    if max_top_word_ppm is not None:
+        from fastdb_spark.pipeline.textstats import repetition_stats
+
+        rep = repetition_stats(df, id_col=id_col, text_col=text_col)
+        noisy = rep.filter(F.col("top_word_ppm") > max_top_word_ppm).select(
+            id_col
+        )
+        df = df.join(F.broadcast(noisy), id_col, "left_anti")
     t = F.col(text_col)
     stats = df.select(
         F.col(id_col),

@@ -588,3 +588,40 @@ def test_bm25_many_matches_single(spark):
             .reset_index(drop=True)
         )
         assert got.equals(single)
+
+
+def test_curate_optional_gates(spark):
+    """Decontamination and repetition gates compose into curation without
+    changing the default-path result."""
+    from fastdb_spark.pipeline.curate import curate_corpus
+
+    docs = Catalog(spark, SF).table("documents")
+    base_ids = {r["doc_id"] for r in curate_corpus(docs).select("doc_id").collect()}
+
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    dec_ids = {
+        r["doc_id"]
+        for r in curate_corpus(tr, eval_docs=ev).select("doc_id").collect()
+    }
+    assert dec_ids <= base_ids and all(i % 7 != 0 for i in dec_ids)
+
+    # NB: survivors are NOT a subset of the default path's — dropping a
+    # pair's lower member early re-admits its partner; assert the gate's
+    # actual guarantee: no noisy doc survives, and the cut is non-trivial
+    from fastdb_spark.pipeline.textstats import repetition_stats
+
+    noisy = {
+        r["doc_id"]
+        for r in repetition_stats(docs)
+        .filter(F.col("top_word_ppm") > 120000)
+        .select("doc_id")
+        .collect()
+    }
+    rep_ids = {
+        r["doc_id"]
+        for r in curate_corpus(docs, max_top_word_ppm=120000)
+        .select("doc_id")
+        .collect()
+    }
+    assert noisy and not (rep_ids & noisy)
