@@ -194,3 +194,50 @@ def test_runtime_bloom_filter_prunes_idlist_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set must broadcast (it is the small side by design):
+    a SortMergeJoin here would shuffle the entire training corpus's gram
+    stream."""
+    df = entrymod.queries()["decontaminate"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's final top-k must be TakeOrderedAndProject, never a global
+    Sort materializing every scored document."""
+    df = entrymod.queries()["bm25_search"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packing ledger pays exactly ONE exchange (the window's hash
+    shuffle on the derived bucket) — the key-derived bucketing exists to
+    avoid the second shuffle repartitionByRange would add."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+    from fastdb_spark.catalog import Catalog
+
+    import re
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    plan = _plan(pack_sequences(docs, seq_len=2048))
+    # formatted explain lists each node once in the tree and once in the
+    # details — count the details headers
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_leakage_split_is_scan_stage(spark):
+    """Split assignment is a pure projection: no exchange, no join, no
+    Python in the plan."""
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+    from fastdb_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    plan = _plan(leakage_safe_split(docs, {"train": 0.9, "test": 0.1}))
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in split plan"
