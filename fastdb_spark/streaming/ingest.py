@@ -100,15 +100,23 @@ def associate_roots(
     new_objects: DataFrame,
     roots: DataFrame | None,
     radius_deg: float = ASSOC_RADIUS_DEG,
+    intra_batch: str = "onehop",
 ) -> DataFrame:
     """Assign a rootid to each new object (J6 + W1 semantics).
 
     1. nearest existing root within the radius wins (tie -> smallest sep,
        then smallest root id),
-    2. leftovers cluster intra-batch: every object within the radius of a
-       lower-id object follows that leader (single-link, one hop — same
-       approximation as the reference, which also punts on transitivity,
-       ``src/ltcv.py:486-493``),
+    2. leftovers cluster intra-batch: with ``intra_batch='onehop'``
+       (default) every object within the radius of a lower-id object
+       follows that leader — single-link, one hop, the same approximation
+       as the reference, which punts on transitivity
+       (``src/ltcv.py:486-493``) and admits near-duplicate roots exist;
+       ``intra_batch='transitive'`` resolves full chains (A~B~C with A
+       and C beyond the radius of each other still share one root) via
+       the distributed large-star/small-star connected-components
+       operator — strictly better than the reference at the cost of a
+       few bounded label-propagation rounds over the (tiny) batch pair
+       set,
     3. leaders mint deterministic uuids.
     """
     objs = new_objects.select("diaobjectid", "ra", "dec")
@@ -146,9 +154,30 @@ def associate_roots(
         right_cols=("nra", "ndec"),
         sep_col=None,
     ).select("diaobjectid", "nbr_id")
-    leaders = self_pairs.groupBy("diaobjectid").agg(
-        F.min("nbr_id").alias("leader")
-    )
+    if intra_batch == "transitive":
+        from fastdb_spark.pipeline.cluster import connected_components
+
+        labels = connected_components(
+            self_pairs, src="diaobjectid", dst="nbr_id"
+        )
+        leaders = (
+            unmatched.select("diaobjectid")
+            .join(
+                labels.withColumnRenamed("node", "diaobjectid"),
+                "diaobjectid",
+                "left",
+            )
+            .select(
+                "diaobjectid",
+                F.coalesce(F.col("component"), F.col("diaobjectid")).alias(
+                    "leader"
+                ),
+            )
+        )
+    else:
+        leaders = self_pairs.groupBy("diaobjectid").agg(
+            F.min("nbr_id").alias("leader")
+        )
     minted = leaders.select(
         "diaobjectid", _det_uuid(F.col("leader")).alias("rootid")
     )

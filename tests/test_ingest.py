@@ -686,3 +686,28 @@ def test_session_stream_stats(spark, tmp_path):
     assert got[(1, 12, 0)] == (3, (12, 50))
     assert got[(2, 12, 5)] == (1, (12, 35))
     assert got[(1, 14, 0)] == (1, (14, 30))
+
+
+def test_associate_roots_transitive_chain(spark):
+    """A~B~C chain where A and C are mutually out of radius: one-hop
+    (reference semantics) splits the chain; transitive mode gives all
+    three one root — strictly better than the reference, which admits
+    near-duplicate roots (src/ltcv.py:486-493)."""
+    # 1" = ~2.78e-4 deg; spacing 0.8" so ends are 1.6" apart
+    step = 0.8 / 3600.0
+    new = spark.createDataFrame(
+        [(1, 10.0, -5.0), (2, 10.0 + step, -5.0), (3, 10.0 + 2 * step, -5.0)],
+        ["diaobjectid", "ra", "dec"],
+    )
+    onehop = {r["diaobjectid"]: r["rootid"]
+              for r in associate_roots(new, None).collect()}
+    # one-hop: 2 follows 1, 3 follows 2's leader? no — 3 only sees 2,
+    # whose min-neighbor is 1, but 3's own min neighbor is 2 -> split
+    assert onehop[1] == onehop[2] and onehop[3] != onehop[1]
+    trans = {r["diaobjectid"]: r["rootid"]
+             for r in associate_roots(new, None, intra_batch="transitive").collect()}
+    assert trans[1] == trans[2] == trans[3]
+    # disjoint singletons still mint their own deterministic root
+    lone = spark.createDataFrame([(9, 200.0, 40.0)], ["diaobjectid", "ra", "dec"])
+    got = associate_roots(lone, None, intra_batch="transitive").collect()
+    assert len(got) == 1 and got[0]["rootid"].count("-") == 4
