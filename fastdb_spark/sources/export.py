@@ -38,3 +38,26 @@ def export_pandas_pickle(df: DataFrame, path: str) -> None:
     """Pickled-DataFrame sink (small results only — collects to driver,
     same contract as the reference's query-runner pickle format)."""
     df.toPandas().to_pickle(path)
+
+
+def export_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """JSON-lines sink — the interchange format LLM data pipelines live
+    on (one JSON object per line, gzip-compressed shards).  Spark's json
+    writer IS jsonl (one object per line, one shard per partition), so
+    this is a single parallel job; binary columns come out base64."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source; pass ``schema`` (DDL string) to skip the
+    inference scan — at 100 TB schema inference is a full extra pass, so
+    production callers should always pass it."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)

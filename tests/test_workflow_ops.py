@@ -250,3 +250,18 @@ def test_paginate_ranged_matches_window_paginate(spark):
             r["k"] for r in paginate_ranged(df, ["k"], off, lim, num_ranges=8).collect()
         )
         assert got == want, (off, lim)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.sources.export import export_jsonl, read_jsonl
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    p = str(tmp_path / "docs_jsonl")
+    export_jsonl(docs, p)
+    back = read_jsonl(
+        spark, p, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = docs.orderBy("doc_id").toPandas()
+    b = back.select(*a.columns).orderBy("doc_id").toPandas()
+    assert a.equals(b)
