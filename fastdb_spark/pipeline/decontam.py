@@ -87,6 +87,67 @@ def decontaminate(
     )
 
 
+def fuzzy_contamination(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Paraphrase-level contamination: training documents that are NEAR
+    duplicates of an eval document (MinHash+LSH, Jaccard >= threshold) —
+    catches the leakage exact n-gram matching misses (reworded or lightly
+    edited benchmark items).
+
+    Returns ``(id_col, eval_id, jaccard)`` per contaminated pair.  Ids of
+    the two frames must be disjoint (they are different corpora).  Shape:
+    one banded MinHash pass over the union — the eval side rides the same
+    shuffle keys as the corpus, so the cost class is identical to the
+    within-corpus near-dup pass.
+    """
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    both = documents.select(F.col(id_col), F.col(text_col)).unionByName(
+        eval_docs.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = minhash_lsh_pairs(
+        both, id_col=id_col, text_col=text_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    ev = eval_docs.select(F.col(id_col).alias("_eid"))
+    tagged = (
+        pairs.join(F.broadcast(ev), pairs["id_a"] == F.col("_eid"), "left")
+        .withColumn("_a_ev", F.col("_eid").isNotNull())
+        .drop("_eid")
+        .join(F.broadcast(ev), pairs["id_b"] == F.col("_eid"), "left")
+        .withColumn("_b_ev", F.col("_eid").isNotNull())
+        .drop("_eid")
+    )
+    cross = tagged.filter(F.col("_a_ev") != F.col("_b_ev"))
+    return cross.select(
+        F.when(F.col("_a_ev"), F.col("id_b")).otherwise(F.col("id_a")).alias(id_col),
+        F.when(F.col("_a_ev"), F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        "jaccard",
+    )
+
+
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """The clean corpus under the near-duplicate criterion (anti-join of
+    the fuzzy flags — only flagged ids move)."""
+    flagged = fuzzy_contamination(
+        documents, eval_docs, threshold, id_col, text_col, **minhash_kwargs
+    ).select(id_col).distinct()
+    return documents.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def contamination_oracle_sql(
     n: int = DEFAULT_N, eval_pred: str = "doc_id % 97 = 0"
 ) -> str:

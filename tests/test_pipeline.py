@@ -625,3 +625,38 @@ def test_curate_optional_gates(spark):
         .collect()
     }
     assert noisy and not (rep_ids & noisy)
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """A lightly-edited copy of an eval doc evades exact 8-gram matching
+    only when every 8-gram is broken, but MinHash still flags it; an
+    unrelated doc is not flagged."""
+    from fastdb_spark.pipeline.decontam import (
+        decontaminate_fuzzy,
+        fuzzy_contamination,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    # edit every 6th word -> no 8-gram survives, Jaccard(3-shingles) still high
+    edited = [w if i % 6 else f"x{i}" for i, w in enumerate(words)]
+    ev = spark.createDataFrame([(900001, " ".join(words))], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [
+            (1, " ".join(edited)),
+            (2, " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    # low-threshold fuzzy matching needs banding tuned to the threshold:
+    # rows-per-band=1 makes candidate recall ~1-(1-J)^12 (the exact
+    # jaccard refine keeps precision)
+    mh = dict(n_hashes=12, bands=12)
+    flags = fuzzy_contamination(tr, ev, threshold=0.3, **mh).collect()
+    assert {(r["doc_id"], r["eval_id"]) for r in flags} == {(1, 900001)}
+    clean = decontaminate_fuzzy(tr, ev, threshold=0.3, **mh)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+    # sanity: exact 8-gram contamination indeed misses the paraphrase
+    from fastdb_spark.pipeline.decontam import contamination
+
+    assert contamination(tr, ev, n=8).count() == 0
