@@ -46,6 +46,7 @@ def contamination(
     n: int = DEFAULT_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-training-document contamination evidence.
 
@@ -53,14 +54,21 @@ def contamination(
     least one distinct word ``n``-gram with ``eval_docs`` — ``n_hits`` is
     the number of *distinct* shared grams.  Documents with no overlap are
     absent (filter-side semantics; join them back for a full ledger).
+
+    ``broadcast_eval=False`` drops the broadcast hint for eval sets too
+    large to fit one executor (beyond ~10^8 distinct grams) — the join
+    degrades gracefully to a gram-keyed shuffle, where uniform hash keys
+    keep it skew-free.
     """
     ev = (
         _distinct_grams(eval_docs, n, id_col, text_col)
         .select("gram")
         .distinct()
     )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     tr = _distinct_grams(documents, n, id_col, text_col)
-    hits = tr.join(F.broadcast(ev), "gram")
+    hits = tr.join(ev, "gram")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 

@@ -134,21 +134,33 @@ def bm25_topk_many(
 
     all_terms = sorted({t for ts in queries.values() for t in ts})
     toks = F.split(F.col(text_col), " ")
-    is_q = lambda t: reduce(  # noqa: E731
-        lambda a, c: a | c, [t == F.lit(w) for w in all_terms]
-    )
-    base = documents.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.filter(toks, is_q).alias("qtoks"),
-    )
+    if len(all_terms) <= 32:
+        # small union: OR-chain inside the token array, explode only hits
+        is_q = lambda t: reduce(  # noqa: E731
+            lambda a, c: a | c, [t == F.lit(w) for w in all_terms]
+        )
+        base = documents.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.filter(toks, is_q).alias("qtoks"),
+        )
+        term_rows = base.select(id_col, "dl", F.explode("qtoks").alias("term"))
+    else:
+        # large union: an O(|terms|) comparison per token loses to a
+        # broadcast-hash semi on the exploded stream — one generate pass,
+        # the join filters in the same stage
+        base = documents.select(F.col(id_col), F.size(toks).alias("dl"))
+        vocab = documents.sparkSession.createDataFrame(
+            [(t,) for t in all_terms], "term string"
+        )
+        term_rows = documents.select(
+            F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        ).join(F.broadcast(vocab), "term")
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        base.select(id_col, "dl", F.explode("qtoks").alias("term"))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = term_rows.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     term_query = documents.sparkSession.createDataFrame(

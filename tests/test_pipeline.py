@@ -660,3 +660,22 @@ def test_fuzzy_contamination_catches_paraphrase(spark):
     from fastdb_spark.pipeline.decontam import contamination
 
     assert contamination(tr, ev, n=8).count() == 0
+
+
+def test_bm25_many_join_strategy_matches(spark):
+    """Past the 32-term threshold the explode+broadcast-join path must
+    return exactly what the in-array path returns."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk_many
+
+    docs = Catalog(spark, SF).table("documents")
+    # 33 distinct terms across two queries forces the join path
+    pad = [f"nosuchterm{i}" for i in range(30)]
+    qs = {"q1": ["vector", "merge", "filter"] + pad[:15],
+          "q2": ["join", "hash"] + pad[15:]}
+    big = bm25_topk_many(docs, qs, k=5).toPandas()
+    small = {"q1": ["vector", "merge", "filter"], "q2": ["join", "hash"]}
+    ref = bm25_topk_many(docs, small, k=5).toPandas()
+    # the padding terms never occur, so results must be identical
+    assert big.sort_values(["query_id", "doc_id"], ignore_index=True).equals(
+        ref.sort_values(["query_id", "doc_id"], ignore_index=True)
+    )
