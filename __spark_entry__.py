@@ -789,6 +789,21 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
 
 
+def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (q·c map offset + shared-codebook ADC + rerank) —
+    rows-only, recall@10 emitted."""
+    from fastdb_spark.pipeline.ann import (
+        cosine_topk,
+        ivfpq_residual_topk,
+        with_recall,
+    )
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = list(embs.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    appr = ivfpq_residual_topk(embs, qvec, k=10, n_clusters=8, nprobe=3, rerank=50)
+    return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
     shape) next to the md5 content fingerprint."""
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix,
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
     }
 
 

@@ -502,6 +502,170 @@ def ivfpq_topk(
     )
 
 
+def train_pq_residual(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Codebooks trained on IVF residuals (v_norm − nearest centroid) —
+    the FAISS IVF-PQ shape.  Residuals concentrate near the origin with
+    far less variance than raw vectors, so the same M×K code budget
+    quantizes them much more accurately.  Seed-style deterministic
+    training (K evenly-id-spaced residuals), matching ``train_pq``."""
+    import numpy as np
+
+    n = embeddings.count()
+    stride = max(1, n // k)
+    rows = (
+        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = np.array(centroids, dtype=np.float64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    assign = (mat @ cn.T).argmax(axis=1)
+    res = mat - cents[assign]
+    d = res.shape[1]
+    sub = d // m
+    return [
+        [
+            list(map(float, res[j, i * sub : (i + 1) * sub]))
+            for j in range(len(res))
+        ]
+        for i in range(m)
+    ]
+
+
+def encode_pq_residual(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, pq_code) with codes over the residual v_norm − c —
+    one Arrow pass at index-build time (stored columns at scale)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    cents = np.array(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    keyed = embeddings.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    )
+
+    def op(batches):
+        for pdf in batches:
+            vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            vmat = vmat / np.maximum(
+                np.linalg.norm(vmat, axis=1, keepdims=True), 1e-30
+            )
+            assign = (vmat @ cn.T).argmax(axis=1)
+            res = vmat - cents[assign]
+            codes = np.empty((len(vmat), m), dtype=np.int32)
+            for i in range(m):
+                seg = res[:, i * sub : (i + 1) * sub]
+                d2 = ((seg[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": assign.astype("int32"),
+                    "pq_code": list(codes.tolist()),
+                }
+            )
+
+    return keyed.mapInPandas(
+        op, schema=f"{id_col} long, cluster int, pq_code array<int>"
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_strategy: str = "seed",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — exact decomposition
+    ``q·v ≈ q·c + q·r`` where ``r = v_norm − c``: the per-cluster term is
+    a broadcast map literal, the residual term is the same ADC lookup
+    expression as ``pq_topk`` (codebooks shared across clusters, so ONE
+    query table serves every probed cluster), and the top candidates are
+    exactly re-scored.  Everything after the Arrow encode pass is pure
+    Column expressions over ``nprobe/n_clusters`` of the corpus."""
+    import math
+
+    cents = ivf_centroids(
+        embeddings, n_clusters, id_col, vec_col, strategy=ivf_strategy
+    )
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cosine_py(query_vec, cents[i]), i)
+    )
+    probes = order[:nprobe]
+
+    books = train_pq_residual(
+        embeddings, cents, m=m, k=pq_k, id_col=id_col, vec_col=vec_col
+    )
+    cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
+        F.col("cluster").isin(probes)
+    )
+    enc = encode_pq_residual(cand, cents, books, id_col=id_col, vec_col=vec_col)
+
+    kk = len(books[0])
+    sub = len(books[0][0])
+    flat_lut = [
+        sum(q[i * sub + t] * books[i][j][t] for t in range(sub))
+        for i in range(m)
+        for j in range(kk)
+    ]
+    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
+    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    qc = {
+        int(c): float(sum(q[t] * cents[c][t] for t in range(len(q))))
+        for c in probes
+    }
+    offset_map = F.create_map(
+        *[F.lit(v) for c in sorted(qc) for v in (c, qc[c])]
+    )
+    score = offset_map[F.col("cluster")] + F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            subspace_idx,
+            lambda c, i: F.element_at(lut, i * kk + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = enc.select(F.col(id_col), score.alias("adc_score"))
+    candtop = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
+    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = cand.join(F.broadcast(candtop.select(id_col)), on=id_col).select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
+    )
+    return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
 def cosine_topk_many(
     embeddings: DataFrame,
     queries: DataFrame,

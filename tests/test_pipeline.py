@@ -313,10 +313,15 @@ def test_ann_recall_on_clustered_corpus(spark, tmp_path):
     qids = list(range(0, 500, 53))
     vecs = {r["vec_id"]: list(r["embedding"]) for r in df.filter(F.col("vec_id").isin(qids)).collect()}
 
+    from fastdb_spark.pipeline.ann import ivfpq_residual_topk
+
     methods = {
         "lsh": lambda v: lsh_bucketed_topk(df, v, k=10, multiprobe_bits=1),
         "ivf": lambda v: ivf_topk(df, v, k=10, n_clusters=16, nprobe=2),
         "ivf_index": lambda v: ivf_search_index(spark, idx_path, v, k=10, nprobe=2),
+        "ivfpq_residual": lambda v: ivfpq_residual_topk(
+            df, v, k=10, n_clusters=16, nprobe=2, rerank=50
+        ),
     }
     for name, fn in methods.items():
         recalls = []
@@ -679,3 +684,18 @@ def test_bm25_many_join_strategy_matches(spark):
     assert big.sort_values(["query_id", "doc_id"], ignore_index=True).equals(
         ref.sort_values(["query_id", "doc_id"], ignore_index=True)
     )
+
+
+def test_ivfpq_residual_recall(embs):
+    """Residual IVF-PQ returns k results including the query vector and
+    overlaps the exact top-10 at least as the coarse IVF-PQ does."""
+    from fastdb_spark.pipeline.ann import ivfpq_residual_topk, ivfpq_topk
+
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(embs, qvec, k=10).collect()]
+    res = [r["vec_id"] for r in
+           ivfpq_residual_topk(embs, qvec, k=10, rerank=50).collect()]
+    assert len(res) == 10 and 0 in res
+    base = [r["vec_id"] for r in
+            ivfpq_topk(embs, qvec, k=10, rerank=50).collect()]
+    assert len(set(exact) & set(res)) >= len(set(exact) & set(base)) - 1
