@@ -110,5 +110,6 @@ def test_queries_have_oracles():
         "ann_ivf_index",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        "ann_ivfpq_res_topk",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
