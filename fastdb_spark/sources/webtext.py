@@ -1,0 +1,92 @@
+"""WARC/WET web-archive text ingestion — the Common Crawl interchange
+format LLM corpora start from.
+
+A WET file is a sequence of records, each a ``WARC/1.0`` header block
+(``WARC-Target-URI``, ``WARC-Date``, ``Content-Length`` …), a blank
+line, then the extracted page text.  The canonical 100 TB shape:
+
+- the record split rides Spark's text source with a custom ``lineSep``
+  (the WARC version line) — distributed record framing with NO custom
+  input format and no Python in the read path; gzip members decompress
+  through the same codec path as any ``.gz`` text input,
+- header fields and the body are pulled out with ``regexp_extract`` /
+  ``substring_index`` column expressions (whole-stage codegen),
+- malformed or non-conversion records yield NULL urls and are filtered
+  — the reject-row cascade pattern (SURVEY.md P6) applied to web data.
+
+The result lands directly in the ``documents`` shape (url, date, text)
+ready for the curation pipeline (``pipeline.curate``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: WET record delimiter — each record begins with this version line
+WARC_SEP = "WARC/1.0"
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Parse WET records under ``path`` into ``(url, warc_date, n_chars,
+    text)`` — one row per conversion record.
+
+    ``min_chars`` drops records whose extracted text is shorter (the
+    warcinfo preamble and empty conversions disappear at 0 < n).
+    """
+    raw = spark.read.option("lineSep", WARC_SEP).text(path)
+    # each split chunk = one record's headers+body (the chunk before the
+    # first separator is file preamble -> no WARC headers -> NULL url)
+    rec = raw.select(
+        F.regexp_extract(
+            F.col("value"), r"WARC-Target-URI:\s*(\S+)", 1
+        ).alias("url"),
+        F.regexp_extract(
+            F.col("value"), r"WARC-Date:\s*(\S+)", 1
+        ).alias("warc_date"),
+        F.regexp_extract(
+            F.col("value"), r"WARC-Type:\s*(\S+)", 1
+        ).alias("warc_type"),
+        # body = everything after the first blank line following headers
+        F.regexp_replace(
+            F.col("value"), r"(?s)^.*?\r?\n\r?\n", ""
+        ).alias("text"),
+    )
+    # F.trim strips only spaces; WET bodies end with CRLF padding
+    body = F.expr("btrim(text, ' \r\n\t')")
+    out = (
+        rec.filter(
+            (F.col("warc_type") == "conversion") & (F.col("url") != "")
+        )
+        .select(
+            "url",
+            "warc_date",
+            F.length(body).alias("n_chars"),
+            body.alias("text"),
+        )
+        .filter(F.col("n_chars") >= min_chars)
+    )
+    return out
+
+
+def wet_to_documents(
+    wet: DataFrame, source: str = "commoncrawl"
+) -> DataFrame:
+    """Project WET rows into the engine's ``documents`` shape with a
+    deterministic id (xxhash64 of url+date — stable across re-reads, the
+    same idempotency trick as the ingest root ids)."""
+    return wet.select(
+        F.xxhash64(F.concat_ws("|", F.col("url"), F.col("warc_date"))).alias(
+            "doc_id"
+        ),
+        F.col("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        F.col("n_chars"),
+        F.col("url"),
+        F.col("warc_date"),
+    )

@@ -265,3 +265,55 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = docs.orderBy("doc_id").toPandas()
     b = back.select(*a.columns).orderBy("doc_id").toPandas()
     assert a.equals(b)
+
+
+def test_read_wet_records(spark, tmp_path):
+    """Synthetic WET file (warcinfo preamble + two conversion records +
+    one empty conversion) parses into (url, date, text) rows; the
+    preamble and the empty record are rejected."""
+    from fastdb_spark.sources.webtext import read_wet, wet_to_documents
+
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "\r\n"
+        "software: test\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/a\r\n"
+        "WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello world\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/b\r\n"
+        "WARC-Date: 2026-01-02T03:04:06Z\r\n"
+        "\r\n"
+        "second page text here\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/empty\r\n"
+        "WARC-Date: 2026-01-02T03:04:07Z\r\n"
+        "\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "test.warc.wet"
+    p.write_text(wet)
+    out = read_wet(spark, str(p)).orderBy("url").collect()
+    assert [(r["url"], r["text"]) for r in out] == [
+        ("http://example.com/a", "hello world"),
+        ("http://example.com/b", "second page text here"),
+    ]
+    assert out[0]["warc_date"] == "2026-01-02T03:04:05Z"
+
+    docs = wet_to_documents(read_wet(spark, str(p)))
+    rows = docs.collect()
+    assert {r["source"] for r in rows} == {"commoncrawl"}
+    assert len({r["doc_id"] for r in rows}) == 2  # deterministic distinct ids
+    again = {r["doc_id"] for r in wet_to_documents(read_wet(spark, str(p))).collect()}
+    assert again == {r["doc_id"] for r in rows}  # stable across re-reads
