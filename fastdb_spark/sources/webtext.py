@@ -73,6 +73,90 @@ def read_wet(
     return out
 
 
+def read_warc_responses(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Raw WARC ``response`` records → ``(url, warc_date, payload)`` where
+    payload is the HTTP body (headers stripped at the first blank line) —
+    the precursor format WET files are derived from.  Same distributed
+    lineSep framing as :func:`read_wet`."""
+    raw = spark.read.option("lineSep", WARC_SEP).text(path)
+    rec = raw.select(
+        F.regexp_extract(F.col("value"), r"WARC-Target-URI:\s*(\S+)", 1).alias(
+            "url"
+        ),
+        F.regexp_extract(F.col("value"), r"WARC-Date:\s*(\S+)", 1).alias(
+            "warc_date"
+        ),
+        F.regexp_extract(F.col("value"), r"WARC-Type:\s*(\S+)", 1).alias(
+            "warc_type"
+        ),
+        # 1st blank line ends WARC headers, 2nd ends HTTP headers
+        F.regexp_replace(
+            F.col("value"), r"(?s)^.*?\r?\n\r?\n.*?\r?\n\r?\n", ""
+        ).alias("payload"),
+    )
+    return rec.filter(
+        (F.col("warc_type") == "response") & (F.col("url") != "")
+    ).select("url", "warc_date", F.expr("btrim(payload, ' \r\n\t')").alias("payload"))
+
+
+def extract_text_from_html(
+    df: DataFrame,
+    html_col: str = "payload",
+    text_col: str = "text",
+) -> DataFrame:
+    """HTML → visible text via the stdlib parser — Arrow-batched
+    ``mapInPandas`` (HTML parsing is genuinely not expressible as column
+    expressions; this is the documented slow path, same policy as the
+    multimodal codecs).  Drops script/style content, collapses
+    whitespace.  Output keeps every input column plus ``text_col``."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {text_col} string"
+
+    def op(batches):
+        from html.parser import HTMLParser
+
+        class _Text(HTMLParser):
+            SKIP = {"script", "style", "noscript", "template"}
+
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts: list[str] = []
+                self._skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in self.SKIP:
+                    self._skip += 1
+
+            def handle_endtag(self, tag):
+                if tag in self.SKIP and self._skip:
+                    self._skip -= 1
+
+            def handle_data(self, data):
+                if not self._skip and data.strip():
+                    self.parts.append(data.strip())
+
+        def extract(html: str) -> str:
+            p = _Text()
+            try:
+                p.feed(html or "")
+            except Exception:
+                return ""
+            return " ".join(" ".join(p.parts).split())
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = pdf[html_col].map(extract)
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
 def wet_to_documents(
     wet: DataFrame, source: str = "commoncrawl"
 ) -> DataFrame:

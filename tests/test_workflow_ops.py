@@ -317,3 +317,33 @@ def test_read_wet_records(spark, tmp_path):
     assert len({r["doc_id"] for r in rows}) == 2  # deterministic distinct ids
     again = {r["doc_id"] for r in wet_to_documents(read_wet(spark, str(p))).collect()}
     assert again == {r["doc_id"] for r in rows}  # stable across re-reads
+
+
+def test_read_warc_html_extraction(spark, tmp_path):
+    """Raw WARC response -> HTTP-body payload -> stdlib HTML text
+    extraction (script/style dropped, whitespace collapsed)."""
+    from fastdb_spark.sources.webtext import (
+        extract_text_from_html,
+        read_warc_responses,
+    )
+
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/page\r\n"
+        "WARC-Date: 2026-01-02T00:00:00Z\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html\r\n"
+        "\r\n"
+        "<html><head><style>b{color:red}</style><script>var x=1;</script>"
+        "</head><body><h1>Title</h1><p>Some   body\n text.</p></body></html>\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "test.warc"
+    p.write_text(warc)
+    resp = read_warc_responses(spark, str(p))
+    rows = extract_text_from_html(resp).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://example.com/page"
+    assert rows[0]["text"] == "Title Some body text."
