@@ -347,3 +347,43 @@ def test_read_warc_html_extraction(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "http://example.com/page"
     assert rows[0]["text"] == "Title Some body text."
+
+
+def test_full_llm_pipeline_end_to_end(spark, tmp_path):
+    """The whole training-data flow on real operators: corpus -> curation
+    (quality + exact/near dedup) -> benchmark decontamination ->
+    leakage-safe split -> train-split sequence packing -> JSONL export,
+    with the count/leakage invariants checked at each stage."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.curate import curate_corpus
+    from fastdb_spark.pipeline.decontam import decontaminate
+    from fastdb_spark.pipeline.packing import pack_sequences
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+    from fastdb_spark.sources.export import export_jsonl, read_jsonl
+
+    corpus = exactdup_docs(Catalog(spark, "/root/testdata/sf0.001").table("documents"))
+    n0 = corpus.count()
+
+    kept = curate_corpus(corpus)
+    docs = corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
+    assert 0 < docs.count() < n0  # quality+dedup dropped someone
+
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    tr = docs.filter(F.col("doc_id") % 11 != 0)
+    clean = decontaminate(tr, ev, n=8)
+    assert clean.count() <= tr.count()
+
+    split = leakage_safe_split(clean, {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    assert 0 < train.count() < clean.count()
+
+    ledger = pack_sequences(train, seq_len=256)
+    tot = ledger.agg(F.sum("n_tokens")).first()[0]
+    last = ledger.orderBy(F.desc("seq_id"), F.desc("seq_offset")).first()
+    assert last["seq_id"] + last["n_seqs_spanned"] - 1 == (tot - 1) // 256
+
+    out = str(tmp_path / "train_jsonl")
+    export_jsonl(train.join(ledger.select("doc_id", "seq_id"), "doc_id"), out)
+    back = read_jsonl(spark, out)
+    assert back.count() == train.count()
