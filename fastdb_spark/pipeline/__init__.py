@@ -6,8 +6,16 @@ queries: the operations a 100 TB pretraining-data pipeline runs over a
 
 - ``dedup``      — exact, prefix-blocked n-gram Jaccard, MinHash+LSH,
                    SimHash, embedding-cosine near-dup
-- ``ann``        — cosine top-k similarity search (exact + LSH-bucketed)
-- ``textstats``  — token counts, quality scores, language ID, fingerprints
+- ``cluster``    — distributed connected components (dup clusters)
+- ``ann``        — similarity search: exact, LSH-bucketed, IVF (+ persisted
+                   index), PQ / IVF-PQ / residual IVF-PQ, batched queries
+- ``textstats``  — token counts, quality scores, language ID, fingerprints,
+                   repetition signals
+- ``decontam``   — benchmark decontamination (exact n-gram + fuzzy MinHash)
+- ``retrieval``  — BM25 ranked retrieval (single + batched)
+- ``packing``    — concat-and-chunk sequence-packing ledger
+- ``sample``     — stratified sampling, domain mixing, leakage-safe splits
+- ``curate``     — the composed cleaning pipeline
 - ``multimodal`` — binary media columns: schema, batch plumbing, decode
                    stubs (image/audio libs are not in the runtime image)
 """
