@@ -1211,6 +1211,12 @@ def _pack_oracle() -> str:
     return pack_oracle_sql(seq_len=2048)
 
 
+def _pack_manifest_oracle() -> str:
+    from fastdb_spark.pipeline.packing import pack_manifest_oracle_sql
+
+    return pack_manifest_oracle_sql(seq_len=2048)
+
+
 def _decontam_oracle() -> str:
     from fastdb_spark.pipeline.decontam import contamination_oracle_sql
 
@@ -1255,6 +1261,15 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).table("documents")
     return pack_sequences(docs, seq_len=2048)
+
+
+def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing manifest (the training-loader view): one row
+    per (sequence, doc slice), tiling every sequence exactly."""
+    from fastdb_spark.pipeline.packing import pack_manifest
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return pack_manifest(docs, seq_len=2048)
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "pack_manifest": _q_pack_manifest,
     }
 
 
@@ -2032,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": po.dup_clusters_sql(),
         "doc_repetition": po.doc_repetition_sql(),
         "pack_sequences": _pack_oracle(),
+        "pack_manifest": _pack_manifest_oracle(),
         "leakage_safe_split": _split_oracle(),
         "domain_mix_sample": domain_mix_oracle_sql(
             "documents",

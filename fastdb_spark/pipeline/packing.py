@@ -126,6 +126,90 @@ def pack_sequences(
     )
 
 
+def pack_manifest(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """The per-sequence composition a training loader consumes: one row
+    per (sequence, document-slice) —
+
+        (seq_id, id, doc_offset, seq_offset, length)
+
+    meaning "tokens [doc_offset, doc_offset+length) of document ``id``
+    occupy positions [seq_offset, seq_offset+length) of sequence
+    ``seq_id``".  Derived from the :func:`pack_sequences` ledger by
+    exploding each document over the sequences it spans — pure integer
+    column expressions, no extra shuffle beyond the ledger's single one
+    (the explode and slice arithmetic run in the ledger's output stage).
+
+    Every sequence's slices tile it exactly: lengths per seq_id sum to
+    ``seq_len`` (the final sequence may be shorter).
+    """
+    ledger = pack_sequences(
+        df, seq_len, id_col=id_col, text_col=text_col,
+        token_col=token_col, num_ranges=num_ranges,
+    )
+    L = F.lit(seq_len)
+    start = F.col("seq_id") * L + F.col("seq_offset")
+    exploded = ledger.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        start.alias("_start"),
+        F.explode(
+            F.sequence(F.col("seq_id"), F.col("seq_id") + F.col("n_seqs_spanned") - 1)
+        ).alias("seq_id"),
+    )
+    s_lo = F.col("seq_id") * L
+    s_hi = s_lo + L
+    tok_lo = F.greatest(F.col("_start"), s_lo)
+    tok_hi = F.least(F.col("_start") + F.col("n_tokens"), s_hi)
+    return exploded.select(
+        "seq_id",
+        id_col,
+        (tok_lo - F.col("_start")).alias("doc_offset"),
+        (tok_lo - s_lo).alias("seq_offset"),
+        (tok_hi - tok_lo).alias("length"),
+    )
+
+
+def pack_manifest_oracle_sql(seq_len: int, order_col: str = "doc_id") -> str:
+    """duckdb twin of :func:`pack_manifest` (generate_series explode over
+    the cumsum ledger; identical integer slice arithmetic)."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY {order_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+          FROM t WHERE n_tokens > 0),
+        e AS (
+          SELECT doc_id, n_tokens, start,
+                 unnest(generate_series(
+                     CAST(FLOOR(start / {seq_len}) AS BIGINT),
+                     CAST(FLOOR((start + n_tokens - 1) / {seq_len}) AS BIGINT)))
+                   AS seq_id
+          FROM c)
+        -- start is a window SUM = HUGEINT in duckdb; cast every derived
+        -- column back to BIGINT or pandas widens them to float
+        SELECT seq_id, doc_id,
+               CAST(greatest(start, seq_id * {seq_len}) - start AS BIGINT)
+                 AS doc_offset,
+               CAST(greatest(start, seq_id * {seq_len}) - seq_id * {seq_len}
+                 AS BIGINT) AS seq_offset,
+               CAST(least(start + n_tokens, (seq_id + 1) * {seq_len})
+                 - greatest(start, seq_id * {seq_len}) AS BIGINT) AS length
+        FROM e
+    """
+
+
 def pack_oracle_sql(seq_len: int, order_col: str = "doc_id") -> str:
     """duckdb twin of :func:`pack_sequences` over the ``documents`` table
     (token counts from the same single-space split) — a plain global

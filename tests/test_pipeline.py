@@ -699,3 +699,29 @@ def test_ivfpq_residual_recall(embs):
     base = [r["vec_id"] for r in
             ivfpq_topk(embs, qvec, k=10, rerank=50).collect()]
     assert len(set(exact) & set(res)) >= len(set(exact) & set(base)) - 1
+
+
+def test_pack_manifest_tiles_sequences(spark):
+    """Every sequence's slices tile it exactly (sum of lengths = seq_len,
+    contiguous, except a shorter final sequence), and each doc's slices
+    cover the doc contiguously."""
+    from fastdb_spark.pipeline.packing import pack_manifest
+
+    docs = Catalog(spark, SF).table("documents")
+    man = pack_manifest(docs, seq_len=512).toPandas()
+    per_seq = man.groupby("seq_id")["length"].sum()
+    assert (per_seq.iloc[:-1] == 512).all() and per_seq.iloc[-1] <= 512
+    # contiguity inside each sequence
+    for sid, g in man.groupby("seq_id"):
+        g = g.sort_values("seq_offset")
+        assert g.seq_offset.iloc[0] == 0
+        assert ((g.seq_offset + g.length).iloc[:-1].values
+                == g.seq_offset.iloc[1:].values).all()
+    # each doc covered exactly once
+    per_doc = man.groupby("doc_id")["length"].sum()
+    import pandas as pd
+    ntok = (
+        docs.selectExpr("doc_id", "size(split(text, ' ')) AS n").toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert per_doc.eq(ntok.loc[per_doc.index]).all()
