@@ -39,15 +39,17 @@ def paginate(
     portable, but that window is a single task sorting everything, so it is
     only acceptable for frames already known to be small.
     ``strategy='ranged'`` delegates to :func:`paginate_ranged`.
-    ``'auto'`` (default) picks the window plan only when the input is a
-    single partition (where one task is the data layout anyway) and the
-    distributed ranged plan otherwise.
+    ``'auto'`` (default) is the ranged plan: it is correct at every size,
+    and probing the input's partition count to "optimize" tiny frames
+    would force an RDD conversion of the analyzed plan (`df.rdd`) — a
+    planning job that costs more than the saved shuffle.  Pass
+    ``strategy='window'`` explicitly for a frame known to be tiny.
 
     ``order_by`` must be a total order (append a unique id) or page
     boundaries are ambiguous — same caveat as SQL OFFSET.
     """
     if strategy == "auto":
-        strategy = "window" if df.rdd.getNumPartitions() <= 1 else "ranged"
+        strategy = "ranged"
     if strategy == "ranged":
         return paginate_ranged(df, order_by, offset, limit)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]

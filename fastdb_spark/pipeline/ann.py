@@ -147,6 +147,116 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
     return num / (da * db) if da > 0 and db > 0 else 0.0
 
 
+def _seed_training_vectors(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str,
+    strict: bool = True,
+) -> list[list[float]]:
+    """``k`` deterministic, evenly-spread corpus vectors for seed-style
+    quantizer training — by id QUANTILE PROBES, not ``id % stride``.
+
+    The modulo filter assumed dense ids starting near 0; with sparse or
+    hashed ids (xxhash64 doc/vec ids) it can match far fewer than k rows
+    or none, silently yielding underfull codebooks.  Here: one min/max
+    aggregate, then for each of k probe points evenly spaced over
+    [lo, hi] a conditional-min aggregate picks the first id at/after the
+    probe (a single distributed agg job — no global sort, no single-task
+    window), and one ``isin`` filter fetches the vectors.  Probes that
+    collapse on a clustered id space fall back to the k smallest ids
+    (distributed TakeOrdered).  Raises when the corpus genuinely has
+    fewer than k vectors.
+    """
+    df = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_tv")
+    )
+    first = df.agg(F.min("_id"), F.max("_id")).first()
+    lo, hi = first[0], first[1]
+    if lo is None:
+        raise ValueError("cannot train a quantizer on an empty corpus")
+    lo, hi = int(lo), int(hi)
+    probes = sorted({lo + (hi - lo) * i // max(1, k - 1) for i in range(k)})
+    row = df.agg(
+        *[
+            F.min(F.when(F.col("_id") >= p, F.col("_id"))).alias(f"q{i}")
+            for i, p in enumerate(probes)
+        ]
+    ).first()
+    ids = sorted({row[i] for i in range(len(probes)) if row[i] is not None})
+    if len(ids) < k:
+        ids = [r["_id"] for r in df.select("_id").orderBy("_id").limit(k).collect()]
+    if strict and len(ids) < k:
+        raise ValueError(
+            f"only {len(ids)} training vectors available, need {k} — "
+            "shrink n_clusters/pq_k or grow the corpus"
+        )
+    rows = (
+        df.filter(F.col("_id").isin([int(x) for x in ids[:k]]))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    if strict and len(rows) < k:
+        raise ValueError(
+            f"training sample resolved to {len(rows)} rows, need {k}"
+        )
+    return [list(map(float, r["_tv"])) for r in rows]
+
+
+def _hash_sample_vectors(
+    embeddings: DataFrame, n: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic pseudo-random training sample: the ``n`` rows with
+    the smallest ``xxhash64(id)`` — a distributed TakeOrdered (per-
+    partition top-n, tiny merge), one job, no RNG state, and agnostic to
+    the id space (dense, sparse, or hashed).  Used for the larger PQ
+    codebook training sets where an evenly-spread quantile probe would
+    need an n-column aggregate."""
+    df = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_tv")
+    )
+    rows = (
+        df.orderBy(F.xxhash64(F.col("_id")), F.col("_id")).limit(n).collect()
+    )
+    return [list(map(float, r["_tv"])) for r in rows]
+
+
+def _lloyd_codebook(X, k: int, iters: int = 10):
+    """Deterministic per-subspace Lloyd k-means (numpy, driver-side):
+    init = k evenly-spaced training rows (id order), then standard
+    assign/mean iterations; empty cells keep their previous center.  This
+    is the real PQ train step — a codebook that is just k raw sample
+    subvectors quantizes badly whenever the corpus has more modes than
+    samples."""
+    import numpy as np
+
+    n = len(X)
+    idx = sorted({round(i * (n - 1) / max(1, k - 1)) for i in range(k)})
+    while len(idx) < k:  # tiny training sets: pad with wraparound picks
+        idx.append(idx[len(idx) % n])
+    C = X[np.array(idx[:k], dtype=np.int64)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                C[j] = X[sel].mean(axis=0)
+    return C
+
+
+def _pq_codebooks_from(mat, m: int, k: int) -> list[list[list[float]]]:
+    """Split a training matrix into M subspaces and Lloyd-train a K-entry
+    codebook per subspace."""
+    d = mat.shape[1]
+    sub = d // m
+    return [
+        [
+            list(map(float, row))
+            for row in _lloyd_codebook(mat[:, i * sub : (i + 1) * sub], k)
+        ]
+        for i in range(m)
+    ]
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_clusters: int = 8,
@@ -177,18 +287,9 @@ def ivf_centroids(
             featuresCol="_feat", predictionCol="_cluster",
         ).fit(feat)
         return [list(map(float, c)) for c in model.clusterCenters()]
-    # seed strategy: every (n/k)-th vector by id — a modulo filter, no
-    # global sort (count() is metadata-only on parquet)
-    n = embeddings.count()
-    stride = max(1, n // n_clusters)
-    rows = (
-        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(n_clusters)
-        .collect()
-    )
-    return [list(map(float, r["v"])) for r in rows]
+    # seed strategy: k id-quantile-probed vectors (works for dense,
+    # sparse, and hashed id spaces alike)
+    return _seed_training_vectors(embeddings, n_clusters, id_col, vec_col)
 
 
 def with_ivf_cluster(
@@ -222,6 +323,9 @@ def build_ivf_index(
     vec_col: str = "embedding",
     strategy: str = "seed",
     seed: int = 42,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_residual: bool = True,
 ) -> None:
     """Materialize the IVF index as an engine-owned layout: a tiny
     ``centroids`` parquet table plus the corpus rewritten partitioned by
@@ -232,7 +336,15 @@ def build_ivf_index(
     every subsequent ``ivf_search_index`` probe prunes whole partitions
     via the directory layout before a single file opens — at 100 TB a
     query touches ``nprobe/n_clusters`` of the files, and the centroid
-    table it ranks on the driver is a few KB."""
+    table it ranks on the driver is a few KB.
+
+    With ``pq_m`` set the PQ half is persisted too (the FAISS IVF-PQ
+    build): codebooks land in ``codebooks/`` (M×K rows, KBs) and every
+    vector row carries its ``pq_code`` column — ONE Arrow encode pass,
+    reusing the cluster assignment the layout is partitioned by, so
+    ``ivfpq_search_index`` runs ZERO training jobs at query time.
+    ``pq_residual`` selects residual codebooks (codes over v_norm − c —
+    more accurate at the same budget) vs raw-vector codebooks."""
     import os
 
     cents = ivf_centroids(
@@ -245,9 +357,144 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    with_ivf_cluster(embeddings, cents, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(os.path.join(path, "vectors"))
+    tagged = with_ivf_cluster(embeddings, cents, vec_col)
+    if pq_m is None:
+        tagged.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(path, "vectors")
+        )
+        return
+    if pq_residual:
+        books = train_pq_residual(
+            embeddings, cents, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col
+        )
+        enc = encode_pq_residual(
+            tagged, cents, books, id_col=id_col, vec_col=vec_col,
+            cluster_col="cluster", keep_vec=vec_col,
+        )
+    else:
+        books = train_pq(
+            embeddings, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col
+        )
+        enc = encode_pq(
+            tagged, books, id_col=id_col, vec_col=vec_col,
+            keep=["cluster"], keep_vec=vec_col,
+        )
+    book_df = spark.createDataFrame(
+        [
+            (i, j, books[i][j], bool(pq_residual))
+            for i in range(len(books))
+            for j in range(len(books[i]))
+        ],
+        "subspace int, code int, vec array<double>, residual boolean",
+    )
+    book_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    enc.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def _adc_score(
+    codebooks: list[list[list[float]]],
+    q_norm: list[float],
+    code_col: str = "pq_code",
+):
+    """ADC inner-product Column over a stored code column: the query's
+    M×K subspace-inner-product LUT rides as a broadcast literal and each
+    row costs M ``element_at`` probes — pure codegen, no UDF."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    flat_lut = [
+        sum(q_norm[i * sub + t] * codebooks[i][j][t] for t in range(sub))
+        for i in range(m)
+        for j in range(kk)
+    ]
+    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
+    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    return F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            subspace_idx,
+            lambda c, i: F.element_at(lut, i * kk + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a ``build_ivf_index(..., pq_m=...)`` layout
+    with ZERO training jobs in the query path: centroids and codebooks
+    are KB-sized parquet reads ranked/assembled on the driver, the ADC
+    scan reads ONLY the ``nprobe`` nearest cluster partitions
+    (PartitionFilters prune before file IO) over the STORED ``pq_code``
+    column, and the exact rerank re-scores the stored vectors of the top
+    ``rerank`` candidates.  This is the train-once/query-many twin of
+    ``ivfpq_topk``/``ivfpq_residual_topk`` (which train per call — fine
+    for one-shot exploration, wrong for a query service)."""
+    import math
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cents = [list(map(float, r["centroid"])) for r in cents_rows]
+    book_rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    residual = bool(book_rows[0]["residual"])
+    m = 1 + max(r["subspace"] for r in book_rows)
+    kk = 1 + max(r["code"] for r in book_rows)
+    books = [[None] * kk for _ in range(m)]
+    for r in book_rows:
+        books[r["subspace"]][r["code"]] = list(map(float, r["vec"]))
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cosine_py(query_vec, cents[i]), i)
+    )
+    probes = order[:nprobe]
+
+    cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster").isin(probes)
+    )
+    score = _adc_score(books, q)
+    if residual:
+        # normalized-centroid offset, matching the stored residual codes
+        qc = {}
+        for c in probes:
+            cnorm = math.sqrt(sum(x * x for x in cents[c])) or 1.0
+            qc[int(c)] = float(
+                sum(q[t] * cents[c][t] for t in range(len(q))) / cnorm
+            )
+        offset_map = F.create_map(
+            *[F.lit(v) for c in sorted(qc) for v in (c, qc[c])]
+        )
+        score = offset_map[F.col("cluster")] + score
+    scored = cand.select(F.col(id_col), score.alias("adc_score"))
+    candtop = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
+    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = cand.join(F.broadcast(candtop.select(id_col)), on=id_col).select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
+    )
+    return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
 def ivf_search_index(
@@ -335,30 +582,25 @@ def train_pq(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_train: int | None = None,
 ) -> list[list[list[float]]]:
-    """Per-subspace codebooks (M x K x d/M), trained 'seed'-style: the
-    subvectors of K evenly-id-spaced corpus vectors — deterministic, one
-    tiny collect, same spirit as ivf_centroids(strategy='seed')."""
+    """Per-subspace codebooks (M x K x d/M): ``n_train`` (default 32·K,
+    capped at 2048) evenly-id-spread corpus vectors are collected once
+    (KBs on the driver) and each subspace gets a deterministic Lloyd
+    k-means codebook — the standard PQ train.  Raises when the corpus has
+    fewer than K vectors (a K-entry codebook needs K distinct modes)."""
     import numpy as np
 
-    n = embeddings.count()
-    stride = max(1, n // k)
-    rows = (
-        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    n_train = n_train or max(k, min(32 * k, 2048))
+    sample = _hash_sample_vectors(embeddings, n_train, id_col, vec_col)
+    if len(sample) < k:
+        raise ValueError(
+            f"only {len(sample)} training vectors available, need >= {k}"
+        )
+    mat = np.array(sample, dtype=np.float64)
     # normalize so inner-product ADC approximates cosine
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    d = mat.shape[1]
-    sub = d // m
-    return [
-        [list(map(float, mat[j, i * sub : (i + 1) * sub])) for j in range(len(mat))]
-        for i in range(m)
-    ]
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    return _pq_codebooks_from(mat, m, k)
 
 
 def encode_pq(
@@ -367,37 +609,56 @@ def encode_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    keep: list[str] | None = None,
+    keep_vec: str | None = None,
 ) -> DataFrame:
     """Attach the M-byte PQ code (argmin subspace distance per codebook) —
     an Arrow batch job run once at index-build time; at scale the codes are
-    a stored column of the embedding table."""
+    a stored column of the embedding table.
+
+    ``keep`` passes input columns through unchanged (e.g. a precomputed
+    ``cluster`` assignment); ``keep_vec`` additionally emits the original
+    vector (as array<double>) under that name — both exist so the
+    index-build path can persist (id, cluster, code, vector) in ONE Arrow
+    pass with no re-join."""
     import numpy as np
     import pandas as pd
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books = [np.array(b, dtype=np.float64) for b in codebooks]
+    keep = list(keep or [])
 
     keyed = embeddings.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        *[F.col(c) for c in keep],
     )
+    dtypes = dict(keyed.dtypes)
+    schema = f"{id_col} long, {code_col} array<int>"
+    schema += "".join(f", {c} {dtypes[c]}" for c in keep)
+    if keep_vec:
+        schema += f", {keep_vec} array<double>"
 
     def op(batches):
         for pdf in batches:
             vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            vmat = vmat / np.maximum(
+            vn = vmat / np.maximum(
                 np.linalg.norm(vmat, axis=1, keepdims=True), 1e-30
             )
-            codes = np.empty((len(vmat), m), dtype=np.int32)
+            codes = np.empty((len(vn), m), dtype=np.int32)
             for i in range(m):
-                seg = vmat[:, i * sub : (i + 1) * sub]
+                seg = vn[:, i * sub : (i + 1) * sub]
                 d2 = ((seg[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
                 codes[:, i] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], code_col: list(codes.tolist())}
-            )
+            out = {id_col: pdf[id_col], code_col: list(codes.tolist())}
+            for c in keep:
+                out[c] = pdf[c]
+            if keep_vec:
+                out[keep_vec] = pdf["_v"]
+            yield pd.DataFrame(out)
 
-    return keyed.mapInPandas(op, schema=f"{id_col} long, {code_col} array<int>")
+    return keyed.mapInPandas(op, schema=schema)
 
 
 def pq_topk(
@@ -509,38 +770,33 @@ def train_pq_residual(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_train: int | None = None,
 ) -> list[list[list[float]]]:
-    """Codebooks trained on IVF residuals (v_norm − nearest centroid) —
-    the FAISS IVF-PQ shape.  Residuals concentrate near the origin with
-    far less variance than raw vectors, so the same M×K code budget
-    quantizes them much more accurately.  Seed-style deterministic
-    training (K evenly-id-spaced residuals), matching ``train_pq``."""
+    """Codebooks trained on IVF residuals (v_norm − NORMALIZED nearest
+    centroid) — the FAISS IVF-PQ shape.  Residuals against c_norm are
+    small (norm ~ the intra-cluster angle between two unit vectors), so
+    the M×K budget quantizes them far more accurately than raw vectors;
+    against the RAW centroid (seed centroids are corpus vectors of norm
+    ~sqrt(d)) the residual would be dominated by the shared −c term and
+    quantization error would swamp the member-to-member signal.  The
+    score decomposition stays exact: q·v_norm = q·c_norm + q·r.
+    Training matches ``train_pq``: ``n_train`` evenly-id-spread samples,
+    deterministic per-subspace Lloyd."""
     import numpy as np
 
-    n = embeddings.count()
-    stride = max(1, n // k)
-    rows = (
-        embeddings.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
+    n_train = n_train or max(k, min(32 * k, 2048))
     cents = np.array(centroids, dtype=np.float64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    sample = _hash_sample_vectors(embeddings, n_train, id_col, vec_col)
+    if len(sample) < k:
+        raise ValueError(
+            f"only {len(sample)} training vectors available, need >= {k}"
+        )
+    mat = np.array(sample, dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     assign = (mat @ cn.T).argmax(axis=1)
-    res = mat - cents[assign]
-    d = res.shape[1]
-    sub = d // m
-    return [
-        [
-            list(map(float, res[j, i * sub : (i + 1) * sub]))
-            for j in range(len(res))
-        ]
-        for i in range(m)
-    ]
+    res = mat - cn[assign]
+    return _pq_codebooks_from(res, m, k)
 
 
 def encode_pq_residual(
@@ -549,9 +805,20 @@ def encode_pq_residual(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    keep_vec: str | None = None,
 ) -> DataFrame:
     """(id, cluster, pq_code) with codes over the residual v_norm − c —
-    one Arrow pass at index-build time (stored columns at scale)."""
+    one Arrow pass at index-build time (stored columns at scale).
+
+    ``cluster_col`` names an EXISTING assignment column to reuse (the
+    ``with_ivf_cluster`` output).  Always pass it when the input was
+    filtered by that assignment: re-deriving the argmax here (unrounded
+    numpy) can disagree with ``with_ivf_cluster``'s rounded tie-break on
+    near-ties, encoding a vector to a cluster outside the probed set —
+    its q·c offset then resolves NULL and the vector silently drops from
+    the rerank pool.  ``keep_vec`` additionally emits the original vector
+    under that name (index-build persistence, no re-join)."""
     import numpy as np
     import pandas as pd
 
@@ -561,9 +828,13 @@ def encode_pq_residual(
     cents = np.array(centroids, dtype=np.float64)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
-    keyed = embeddings.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
-    )
+    sel = [F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")]
+    if cluster_col is not None:
+        sel.append(F.col(cluster_col).cast("int").alias("_c"))
+    keyed = embeddings.select(*sel)
+    schema = f"{id_col} long, cluster int, pq_code array<int>"
+    if keep_vec:
+        schema += f", {keep_vec} array<double>"
 
     def op(batches):
         for pdf in batches:
@@ -571,24 +842,27 @@ def encode_pq_residual(
             vmat = vmat / np.maximum(
                 np.linalg.norm(vmat, axis=1, keepdims=True), 1e-30
             )
-            assign = (vmat @ cn.T).argmax(axis=1)
-            res = vmat - cents[assign]
+            if "_c" in pdf:
+                assign = pdf["_c"].to_numpy(dtype=np.int64)
+            else:
+                assign = (vmat @ cn.T).argmax(axis=1)
+            # normalized-centroid residual — see train_pq_residual
+            res = vmat - cn[assign]
             codes = np.empty((len(vmat), m), dtype=np.int32)
             for i in range(m):
                 seg = res[:, i * sub : (i + 1) * sub]
                 d2 = ((seg[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
                 codes[:, i] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster": assign.astype("int32"),
-                    "pq_code": list(codes.tolist()),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "cluster": assign.astype("int32"),
+                "pq_code": list(codes.tolist()),
+            }
+            if keep_vec:
+                out[keep_vec] = pdf["_v"]
+            yield pd.DataFrame(out)
 
-    return keyed.mapInPandas(
-        op, schema=f"{id_col} long, cluster int, pq_code array<int>"
-    )
+    return keyed.mapInPandas(op, schema=schema)
 
 
 def ivfpq_residual_topk(
@@ -629,7 +903,13 @@ def ivfpq_residual_topk(
     cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
         F.col("cluster").isin(probes)
     )
-    enc = encode_pq_residual(cand, cents, books, id_col=id_col, vec_col=vec_col)
+    # carry the filter's own assignment into the encode pass — recomputing
+    # it could disagree on near-ties and encode a candidate to an
+    # un-probed cluster (NULL offset -> silently dropped from rerank)
+    enc = encode_pq_residual(
+        cand, cents, books, id_col=id_col, vec_col=vec_col,
+        cluster_col="cluster",
+    )
 
     kk = len(books[0])
     sub = len(books[0][0])
@@ -640,10 +920,14 @@ def ivfpq_residual_topk(
     ]
     lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
     subspace_idx = F.lit(list(range(m))).cast("array<int>")
-    qc = {
-        int(c): float(sum(q[t] * cents[c][t] for t in range(len(q))))
-        for c in probes
-    }
+    # offset against the NORMALIZED centroid (residuals are v_norm -
+    # c_norm; see train_pq_residual)
+    qc = {}
+    for c in probes:
+        cnorm = math.sqrt(sum(x * x for x in cents[c])) or 1.0
+        qc[int(c)] = float(
+            sum(q[t] * cents[c][t] for t in range(len(q))) / cnorm
+        )
     offset_map = F.create_map(
         *[F.lit(v) for c in sorted(qc) for v in (c, qc[c])]
     )

@@ -94,6 +94,41 @@ FROM embeddings WHERE vec_id % 5 = 0
 """
 
 
+def clustered_embs(
+    embeddings: DataFrame,
+    n_centers: int = 25,
+    spread: float = 0.1,
+    dim: int = 64,
+) -> DataFrame:
+    """Impose NEIGHBORHOOD STRUCTURE on the driver's uniform-random
+    embeddings so approximate-ANN recall is a meaningful number: vector i
+    becomes ``center[vec_id % n_centers] + spread * original`` — the
+    original uniform vector is demoted to intra-cluster noise around a
+    deterministic center (md5-derived, the `_hyperplane` constants — no
+    RNG state, stable across runs/engines).
+
+    On the raw uniform corpus every approximate variant's recall@10 is
+    data-noise (~0.2–0.9 by luck, not by operator); on this derivation
+    the true neighbors of a query really are its cluster siblings, so
+    the emitted recall@10 measures the index.  Pure column expressions:
+    a literal-array ``element_at`` pick + one ``zip_with``, scan-stage
+    only."""
+    from fastdb_spark.pipeline.ann import _hyperplane
+
+    centers = F.array(
+        *[
+            F.lit(_hyperplane(1000 + c, dim)).cast("array<double>")
+            for c in range(n_centers)
+        ]
+    )
+    center = F.element_at(
+        centers, (F.pmod(F.col("vec_id"), F.lit(n_centers)) + 1).cast("int")
+    )
+    v = F.col("embedding").cast("array<double>")
+    mixed = F.zip_with(center, v, lambda c, e: c + F.lit(float(spread)) * e)
+    return embeddings.select("vec_id", mixed.alias("embedding"))
+
+
 def neardup_embs(embeddings: DataFrame) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     perturbed = F.concat(

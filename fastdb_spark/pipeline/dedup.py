@@ -82,6 +82,7 @@ def _candidate_pairs(
     payload: DataFrame | None,
     id_col: str,
     bucket_col: str,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a bucket value.  The self-join
     is an equi-join on the bucket key — co-candidates are co-partitioned.
@@ -91,8 +92,30 @@ def _candidate_pairs(
     two id-equi-joins on the deduped candidate list, which is orders of
     magnitude smaller than the banded row set.  ``payload`` (already
     staged by the caller) carries ``id_col`` + the refine columns.
+
+    ``max_bucket_size`` is the quadratic-blowup guard: a bucket of b ids
+    emits O(b²) pairs, so one pathological bucket (e.g. 10⁵ byte-identical
+    documents that exact-dedup should have removed, all landing in every
+    band) would emit ~10¹⁰ pairs and stall the join.  Buckets larger than
+    the cap are dropped wholesale before the self-join (the standard LSH
+    frequency filter — an over-full bucket carries no discriminating
+    signal anyway); audit what a cap would drop with
+    :func:`oversized_buckets`.  ``None`` disables the guard (exact
+    banding semantics — only safe after an exact-dedup pre-pass, as
+    ``curate_corpus`` runs).
     """
     ids = buckets.select(F.col(bucket_col).alias("_bkt"), F.col(id_col))
+    if max_bucket_size is not None:
+        # map-side-combined count on the bucket key only; the filter join
+        # shares the _bkt hash partitioning with the self-join below, so
+        # Catalyst reuses the exchange rather than adding one
+        keep = (
+            ids.groupBy("_bkt")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("_bkt")
+        )
+        ids = ids.join(keep, on="_bkt")
     left = ids.select("_bkt", F.col(id_col).alias("id_a"))
     right = ids.select("_bkt", F.col(id_col).alias("id_b"))
     pairs = (
@@ -115,6 +138,33 @@ def _candidate_pairs(
     return pairs.join(pa, on="id_a").join(pb, on="id_b")
 
 
+# A bucket this full is pathological on any exact-deduped corpus: the gate
+# datasets top out at bucket sizes in the tens, and a 4096-id bucket already
+# means ~8.4M candidate pairs from one key.  Large enough never to touch
+# legitimate banding output; small enough that a duplicate-bomb corpus
+# (10⁵ identical docs -> every band bucket holds all 10⁵ ids -> ~10¹⁰
+# pairs uncapped) degrades to zero pairs from those buckets instead of a
+# quadratic stall.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def oversized_buckets(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Audit frame for the LSH frequency filter: (bucket, size) for every
+    bucket the cap in :func:`_candidate_pairs` would drop — run it on the
+    same banded frame to account for what the capped pair generation
+    skipped (lazy; one map-side-combined count aggregate)."""
+    return (
+        buckets.groupBy(F.col(bucket_col))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,6 +172,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 8,
     block_tokens: int = 5,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via prefix blocking + exact char-n-gram Jaccard."""
     keyed = _stage(
@@ -132,7 +183,8 @@ def ngram_jaccard_pairs(
         )
     )
     pairs = _candidate_pairs(
-        keyed.select(id_col, "block"), keyed.select(id_col, "sh"), id_col, "block"
+        keyed.select(id_col, "block"), keyed.select(id_col, "sh"), id_col,
+        "block", max_bucket_size=max_bucket_size,
     )
     out = pairs.withColumn(
         "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
@@ -148,6 +200,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding + exact Jaccard
     refine (shingle->minhash->band->bucket-join)."""
@@ -165,7 +218,10 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(lsh_band_hashes(F.col("sig"), bands, rows)).alias("band"),
     )
-    pairs = _candidate_pairs(banded, keyed.select(id_col, "sh"), id_col, "band")
+    pairs = _candidate_pairs(
+        banded, keyed.select(id_col, "sh"), id_col, "band",
+        max_bucket_size=max_bucket_size,
+    )
     out = pairs.withColumn(
         "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     )
@@ -178,6 +234,7 @@ def simhash_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     max_hamming: int = 16,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via 60-bit SimHash band buckets + hamming refine."""
     sh = df.select(
@@ -192,7 +249,8 @@ def simhash_pairs(
         F.concat_ws(":", F.col("_pos"), F.col("_bval")).alias("band_key"),
     )
     pairs = _candidate_pairs(
-        banded, hashed.select(id_col, "simhash"), id_col, "band_key"
+        banded, hashed.select(id_col, "simhash"), id_col, "band_key",
+        max_bucket_size=max_bucket_size,
     )
     out = pairs.withColumn(
         "hamming", hamming60(F.col("simhash_a"), F.col("simhash_b"))

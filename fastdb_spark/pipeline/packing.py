@@ -60,6 +60,13 @@ def pack_sequences(
     counted from ``text_col`` (single-space split, matching the corpus
     tokenizer).  Zero-token documents get ``n_seqs_spanned = 0`` at the
     position where they fall.
+
+    Bucket sizing assumes *roughly uniform* id density over [min, max]:
+    skewed or sparse id spaces (e.g. xxhash64 ids clustered in one band)
+    skew bucket sizes — correctness is unaffected (offsets stay exact for
+    any monotone bucket mapping), only shuffle balance degrades.  The
+    subtraction runs in decimal(38,0), so full-range signed 64-bit ids
+    (span up to 2^64 — e.g. ids minted by ``xxhash64``) cannot wrap.
     """
     if token_col is None:
         base = df.select(
@@ -78,13 +85,31 @@ def pack_sequences(
             F.lit(None).cast("long").alias("seq_offset"),
             F.lit(None).cast("long").alias("n_seqs_spanned"),
         ).limit(0)
-    span = int(hi) - int(lo) + 1
+    span = int(hi) - int(lo) + 1  # exact Python int — never wraps
     n = max(1, min(n, span))
     # order-preserving bucket straight from the key: provably clusters the
-    # window below, so Catalyst inserts exactly one exchange
-    bucket = F.floor(
-        (F.col(id_col) - F.lit(int(lo))).cast("double") * n / F.lit(span)
-    ).cast("int")
+    # window below, so Catalyst inserts exactly one exchange.  The
+    # subtraction is done in decimal(38,0): with ids spanning more than
+    # 2^63 (full-range xxhash64 doc ids) an int64 subtraction would
+    # silently wrap under non-ANSI Spark and break the bucket
+    # monotonicity the broadcast prefix-sum bases rely on.  The decimal
+    # difference is exact; the subsequent double scale by n/span is a
+    # monotone map, and the clamp guards the one rounding edge at the
+    # top of the range.
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n - 1),
+            F.floor(
+                (
+                    F.col(id_col).cast("decimal(38,0)")
+                    - F.lit(int(lo)).cast("decimal(38,0)")
+                ).cast("double")
+                * float(n)
+                / float(span)
+            ).cast("int"),
+        ),
+    )
     bb = base.withColumn("_b", bucket)
 
     # per-bucket totals off the raw scan: map-side combined, n rows move

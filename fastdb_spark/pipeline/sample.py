@@ -119,11 +119,23 @@ def leakage_safe_split(
     same document in train and test with probability 2·p·(1-p) each —
     the classic eval-contamination bug this operator exists to prevent.
 
-    ``weights`` maps split name -> share (must sum to ~1); assignment is
+    ``weights`` maps split name -> share and MUST sum to ~1 (validated —
+    weights summing past 1 would silently starve the later splits);
+    interval assignment follows **sorted split names**, so e.g.
+    ``{"train": .8, "test": .1, "val": .1}`` lays out test|train|val on
+    the unit interval regardless of dict insertion order.  Assignment is
     by cumulative-interval lookup on the md5 uniform, so it is a pure
     scan-stage expression: no shuffle, deterministic, oracle-checkable.
     Returns the frame with a ``split`` column appended.
     """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(float(v) for v in weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"split weights must sum to 1 (got {total!r}); normalize them "
+            "before calling leakage_safe_split"
+        )
     if group_col is None:
         from fastdb_spark.functions.text import doc_fingerprint
 

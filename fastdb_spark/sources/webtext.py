@@ -23,8 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: WET record delimiter — each record begins with this version line
-WARC_SEP = "WARC/1.0"
+#: WET record delimiter, anchored to a record boundary: the WARC spec
+#: terminates every record with two CRLFs, so a new record can only begin
+#: at ``\r\n\r\nWARC/1.0\r\n``.  Splitting on the bare version string
+#: would also split wherever ``WARC/1.0`` appears inside extracted body
+#: text (pages *about* web archiving occur in Common Crawl), truncating
+#: that record and fabricating a malformed trailing one.  A body that
+#: contains the full anchored sequence can still split (vanishingly rare);
+#: the Content-Length cross-check in :func:`read_wet` catches exactly that
+#: corruption and rejects the mismatched records instead of passing them
+#: through silently.
+WARC_SEP = "\r\n\r\nWARC/1.0\r\n"
 
 
 def read_wet(
@@ -39,8 +48,9 @@ def read_wet(
     warcinfo preamble and empty conversions disappear at 0 < n).
     """
     raw = spark.read.option("lineSep", WARC_SEP).text(path)
-    # each split chunk = one record's headers+body (the chunk before the
-    # first separator is file preamble -> no WARC headers -> NULL url)
+    # each split chunk = one record's headers+body (the first chunk keeps
+    # its leading "WARC/1.0" version line — harmless to the header
+    # regexes; a chunk with no WARC headers is preamble -> NULL url)
     rec = raw.select(
         F.regexp_extract(
             F.col("value"), r"WARC-Target-URI:\s*(\S+)", 1
@@ -51,16 +61,33 @@ def read_wet(
         F.regexp_extract(
             F.col("value"), r"WARC-Type:\s*(\S+)", 1
         ).alias("warc_type"),
+        F.nullif(
+            F.regexp_extract(F.col("value"), r"Content-Length:\s*(\d+)", 1),
+            F.lit(""),
+        ).cast("long").alias("_clen"),
         # body = everything after the first blank line following headers
         F.regexp_replace(
             F.col("value"), r"(?s)^.*?\r?\n\r?\n", ""
         ).alias("text"),
     )
+    # Content-Length cross-check: with the anchored separator the body's
+    # octet length equals the declared length exactly (the terminating
+    # CRLFs belong to the separator), except the file's last record which
+    # keeps up to 4 trailing CRLF octets.  A record whose body came out
+    # shorter (separator matched inside the body) or longer is corrupt ->
+    # reject-row cascade, not silent passthrough.  NULL _clen (header
+    # absent) is tolerated.
+    length_ok = F.col("_clen").isNull() | (
+        (F.octet_length("text") >= F.col("_clen"))
+        & (F.octet_length("text") <= F.col("_clen") + F.lit(4))
+    )
     # F.trim strips only spaces; WET bodies end with CRLF padding
     body = F.expr("btrim(text, ' \r\n\t')")
     out = (
         rec.filter(
-            (F.col("warc_type") == "conversion") & (F.col("url") != "")
+            (F.col("warc_type") == "conversion")
+            & (F.col("url") != "")
+            & length_ok
         )
         .select(
             "url",

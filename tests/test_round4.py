@@ -1,0 +1,328 @@
+"""Round-4 regression tests: LSH bucket cap, anchored WARC framing,
+overflow-safe packing buckets, split-weight validation, quantile-probe
+quantizer sampling, and the persisted IVF-PQ index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- LSH candidate-pair bucket cap -----------------------------------------
+
+
+def test_bucket_cap_defuses_duplicate_bomb(spark):
+    """A corpus of byte-identical documents puts every id in every band
+    bucket; uncapped that is O(n²) pairs from each bucket.  With the cap
+    the pair generation completes and the bomb's buckets emit nothing,
+    while oversized_buckets() accounts for what was dropped."""
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    n = 3000
+    rows = [(i, "exactly the same document text repeated verbatim")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, max_bucket_size=100)
+    # every bucket holds all n ids > cap -> dropped wholesale
+    assert pairs.count() == 0
+
+    from fastdb_spark.cachereg import release_staged
+
+    release_staged()
+
+
+def test_bucket_cap_default_transparent_on_normal_corpus(spark):
+    """On a normal near-dup corpus the default cap never triggers: capped
+    and uncapped outputs are identical."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.corpus import neardup_docs
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = neardup_docs(
+        Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    )
+    capped = minhash_lsh_pairs(docs).toPandas()
+    uncapped = minhash_lsh_pairs(docs, max_bucket_size=None).toPandas()
+    key = ["id_a", "id_b"]
+    assert capped.sort_values(key, ignore_index=True).equals(
+        uncapped.sort_values(key, ignore_index=True)
+    )
+
+    from fastdb_spark.cachereg import release_staged
+
+    release_staged()
+
+
+def test_oversized_buckets_accounting(spark):
+    from fastdb_spark.pipeline.dedup import oversized_buckets
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, bkt int"
+    )
+    big = oversized_buckets(df, "doc_id", "bkt", max_bucket_size=5).collect()
+    assert len(big) == 3 and all(r["size"] == 10 for r in big)
+    none = oversized_buckets(df, "doc_id", "bkt", max_bucket_size=10).collect()
+    assert none == []
+
+
+# --- anchored WARC record framing ------------------------------------------
+
+
+def test_wet_body_containing_version_string_not_split(spark, tmp_path):
+    """A page ABOUT web archiving legitimately contains the literal
+    'WARC/1.0' in its body; the anchored separator must not split there
+    and the record must survive intact with its full text."""
+    from fastdb_spark.sources.webtext import read_wet
+
+    body = "the WARC/1.0 format line\r\nappears inside this page text"
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/about-warc\r\n"
+        "WARC-Date: 2026-01-02T00:00:00Z\r\n"
+        f"Content-Length: {len(body.encode())}\r\n"
+        "\r\n"
+        f"{body}\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/next\r\n"
+        "WARC-Date: 2026-01-02T00:00:01Z\r\n"
+        "Content-Length: 9\r\n"
+        "\r\n"
+        "next page\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "about.warc.wet"
+    p.write_text(wet)
+    out = {r["url"]: r["text"] for r in read_wet(spark, str(p)).collect()}
+    assert out["http://example.com/about-warc"] == (
+        "the WARC/1.0 format line\r\nappears inside this page text"
+    )
+    assert out["http://example.com/next"] == "next page"
+
+
+def test_wet_content_length_mismatch_rejected(spark, tmp_path):
+    """A record whose body length contradicts its Content-Length header
+    (the signature of separator corruption) is rejected, not passed
+    through silently."""
+    from fastdb_spark.sources.webtext import read_wet
+
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/corrupt\r\n"
+        "WARC-Date: 2026-01-02T00:00:00Z\r\n"
+        "Content-Length: 500\r\n"
+        "\r\n"
+        "way too short\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/good\r\n"
+        "WARC-Date: 2026-01-02T00:00:01Z\r\n"
+        "Content-Length: 7\r\n"
+        "\r\n"
+        "good ok\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "corrupt.warc.wet"
+    p.write_text(wet)
+    out = [r["url"] for r in read_wet(spark, str(p)).collect()]
+    assert out == ["http://example.com/good"]
+
+
+# --- overflow-safe packing buckets -----------------------------------------
+
+
+def test_pack_sequences_full_range_ids(spark):
+    """Doc ids spanning more than 2^63 (full-range signed xxhash64 ids)
+    must not wrap the bucket arithmetic: the ledger must equal the plain
+    id-ordered cumsum computed in Python."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    ids = [-(2**63) + 3, -(2**62), -5, 7, 2**61, 2**63 - 10]
+    toks = [5, 17, 3, 40, 11, 29]
+    rows = [(i, " ".join(["w"] * t)) for i, t in zip(ids, toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in pack_sequences(df, seq_len=16, num_ranges=4).collect()
+    }
+    start = 0
+    for i, t in sorted(zip(ids, toks)):
+        exp = (
+            start // 16,
+            start % 16,
+            0 if t == 0 else (start + t - 1) // 16 - start // 16 + 1,
+        )
+        assert got[i] == exp, (i, got[i], exp)
+        start += t
+
+
+def test_pack_sequences_sparse_skewed_ids(spark):
+    """Sparse, heavily skewed id spaces (all mass in one corner of the
+    range) stay CORRECT — bucket skew affects balance only."""
+    from fastdb_spark.pipeline.packing import pack_sequences
+
+    ids = [0, 1, 2, 3, 2**62]
+    toks = [4, 4, 4, 4, 4]
+    rows = [(i, " ".join(["w"] * t)) for i, t in zip(ids, toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, seq_len=6, num_ranges=8).collect()
+    }
+    start = 0
+    for i, t in sorted(zip(ids, toks)):
+        assert got[i] == (start // 6, start % 6)
+        start += t
+
+
+# --- split-weight validation ------------------------------------------------
+
+
+def test_leakage_safe_split_rejects_bad_weights(spark):
+    from fastdb_spark.pipeline.sample import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, {"train": 0.8, "val": 0.3})
+    with pytest.raises(ValueError, match="at least one"):
+        leakage_safe_split(df, {})
+    # a valid sum still works
+    assert "split" in leakage_safe_split(df, {"train": 0.9, "val": 0.1}).columns
+
+
+# --- quantile-probe quantizer sampling --------------------------------------
+
+
+def test_seed_training_vectors_sparse_hashed_ids(spark):
+    """xxhash64-style sparse ids: the modulo filter would select ~nothing;
+    the quantile-probe sampler must return exactly k spread vectors."""
+    from fastdb_spark.pipeline.ann import _seed_training_vectors
+
+    import hashlib
+
+    def hid(i):
+        h = int.from_bytes(
+            hashlib.md5(f"id{i}".encode()).digest()[:8], "big", signed=True
+        )
+        return h
+
+    rows = [(hid(i), [float(i)] * 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = _seed_training_vectors(df, 8, "vec_id", "embedding")
+    assert len(vecs) == 8
+    assert len({tuple(v) for v in vecs}) == 8  # distinct vectors
+
+
+def test_seed_training_vectors_raises_on_tiny_corpus(spark):
+    from fastdb_spark.pipeline.ann import _seed_training_vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="need 5"):
+        _seed_training_vectors(df, 5, "vec_id", "embedding")
+
+
+# --- persisted IVF-PQ index --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(12, 32)
+    rows = [
+        (i, [float(x) for x in centers[i % 12] + 0.05 * rng.randn(32)])
+        for i in range(360)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_ivfpq_search_index_recall(spark, clustered, tmp_path):
+    """build once (pq_m set) -> query many: the persisted-layout search
+    must reach >=0.8 mean recall@10 on a clustered corpus for both the
+    raw and residual codebook variants."""
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        cosine_topk,
+        ivfpq_search_index,
+    )
+
+    for residual in (False, True):
+        path = str(tmp_path / f"idx_res{residual}")
+        build_ivf_index(
+            clustered, path, n_clusters=8, strategy="seed",
+            pq_m=8, pq_k=16, pq_residual=residual,
+        )
+        recalls = []
+        for qid in (0, 77, 154, 231):
+            qvec = list(
+                clustered.filter(F.col("vec_id") == qid).head()["embedding"]
+            )
+            exact = {
+                r["vec_id"] for r in cosine_topk(clustered, qvec, k=10).collect()
+            }
+            got = {
+                r["vec_id"]
+                for r in ivfpq_search_index(
+                    spark, path, qvec, k=10, nprobe=3, rerank=60
+                ).collect()
+            }
+            recalls.append(len(exact & got) / 10)
+        assert sum(recalls) / len(recalls) >= 0.8, (residual, recalls)
+
+
+def test_ivfpq_index_layout_partitioned_and_code_stored(spark, clustered, tmp_path):
+    """The persisted layout is the train-once/query-many shape: vectors
+    parquet is partitioned by cluster (directory pruning), every row
+    stores its pq_code, and the codebooks table is M*K rows."""
+    import os
+
+    from fastdb_spark.pipeline.ann import build_ivf_index
+
+    path = str(tmp_path / "layout")
+    build_ivf_index(
+        clustered, path, n_clusters=4, strategy="seed",
+        pq_m=4, pq_k=8, pq_residual=True,
+    )
+    subdirs = [
+        d for d in os.listdir(os.path.join(path, "vectors"))
+        if d.startswith("cluster=")
+    ]
+    assert len(subdirs) >= 2
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    assert {"vec_id", "pq_code", "embedding", "cluster"} <= set(vecs.columns)
+    assert vecs.count() == 360
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    assert books.count() == 4 * 8
+    assert books.filter(~F.col("residual")).count() == 0
+
+
+def test_encode_pq_residual_carries_given_cluster(spark, clustered):
+    """With cluster_col passed, the encode pass must reuse the given
+    assignment verbatim (never recompute-and-disagree)."""
+    from fastdb_spark.pipeline.ann import (
+        encode_pq_residual,
+        ivf_centroids,
+        train_pq_residual,
+        with_ivf_cluster,
+    )
+
+    cents = ivf_centroids(clustered, n_clusters=6)
+    books = train_pq_residual(clustered, cents, m=4, k=8)
+    tagged = with_ivf_cluster(clustered, cents)
+    enc = encode_pq_residual(
+        tagged, cents, books, cluster_col="cluster"
+    ).collect()
+    want = {r["vec_id"]: r["cluster"] for r in tagged.collect()}
+    assert all(r["cluster"] == want[r["vec_id"]] for r in enc)
