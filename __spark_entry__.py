@@ -1359,13 +1359,46 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  The tail holds layout/plan variants whose operator
-    # coverage another green row already proves (J6 cone_search+crossmatch,
-    # A1 priority/versioned_dedup, J3 ltcv_patch, A4 objstats_per_band,
-    # F9 broker_info, O4 pagination, J4/U2 spectrum_workflow) — each still
-    # has an oracle and runs in tests/test_oracle_parity.py every session.
+    # their oracles.  ROUND-4 ROTATION: the 18 queries that had never
+    # received a driver CORRECTNESS row (r1-r3 always placed them past the
+    # 50-slot cap) now lead the window, followed by every query whose code
+    # changed this round; 18 long-stable rows (green in CORRECTNESS_r03
+    # AND untouched this round) rotate to the tail — each still has an
+    # oracle and runs in tests/test_oracle_parity.py every session.
+    # The swap list is recorded in ROUND_NOTES.md for the round-5 rotation.
     return {
-        "pricing_summary": _q_pricing_summary,
+        # --- never-driver-adjudicated before round 4 (18) ----------------
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "dup_clusters": _q_dup_clusters,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_repetition": _q_doc_repetition,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination_ranged": _q_pagination_ranged,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        # --- code touched in round 4: re-adjudicate ----------------------
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "exact_dedup": _q_exact_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_cosine_topk": _q_ann_topk,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "curate_corpus": _q_curate_corpus,
+        "pagination": _q_pagination,
+        # --- previously green, kept in-window ----------------------------
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
         "first_seen_dedup": _q_first_seen_dedup,
@@ -1379,65 +1412,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
         "crossmatch": _q_crossmatch,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "topk_per_group": _q_topk_per_group,
-        "keyword_search": _q_keyword_search,
-        "flux_to_mag": _q_flux_to_mag,
         "range_join": _q_range_join,
         "asof_latest_forced": _q_asof_latest_forced,
         "spectrum_workflow": _q_spectrum_workflow,
         "versioned_count": _q_versioned_count,
-        "pagination": _q_pagination,
-        "pseudorandom_sample": _q_pseudorandom_sample,
+        "object_search": _q_object_search,
+        "alert_reconstruct": _q_alert_reconstruct,
+        "broker_info": _q_broker_info,
+        "multimodal_features": _q_multimodal_features,
+        # --- adjudication tail (position >50): long-stable generics, all
+        # green in CORRECTNESS_r03 and untouched this round ---------------
+        "doc_stats": _q_doc_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "topk_per_group": _q_topk_per_group,
+        "keyword_search": _q_keyword_search,
+        "flux_to_mag": _q_flux_to_mag,
         "union_distinct": _q_union_distinct,
         "values_lookup": _q_values_lookup,
-        "object_search": _q_object_search,
-        "doc_stats": _q_doc_stats,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_lsh_dedup": _q_minhash_lsh,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_cosine_topk": _q_ann_topk,
-        # oracle-backed in the adjudication window; the approximate ANN
-        # variants (rows-only by nature) moved to the tail now that their
-        # recall is asserted in tests/test_pipeline.py (recall@10 >= 0.8)
-        "decontaminate": _q_decontaminate,
-        "bm25_search": _q_bm25_search,
+        "pseudorandom_sample": _q_pseudorandom_sample,
         "anti_join": _q_anti_join,
+        "sql_passthrough": _q_sql_passthrough,
+        "skewed_aggregate": _q_skewed_aggregate,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "corpus_quantiles": _q_corpus_quantiles,
-        "broker_info": _q_broker_info,
-        "skewed_aggregate": _q_skewed_aggregate,
-        "curate_corpus": _q_curate_corpus,
-        "multimodal_features": _q_multimodal_features,
-        "stratified_sample": _q_stratified_sample,
-        "pii_redaction": _q_pii_redaction,
-        "vocab_topk": _q_vocab_topk,
         "corpus_rollup": _q_corpus_rollup,
-        "sql_passthrough": _q_sql_passthrough,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "alert_reconstruct": _q_alert_reconstruct,
-        # --- adjudication tail (position >50): variants re-proving plan/
-        # layout stories; operator coverage held by rows above ------------
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "pagination_ranged": _q_pagination_ranged,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "json_extract": _q_json_extract,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "dup_clusters": _q_dup_clusters,
-        "doc_repetition": _q_doc_repetition,
-        "domain_mix_sample": _q_domain_mix,
-        "pack_sequences": _q_pack_sequences,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "pack_manifest": _q_pack_manifest,
+        "vocab_topk": _q_vocab_topk,
+        "pii_redaction": _q_pii_redaction,
+        "bm25_search": _q_bm25_search,
     }
 
 

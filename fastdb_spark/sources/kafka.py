@@ -97,6 +97,34 @@ def encode_alert_frame(
     return alerts.mapInPandas(op, schema="value binary")
 
 
+def kafka_jar_coordinate(spark: SparkSession) -> str:
+    """The exact maven coordinate the transport needs — pinned so the
+    deployment error is actionable (add it via ``--packages`` or drop the
+    jar into ``$SPARK_HOME/jars``)."""
+    scala = "2.13"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{spark.version}"
+
+
+def have_kafka_source(spark: SparkSession) -> bool:
+    """True when the kafka streaming source is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_kafka(spark: SparkSession) -> None:
+    if not have_kafka_source(spark):
+        raise ImportError(
+            "the Kafka transport needs the spark-sql-kafka package on the "
+            f"classpath: {kafka_jar_coordinate(spark)} (not present in this "
+            "image; the file-stream source is the drop-in tested path)"
+        )
+
+
 def read_alert_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -111,6 +139,7 @@ def read_alert_stream(
     Requires the spark-sql-kafka package for the transport; the avro
     decode itself never gates (see :func:`decode_alert_frame`).
     """
+    _require_kafka(spark)
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -130,6 +159,7 @@ def write_alert_stream(
     checkpoint: str,
 ):
     """Nested alert frame -> avro -> Kafka (the projectsim send path)."""
+    _require_kafka(alerts.sparkSession)
     payload = encode_alert_frame(alerts, avro_schema_json)
     return (
         payload.writeStream.format("kafka")

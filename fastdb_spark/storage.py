@@ -106,17 +106,101 @@ class ParquetTable:
             raise ValueError(f"unknown on_conflict={on_conflict!r}")
 
 
+class DeltaTableStore:
+    """Delta-backed table with REAL ``MERGE INTO`` — the transactional
+    multi-writer half of the 100 TB write-path story that the parquet
+    emulation approximates (the reference gets the same guarantees from
+    Postgres row locks around COPY + ``ON CONFLICT``, ``src/db.py:
+    1406-1515``).  Requires the ``delta-spark`` package AND a session
+    built with the Delta SQL extension + catalog; both are env-gated here
+    (the test image carries no Delta jars), but the call-site API is
+    byte-identical to :class:`ParquetTable` so deployments flip the
+    engine flag and nothing else."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        if not HAVE_DELTA:
+            raise ImportError(
+                "delta-spark is not installed; use ParquetTable or "
+                "merge_upsert(engine='parquet')"
+            )
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_delta_log"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.format("delta").load(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        # Delta's own transaction log makes the write atomic — no
+        # directory-swap dance needed
+        df.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).save(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.format("delta").mode("append").save(self.path)
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        on_conflict: str = "nothing",
+    ) -> None:
+        """Real MERGE INTO with optimistic-concurrency retry semantics
+        handled by Delta — safe under concurrent writers, unlike the
+        single-writer parquet emulation."""
+        from delta.tables import DeltaTable
+
+        if not self.exists():
+            self.overwrite(updates)
+            return
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        m = (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(updates.alias("s"), cond)
+        )
+        if on_conflict == "nothing":
+            m.whenNotMatchedInsertAll().execute()
+        elif on_conflict == "update":
+            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        else:
+            raise ValueError(f"unknown on_conflict={on_conflict!r}")
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        n = target_partitions or max(
+            1, self.spark.sparkContext.defaultParallelism // 4
+        )
+        # dataChange=false: readers see the same rows, files consolidate
+        self.read().coalesce(n).write.format("delta").mode("overwrite").option(
+            "dataChange", "false"
+        ).save(self.path)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     keys: Sequence[str],
     on_conflict: str = "nothing",
+    engine: str = "auto",
 ) -> None:
-    """Functional facade; dispatches to Delta MERGE when available."""
-    # Delta path intentionally unimplemented in this image (no jars);
-    # the ParquetTable emulation is the portable behavior under test.
-    ParquetTable(spark, path).upsert(updates, keys, on_conflict)
+    """Functional facade over the MERGE implementations.
+
+    ``engine='auto'`` (default) uses Delta ``MERGE INTO`` when the
+    delta-spark package is importable and falls back to the portable
+    parquet emulation otherwise; ``'delta'`` / ``'parquet'`` force a
+    branch (forcing delta without the package raises ImportError).
+    """
+    use_delta = engine == "delta" or (engine == "auto" and HAVE_DELTA)
+    if engine not in ("auto", "delta", "parquet"):
+        raise ValueError(f"unknown engine={engine!r}")
+    if use_delta:
+        DeltaTableStore(spark, path).upsert(updates, keys, on_conflict)
+    else:
+        ParquetTable(spark, path).upsert(updates, keys, on_conflict)
 
 
 class BucketedParquetTable:

@@ -15,11 +15,23 @@ Driver-side by design: the HTTP layer is a thin dispatcher; every query
 it serves is planned and executed by Spark exactly as through the Python
 API (the reference's Flask workers are the same kind of frontend over
 Postgres).
+
+Auth mirrors the reference's rkauth gate in shape, not mechanism
+(``db/2025-02-18_001_init.sql:14-32`` authuser table + session auth on
+every endpoint, ``src/webserver/baseview.py:72-96`` check_auth): pass
+``tokens={"<token>": "<username>"}`` and every request must carry
+``Authorization: Bearer <token>`` or get a 401.  The authenticated
+username also scopes the async SQL queue exactly as the reference scopes
+it by ``flask.session['useruuid']`` (``src/webserver/dbapp.py:143-149``):
+submissions are recorded under the caller, and another user polling or
+fetching that query id gets a 403.  ``tokens=None`` (default) disables
+the gate — the single-user engine-demo mode.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -28,6 +40,10 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from fastdb_spark.api import FastdbAPI
+
+
+class AuthError(Exception):
+    """Request not authenticated (no/unknown bearer token) -> 401."""
 
 #: rows returned per DataFrame response unless the caller overrides —
 #: an HTTP response is a driver materialization; unbounded collect of a
@@ -64,63 +80,105 @@ def _payload(result: Any, limit: int) -> dict:
     return {"status": "ok", "value": _jsonable(result)}
 
 
+def _own_query(api: FastdbAPI, queryid: str, user: str | None) -> None:
+    """Reference-style per-user queue isolation: with auth on, a query id
+    may only be polled/fetched by the user who submitted it."""
+    if user is None:
+        return
+    row = api.queue.status(queryid) if api.queue is not None else None
+    if row is not None and row["userid"] != user:
+        raise PermissionError(f"query {queryid} belongs to another user")
+
+
 def _routes() -> list[tuple[str, Any]]:
-    """(prefix, handler(api, parts, body)) dispatch table; ``parts`` are
-    the path segments after the prefix."""
+    """(prefix, handler(api, parts, body, user)) dispatch table; ``parts``
+    are the path segments after the prefix, ``user`` the authenticated
+    username (None with auth disabled)."""
 
     def pv(parts, default="default"):
         return parts[0] if parts else default
 
+    def submit(a, p, b, u):
+        # with auth on the caller cannot submit as someone else
+        userid = u if u is not None else b.get("userid", "")
+        return a.submit_sql_query(userid, b["queries"], b.get("format", "csv"))
+
+    def check(a, p, b, u):
+        _own_query(a, p[0], u)
+        return a.check_sql_query(p[0])
+
+    def results(a, p, b, u):
+        _own_query(a, p[0], u)
+        return a.get_sql_query_results(p[0])
+
     return [
         # server.py urls
-        ("getprocvers", lambda a, p, b: a.processing_versions()),
-        ("procver", lambda a, p, b: a.procver_info(p[0])),
+        ("getprocvers", lambda a, p, b, u: a.processing_versions()),
+        ("procver", lambda a, p, b, u: a.procver_info(p[0])),
         (
             "baseprocver",
-            lambda a, p, b: a.base_procver_info(p[0], p[1] if len(p) > 1 else None),
+            lambda a, p, b, u: a.base_procver_info(p[0], p[1] if len(p) > 1 else None),
         ),
         (
             "count",
-            lambda a, p, b: a.count(p[0], pv(p[1:]), **b),
+            lambda a, p, b, u: a.count(p[0], pv(p[1:]), **b),
         ),
         (
             "getdiaobjectinfo",
-            lambda a, p, b: a.get_object_infos(
+            lambda a, p, b, u: a.get_object_infos(
                 pv(p), objids=[p[1]] if len(p) > 1 else b.pop("objids", None), **b
             ),
         ),
-        ("objectsearch", lambda a, p, b: a.object_search(pv(p), **b)),
+        ("objectsearch", lambda a, p, b, u: a.object_search(pv(p), **b)),
         # ltcvapp.py urls
-        ("getmanyltcvs", lambda a, p, b: a.get_many_ltcvs(pv(p), **b)),
-        ("getltcv", lambda a, p, b: a.get_ltcv(p[0], p[1], **b)),
-        ("getrandomltcv", lambda a, p, b: a.get_random_ltcv(pv(p), **b)),
-        ("gethottransients", lambda a, p, b: a.get_hot_transients(pv(p), **b)),
-        ("getbrokerinfo", lambda a, p, b: a.get_broker_info(pv(p), **b)),
+        ("getmanyltcvs", lambda a, p, b, u: a.get_many_ltcvs(pv(p), **b)),
+        ("getltcv", lambda a, p, b, u: a.get_ltcv(p[0], p[1], **b)),
+        ("getrandomltcv", lambda a, p, b, u: a.get_random_ltcv(pv(p), **b)),
+        ("gethottransients", lambda a, p, b, u: a.get_hot_transients(pv(p), **b)),
+        ("getbrokerinfo", lambda a, p, b, u: a.get_broker_info(pv(p), **b)),
         # spectrumapp.py urls
-        ("askforspectrum", lambda a, p, b: a.ask_for_spectrum(**b)),
-        ("spectrawanted", lambda a, p, b: a.spectra_wanted(**b)),
-        ("planspectrum", lambda a, p, b: a.plan_spectrum(**b)),
-        ("removespectrumplan", lambda a, p, b: a.remove_spectrum_plan(**b)),
-        ("reportspectruminfo", lambda a, p, b: a.report_spectrum_info(**b)),
-        ("getknownspectruminfo", lambda a, p, b: a.get_known_spectrum_info(**b)),
+        ("askforspectrum", lambda a, p, b, u: a.ask_for_spectrum(**b)),
+        ("spectrawanted", lambda a, p, b, u: a.spectra_wanted(**b)),
+        ("planspectrum", lambda a, p, b, u: a.plan_spectrum(**b)),
+        ("removespectrumplan", lambda a, p, b, u: a.remove_spectrum_plan(**b)),
+        ("reportspectruminfo", lambda a, p, b, u: a.report_spectrum_info(**b)),
+        ("getknownspectruminfo", lambda a, p, b, u: a.get_known_spectrum_info(**b)),
         # dbapp.py urls
-        ("runsqlquery", lambda a, p, b: a.run_sql(b["query"], b.get("subdict"))),
-        (
-            "submitsqlquery",
-            lambda a, p, b: a.submit_sql_query(
-                b.get("userid", ""), b["queries"], b.get("format", "csv")
-            ),
-        ),
-        ("checksqlquery", lambda a, p, b: a.check_sql_query(p[0])),
-        ("getsqlqueryresults", lambda a, p, b: a.get_sql_query_results(p[0])),
+        ("runsqlquery", lambda a, p, b, u: a.run_sql(b["query"], b.get("subdict"))),
+        ("submitsqlquery", submit),
+        ("checksqlquery", check),
+        ("getsqlqueryresults", results),
     ]
 
 
 class FastdbHTTPServer:
-    """Threaded HTTP frontend over one FastdbAPI instance."""
+    """Threaded HTTP frontend over one FastdbAPI instance.
 
-    def __init__(self, api: FastdbAPI, host: str = "127.0.0.1", port: int = 0):
+    ``tokens`` maps bearer token -> username; when given, every endpoint
+    requires ``Authorization: Bearer <token>`` (401 otherwise) and the
+    async SQL queue is scoped per authenticated user (403 on another
+    user's query id)."""
+
+    def __init__(
+        self,
+        api: FastdbAPI,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tokens: dict[str, str] | None = None,
+    ):
         routes = _routes()
+
+        def authenticate(header: str | None) -> str | None:
+            if tokens is None:
+                return None
+            if not header or not header.startswith("Bearer "):
+                raise AuthError("not authenticated: missing bearer token")
+            supplied = header[len("Bearer "):].strip()
+            for tok, username in tokens.items():
+                # constant-time compare — no token-prefix timing oracle
+                if hmac.compare_digest(tok, supplied):
+                    return username
+            raise AuthError("not authenticated: unknown token")
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet test output
@@ -128,6 +186,7 @@ class FastdbHTTPServer:
 
             def _respond(self):
                 try:
+                    user = authenticate(self.headers.get("Authorization"))
                     length = int(self.headers.get("Content-Length") or 0)
                     body = (
                         json.loads(self.rfile.read(length) or b"{}")
@@ -143,7 +202,9 @@ class FastdbHTTPServer:
                     else:
                         for prefix, fn in routes:
                             if parts[0] == prefix:
-                                out = _payload(fn(api, parts[1:], body), limit)
+                                out = _payload(
+                                    fn(api, parts[1:], body, user), limit
+                                )
                                 code = 200
                                 break
                         else:
@@ -151,6 +212,10 @@ class FastdbHTTPServer:
                                 "status": "error",
                                 "error": f"unknown endpoint {parts[0]!r}",
                             }, 404
+                except AuthError as e:
+                    out, code = {"status": "error", "error": str(e)}, 401
+                except PermissionError as e:
+                    out, code = {"status": "error", "error": str(e)}, 403
                 except (KeyError, ValueError, TypeError, IndexError) as e:
                     out, code = {"status": "error", "error": str(e)}, 400
                 except Exception as e:  # noqa: BLE001 — error surface is JSON
@@ -186,6 +251,11 @@ class FastdbHTTPServer:
             self._thread.join(timeout=10)
 
 
-def serve(api: FastdbAPI, host: str = "0.0.0.0", port: int = 8080) -> None:
+def serve(
+    api: FastdbAPI,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    tokens: dict[str, str] | None = None,
+) -> None:
     """Blocking entry point (the reference's gunicorn-worker analog)."""
-    FastdbHTTPServer(api, host, port)._httpd.serve_forever()
+    FastdbHTTPServer(api, host, port, tokens=tokens)._httpd.serve_forever()

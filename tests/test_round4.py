@@ -326,3 +326,62 @@ def test_encode_pq_residual_carries_given_cluster(spark, clustered):
     ).collect()
     want = {r["vec_id"]: r["cluster"] for r in tagged.collect()}
     assert all(r["cluster"] == want[r["vec_id"]] for r in enc)
+
+
+# --- Delta MERGE branch (env-gated) ------------------------------------------
+
+
+def test_merge_upsert_engine_dispatch(spark, tmp_path):
+    """engine='parquet' always works; engine='delta' raises cleanly when
+    the package is absent and runs a real MERGE INTO when present."""
+    from fastdb_spark.storage import HAVE_DELTA, DeltaTableStore, merge_upsert
+
+    p = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    merge_upsert(spark, p, df1, ["id"], "nothing", engine="parquet")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    merge_upsert(spark, p, df2, ["id"], "update", engine="parquet")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        merge_upsert(spark, p, df2, ["id"], "update", engine="duckdb")
+
+    if not HAVE_DELTA:
+        with pytest.raises(ImportError, match="delta-spark"):
+            DeltaTableStore(spark, str(tmp_path / "d"))
+        return
+
+    # env-gated: only runs where the delta jars + package exist
+    dp = str(tmp_path / "delta_tbl")
+    merge_upsert(spark, dp, df1, ["id"], "nothing", engine="delta")
+    merge_upsert(spark, dp, df2, ["id"], "update", engine="delta")
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.format("delta").load(dp).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+# --- kafka transport gate ----------------------------------------------------
+
+
+def test_kafka_transport_gate_pins_jar(spark):
+    """Without the spark-sql-kafka jar the transport builders raise an
+    actionable error naming the exact maven coordinate; with the jar they
+    construct the streaming plan (env-gated)."""
+    from fastdb_spark.sources.kafka import (
+        have_kafka_source,
+        kafka_jar_coordinate,
+        read_alert_stream,
+    )
+
+    coord = kafka_jar_coordinate(spark)
+    assert coord.startswith("org.apache.spark:spark-sql-kafka-0-10_")
+    assert spark.version in coord
+    if have_kafka_source(spark):
+        df = read_alert_stream(spark, "localhost:9092", "alerts", '"long"')
+        assert df.isStreaming
+    else:
+        with pytest.raises(ImportError, match="spark-sql-kafka"):
+            read_alert_stream(spark, "localhost:9092", "alerts", '"long"')

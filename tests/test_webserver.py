@@ -109,3 +109,84 @@ def test_unknown_endpoint_404_and_bad_body_400(server):
     assert out["status"] == "error"
     out = _post(server, "/runsqlquery", {"not_query": 1}, expect_error=True)
     assert out["status"] == "error"
+
+
+# --- bearer-token auth (reference rkauth gate analog) -----------------------
+
+
+@pytest.fixture(scope="module")
+def auth_server(spark, golden_pandas, tmp_path_factory):
+    root = tmp_path_factory.mktemp("auth_catalog")
+    for name, pdf in golden_pandas.items():
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(root / f"{name}.parquet")
+        )
+    api = FastdbAPI(spark, str(root), queue_root=str(root / "queue"))
+    srv = FastdbHTTPServer(
+        api, tokens={"tok-alice": "alice", "tok-bob": "bob"}
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def _post_auth(server, path, body=None, token=None, expect_error=False):
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body or {}).encode(),
+        headers=headers,
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read()), resp.status
+    except urllib.error.HTTPError as e:
+        if not expect_error:
+            raise
+        return json.loads(e.read()), e.code
+
+
+def test_auth_401_without_or_with_bad_token(auth_server):
+    out, code = _post_auth(auth_server, "/getprocvers", expect_error=True)
+    assert code == 401 and out["status"] == "error"
+    out, code = _post_auth(
+        auth_server, "/getprocvers", token="wrong", expect_error=True
+    )
+    assert code == 401 and "unknown token" in out["error"]
+
+
+def test_auth_valid_token_passes(auth_server):
+    out, code = _post_auth(auth_server, "/getprocvers", token="tok-alice")
+    assert code == 200 and out["status"] == "ok"
+
+
+def test_auth_sql_queue_scoped_per_user(auth_server):
+    sub, code = _post_auth(
+        auth_server,
+        "/submitsqlquery",
+        {"queries": ["SELECT description FROM processing_version"],
+         # userid in the body must be IGNORED under auth
+         "userid": "mallory"},
+        token="tok-alice",
+    )
+    assert code == 200
+    qid = sub["value"]
+    # alice can poll her own query
+    own, code = _post_auth(
+        auth_server, f"/checksqlquery/{qid}", token="tok-alice"
+    )
+    assert code == 200 and own["queryid"] == qid
+    # bob polling alice's query gets a 403
+    out, code = _post_auth(
+        auth_server, f"/checksqlquery/{qid}", token="tok-bob", expect_error=True
+    )
+    assert code == 403
+    out, code = _post_auth(
+        auth_server,
+        f"/getsqlqueryresults/{qid}",
+        token="tok-bob",
+        expect_error=True,
+    )
+    assert code == 403
