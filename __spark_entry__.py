@@ -1233,6 +1233,18 @@ def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (CCNet-style fluency signal):
+    LM trained on the corpus itself, broadcast back over the token
+    stream; mean log-prob via the ordered canonical fold, quantized."""
+    from fastdb_spark.pipeline.lm import doc_perplexity
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return doc_perplexity(docs)
+
+
 #: domain-mix targets: rebalance the lang-skewed corpus (en is ~40%)
 #: toward an even five-way mixture at half the corpus budget
 _MIX_SHARES = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
@@ -1272,6 +1284,12 @@ def _pack_oracle() -> str:
     from fastdb_spark.pipeline.packing import pack_oracle_sql
 
     return pack_oracle_sql(seq_len=2048)
+
+
+def _perplexity_oracle() -> str:
+    from fastdb_spark.pipeline.lm import perplexity_oracle_sql
+
+    return perplexity_oracle_sql()
 
 
 def _pack_manifest_oracle() -> str:
@@ -1374,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "domain_mix_sample": _q_domain_mix,
         "doc_repetition": _q_doc_repetition,
+        "doc_perplexity": _q_doc_perplexity,  # NEW in round 4
         "json_extract": _q_json_extract,
         "latest_mag_per_band": _q_latest_mag_per_band,
         "pagination_ranged": _q_pagination_ranged,
@@ -1416,12 +1435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_forced": _q_asof_latest_forced,
         "spectrum_workflow": _q_spectrum_workflow,
         "versioned_count": _q_versioned_count,
-        "object_search": _q_object_search,
         "alert_reconstruct": _q_alert_reconstruct,
         "broker_info": _q_broker_info,
         "multimodal_features": _q_multimodal_features,
         # --- adjudication tail (position >50): long-stable generics, all
         # green in CORRECTNESS_r03 and untouched this round ---------------
+        "object_search": _q_object_search,
         "doc_stats": _q_doc_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2112,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_clusters": po.dup_clusters_sql(),
         "doc_repetition": po.doc_repetition_sql(),
+        "doc_perplexity": _perplexity_oracle(),
         "pack_sequences": _pack_oracle(),
         "pack_manifest": _pack_manifest_oracle(),
         "leakage_safe_split": _split_oracle(),

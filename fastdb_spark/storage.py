@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fastdb_spark.locks import table_write_lock
+
 try:  # pragma: no cover - delta not in the test image
     from delta.tables import DeltaTable  # noqa: F401
 
@@ -89,21 +91,30 @@ class ParquetTable:
 
         ``updates`` must be key-unique (dedup upstream — the reference
         requires the same, its temp table carries no duplicate PKs).
+
+        Concurrent writers serialize on a per-table lockfile (the
+        read-merge-write would otherwise lose the first of two racing
+        batches; see :mod:`fastdb_spark.locks`) — the Postgres-row-lock
+        analog of the reference's upsert.  Delta deployments get real
+        optimistic concurrency instead (:class:`DeltaTableStore`).
         """
         ks = list(keys)
-        if not self.exists():
-            self.overwrite(updates)
-            return
-        target = self.read()
-        if on_conflict == "nothing":
-            fresh = updates.join(target.select(*ks), on=ks, how="left_anti")
-            # append-only: cheap, idempotent under re-run of the same batch
-            self.append(fresh.select(*target.columns))
-        elif on_conflict == "update":
-            kept = target.join(updates.select(*ks), on=ks, how="left_anti")
-            self.overwrite(kept.unionByName(updates.select(*target.columns)))
-        else:
+        if on_conflict not in ("nothing", "update"):
             raise ValueError(f"unknown on_conflict={on_conflict!r}")
+        with table_write_lock(self.path):
+            if not self.exists():
+                self.overwrite(updates)
+                return
+            target = self.read()
+            if on_conflict == "nothing":
+                fresh = updates.join(target.select(*ks), on=ks, how="left_anti")
+                # append-only: cheap, idempotent under re-run of same batch
+                self.append(fresh.select(*target.columns))
+            else:
+                kept = target.join(updates.select(*ks), on=ks, how="left_anti")
+                self.overwrite(
+                    kept.unionByName(updates.select(*target.columns))
+                )
 
 
 class DeltaTableStore:
@@ -280,7 +291,21 @@ class BucketedParquetTable:
         on_conflict: str = "nothing",
     ) -> list[int]:
         """MERGE a key-unique update batch; returns the bucket ids that
-        were touched (the incremental-write evidence tests assert on)."""
+        were touched (the incremental-write evidence tests assert on).
+
+        Serialized against other writers AND the compactor via the
+        per-table lockfile (:mod:`fastdb_spark.locks`): two racing
+        read-merge-writes on overlapping buckets would lose the first
+        batch, and a compactor swapping a directory mid-merge would drop
+        the merge's files."""
+        if on_conflict not in ("nothing", "update"):
+            raise ValueError(f"unknown on_conflict={on_conflict!r}")
+        with table_write_lock(self.path):
+            return self._upsert_locked(updates, on_conflict)
+
+    def _upsert_locked(
+        self, updates: DataFrame, on_conflict: str
+    ) -> list[int]:
         if not self.exists():
             self.overwrite(updates)
             return list(range(self.n_buckets))
@@ -302,27 +327,25 @@ class BucketedParquetTable:
                 self.BUCKET_COL
             ).mode("append").parquet(self.path)
             return affected
-        if on_conflict == "update":
-            kept = target.join(
-                up.select(*self.keys), on=self.keys, how="left_anti"
-            )
-            merged = kept.unionByName(up.select(*target.columns))
-            tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-            merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(tmp)
-            # atomic per-partition swap: only affected dirs change
-            for b in affected:
-                src = os.path.join(tmp, f"{self.BUCKET_COL}={b}")
-                dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
-                old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
-                if os.path.exists(dst):
-                    os.rename(dst, old)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-            shutil.rmtree(tmp, ignore_errors=True)
-            return affected
-        raise ValueError(f"unknown on_conflict={on_conflict!r}")
+        kept = target.join(
+            up.select(*self.keys), on=self.keys, how="left_anti"
+        )
+        merged = kept.unionByName(up.select(*target.columns))
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(tmp)
+        # atomic per-partition swap: only affected dirs change
+        for b in affected:
+            src = os.path.join(tmp, f"{self.BUCKET_COL}={b}")
+            dst = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return affected
 
     def compact(
         self, max_files_per_bucket: int = 4, target_files: int = 1
@@ -331,7 +354,19 @@ class BucketedParquetTable:
         micro-batch inside each bucket directory; rewrite only the buckets
         whose file count exceeds ``max_files_per_bucket`` (coalesced to
         ``target_files``), leaving every other partition untouched —
-        incremental maintenance matching the incremental write path."""
+        incremental maintenance matching the incremental write path.
+        Holds the same write lock as :meth:`upsert`, so compaction can run
+        alongside live ingest without racing a merge's directory swap."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        with table_write_lock(self.path):
+            return self._compact_locked(max_files_per_bucket, target_files)
+
+    def _compact_locked(
+        self, max_files_per_bucket: int, target_files: int
+    ) -> list[int]:
         import glob
 
         from pyspark.sql import functions as F

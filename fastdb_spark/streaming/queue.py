@@ -17,10 +17,8 @@ Iceberg) the same API maps to a conditional MERGE on ``started IS NULL``.
 
 from __future__ import annotations
 
-import contextlib
 import datetime as dt
 import os
-import time
 import uuid as uuidlib
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -69,34 +67,19 @@ class QueryQueue:
 
     # -- runner ------------------------------------------------------------
 
-    @contextlib.contextmanager
     def _claim_mutex(self):
         """Filesystem mutex for the read-pick-write claim section (the
-        LOCK TABLE analog).  O_CREAT|O_EXCL creation is atomic; stale
-        locks from crashed claimants are broken after CLAIM_LOCK_STALE."""
-        lock = self.table.path + ".claim.lock"
-        deadline = time.monotonic() + CLAIM_LOCK_TIMEOUT
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > CLAIM_LOCK_STALE:
-                        os.unlink(lock)  # break a crashed claimant's lock
-                        continue
-                except OSError:
-                    continue  # lock vanished between check and stat
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"claim lock held too long: {lock}")
-                time.sleep(0.05)
-        try:
-            yield
-        finally:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)
+        LOCK TABLE analog) — the shared lockfile primitive, under a
+        distinct suffix so a claimant (which upserts INSIDE its claim,
+        taking the table's ``.write.lock``) never self-deadlocks."""
+        from fastdb_spark.locks import table_write_lock
+
+        return table_write_lock(
+            self.table.path,
+            suffix=".claim.lock",
+            timeout=CLAIM_LOCK_TIMEOUT,
+            stale=CLAIM_LOCK_STALE,
+        )
 
     def claim_next(self) -> Row | None:
         """Claim the oldest unstarted row (FIFO, reference ORDER BY

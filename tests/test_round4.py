@@ -385,3 +385,117 @@ def test_kafka_transport_gate_pins_jar(spark):
     else:
         with pytest.raises(ImportError, match="spark-sql-kafka"):
             read_alert_stream(spark, "localhost:9092", "alerts", '"long"')
+
+
+# --- per-table write lock (concurrent writers) -------------------------------
+
+
+def test_table_write_lock_stale_break_and_timeout(tmp_path):
+    import os
+
+    from fastdb_spark.locks import table_write_lock
+
+    p = str(tmp_path / "tbl")
+    # stale lock from a "crashed" writer is broken
+    stale = p + ".write.lock"
+    with open(stale, "w") as f:
+        f.write("dead")
+    os.utime(stale, (0, 0))  # epoch mtime -> definitely stale
+    with table_write_lock(p, stale=1.0):
+        assert os.path.exists(stale)  # we now hold it
+    assert not os.path.exists(stale)
+
+    # a live lock makes a second acquirer time out
+    with table_write_lock(p):
+        with pytest.raises(TimeoutError):
+            with table_write_lock(p, timeout=0.3, stale=3600):
+                pass
+
+
+def test_parquet_upsert_concurrent_writers_no_lost_update(spark, tmp_path):
+    """Four threads race disjoint-key UPDATE upserts (read-merge-rewrite);
+    without the per-table lock the last overwrite would discard earlier
+    batches.  With it, every batch survives."""
+    import threading
+
+    from fastdb_spark.storage import ParquetTable
+
+    p = str(tmp_path / "ctbl")
+    t = ParquetTable(spark, p)
+    t.overwrite(spark.createDataFrame([(0, "seed")], "id long, v string"))
+    errs = []
+
+    def writer(base):
+        try:
+            df = spark.createDataFrame(
+                [(base + i, f"w{base + i}") for i in range(5)],
+                "id long, v string",
+            )
+            t.upsert(df, ["id"], "update")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(100 * k,)) for k in range(1, 5)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errs, errs
+    got = {r["id"] for r in t.read().collect()}
+    want = {0} | {100 * k + i for k in range(1, 5) for i in range(5)}
+    assert got == want
+
+
+# --- unigram-LM perplexity ---------------------------------------------------
+
+
+def test_perplexity_scores_fluent_vs_gibberish(spark):
+    """Corpus-typical documents score LOWER perplexity than a document of
+    singleton gibberish tokens; the filter keeps the fluent ones."""
+    from fastdb_spark.pipeline.lm import doc_perplexity, perplexity_filter
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zxqv jkwp mmtr qqld uuyx oprw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["ppl"] for r in doc_perplexity(df).collect()}
+    assert scores[100] > scores[0] * 2
+    kept = {r["doc_id"] for r in perplexity_filter(df, scores[0] + 1).collect()}
+    assert 100 not in kept and 0 in kept
+
+
+def test_perplexity_against_reference_lm(spark):
+    """Scoring against an EXTERNAL reference LM: a doc made of reference
+    vocabulary scores far lower than one the reference never saw."""
+    from fastdb_spark.pipeline.lm import doc_perplexity, train_unigram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm = train_unigram_lm(ref)
+    target = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "unknown words only here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["ppl"] for r in doc_perplexity(target, lm=lm).collect()}
+    assert out[2] > out[1] * 3
+
+
+def test_perplexity_plan_broadcasts_lm(spark):
+    """The LM join must be a broadcast (map-side in the corpus scan
+    stage), never a sort-merge shuffle of the token stream."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.lm import doc_perplexity
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    plan = (
+        doc_perplexity(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
