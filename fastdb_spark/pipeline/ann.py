@@ -446,24 +446,7 @@ def ivfpq_search_index(
     import math
     import os
 
-    cents_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cluster")
-        .collect()
-    )
-    cents = [list(map(float, r["centroid"])) for r in cents_rows]
-    book_rows = (
-        spark.read.parquet(os.path.join(path, "codebooks"))
-        .orderBy("subspace", "code")
-        .collect()
-    )
-    residual = bool(book_rows[0]["residual"])
-    m = 1 + max(r["subspace"] for r in book_rows)
-    kk = 1 + max(r["code"] for r in book_rows)
-    books = [[None] * kk for _ in range(m)]
-    for r in book_rows:
-        books[r["subspace"]][r["code"]] = list(map(float, r["vec"]))
-
+    cents, books, residual = _read_ivfpq_index(spark, path)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
     order = sorted(
@@ -495,6 +478,137 @@ def ivfpq_search_index(
         F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
     )
     return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def ivfpq_search_index_many(
+    spark,
+    path: str,
+    queries: dict,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF-PQ probe: the WHOLE query batch rides ONE pass over
+    the union of probed cluster partitions — the query-service shape
+    (cosine_topk_many's batching applied to the persisted index).
+
+    ``queries`` maps query_id -> vector (a driver-side batch — the API a
+    retrieval service actually has).  Per query the centroids rank on the
+    driver (Q x C tiny); each query's ADC lookup table and q-c offset
+    become rows of a BROADCAST probe table ``(query_id, cluster, lut,
+    offset, qvec)``, so the broadcast-join against the pruned corpus scan
+    replicates each stored vector only for the queries probing its
+    cluster.  ADC stays a pure column expression (``element_at`` into the
+    joined lut column), per-query top-``rerank``/top-k are rank windows
+    keyed by query id (state per group ≤ rerank rows).  Zero training
+    jobs; one scan however many queries ride along.
+
+    Returns ``(query_id, vec_id, cos)`` — each query's exact-reranked
+    top-k.
+    """
+    import math
+    import os
+
+    from pyspark.sql import Window
+
+    cents, books, residual = _read_ivfpq_index(spark, path)
+    m = len(books)
+    kk = len(books[0])
+    sub = len(books[0][0])
+
+    probe_rows = []
+    for qid, vec in queries.items():
+        qn = math.sqrt(sum(x * x for x in vec)) or 1.0
+        q = [x / qn for x in vec]
+        lut = [
+            sum(q[i * sub + t] * books[i][j][t] for t in range(sub))
+            for i in range(m)
+            for j in range(kk)
+        ]
+        order = sorted(
+            range(len(cents)), key=lambda i: (-_cosine_py(vec, cents[i]), i)
+        )
+        for c in order[:nprobe]:
+            if residual:
+                cnorm = math.sqrt(sum(x * x for x in cents[c])) or 1.0
+                off = sum(q[t] * cents[c][t] for t in range(len(q))) / cnorm
+            else:
+                off = 0.0
+            probe_rows.append(
+                (str(qid), int(c), lut, float(off), [float(x) for x in vec])
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id string, cluster int, lut array<double>, "
+        "q_offset double, qvec array<double>",
+    )
+    all_clusters = sorted({r[1] for r in probe_rows})
+    cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster").isin(all_clusters)
+    )
+    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    adc = F.col("q_offset") + F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            subspace_idx,
+            lambda c, i: F.element_at(F.col("lut"), i * kk + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(F.broadcast(probes), on="cluster").select(
+        "query_id",
+        F.col(id_col),
+        adc.alias("adc_score"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        F.col("qvec"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    pool = scored.withColumn("_ar", F.row_number().over(wa)).filter(
+        F.col("_ar") <= rerank
+    )
+    # exact rerank ONLY on the surviving pool (≤ rerank rows per query) —
+    # full-vector cosine for every ADC candidate would defeat the codes
+    exact = pool.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("_v"), F.col("qvec")), 6).alias("cos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        exact.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _read_ivfpq_index(spark, path: str):
+    """Driver-side load of the KB-sized index tables: (centroids, books,
+    residual flag)."""
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cents = [list(map(float, r["centroid"])) for r in cents_rows]
+    book_rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    residual = bool(book_rows[0]["residual"])
+    m = 1 + max(r["subspace"] for r in book_rows)
+    kk = 1 + max(r["code"] for r in book_rows)
+    books = [[None] * kk for _ in range(m)]
+    for r in book_rows:
+        books[r["subspace"]][r["code"]] = list(map(float, r["vec"]))
+    return cents, books, residual
 
 
 def ivf_search_index(

@@ -241,3 +241,28 @@ def test_leakage_split_is_scan_stage(spark):
     plan = _plan(leakage_safe_split(docs, {"train": 0.9, "test": 0.1}))
     for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, f"{bad} in split plan"
+
+
+def test_ivfpq_search_index_plan(spark, tmp_path):
+    """The persisted IVF-PQ probe must (a) prune cluster partitions at the
+    directory level (PartitionFilters on the stored layout), (b) run the
+    ADC scan as pure column expressions — no Python/Arrow eval stage in
+    the QUERY path (the one Arrow pass happens at index-build time)."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivfpq_search_index
+    from fastdb_spark.pipeline.corpus import clustered_embs
+
+    embs = clustered_embs(Catalog(spark, SF_DIR).table("embeddings"))
+    path = str(tmp_path / "ivfpq_plan_idx")
+    build_ivf_index(
+        embs, path, n_clusters=8, strategy="seed",
+        pq_m=8, pq_k=16, pq_residual=True,
+    )
+    qvec = list(embs.filter(F.col("vec_id") == 0).head()["embedding"])
+    out = ivfpq_search_index(spark, path, qvec, k=10, nprobe=3, rerank=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0], pf
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert out.count() == 10

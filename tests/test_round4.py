@@ -499,3 +499,51 @@ def test_perplexity_plan_broadcasts_lm(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_perplexity_orders_fluency(spark):
+    """Documents reusing the corpus' bigram transitions score lower
+    perplexity than documents of the same tokens in scrambled order —
+    exactly what the bigram model adds over the unigram."""
+    from fastdb_spark.pipeline.lm import doc_perplexity_bigram
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on dog sat the rug and cat the on sat the"
+    rows = [(i, base) for i in range(10)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"] for r in doc_perplexity_bigram(df).collect()}
+    assert out[99] > out[0] * 2
+
+
+def test_ivfpq_search_index_many_matches_single(spark, clustered, tmp_path):
+    """The batched persisted-index probe must return exactly what the
+    single-query probe returns for each query, in one corpus pass."""
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivfpq_search_index,
+        ivfpq_search_index_many,
+    )
+
+    path = str(tmp_path / "many_idx")
+    build_ivf_index(
+        clustered, path, n_clusters=8, strategy="seed",
+        pq_m=8, pq_k=16, pq_residual=True,
+    )
+    qids = [0, 120, 241]
+    vecs = {
+        str(q): list(clustered.filter(F.col("vec_id") == q).head()["embedding"])
+        for q in qids
+    }
+    many = ivfpq_search_index_many(
+        spark, path, vecs, k=10, nprobe=3, rerank=50
+    ).toPandas()
+    for q in qids:
+        single = [
+            r["vec_id"]
+            for r in ivfpq_search_index(
+                spark, path, vecs[str(q)], k=10, nprobe=3, rerank=50
+            ).collect()
+        ]
+        got = many[many.query_id == str(q)]["vec_id"].tolist()
+        assert set(got) == set(single), (q, got, single)
+    assert len(many) == 30

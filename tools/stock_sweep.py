@@ -64,6 +64,35 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     results = {}
+
+    # conf-leak gate: keys any gate has ever touched or could plausibly
+    # touch, with each key's Spark default so "explicitly set to the
+    # default" (e.g. a try/finally restore) is not a false positive.
+    WATCHED_CONF = {
+        "spark.sql.legacy.parquet.nanosAsLong": "false",
+        "spark.sql.analyzer.failAmbiguousSelfJoin": "true",
+        "spark.sql.session.timeZone": None,
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.ansi.enabled": None,
+    }
+
+    def conf_snapshot():
+        return {
+            k: spark.conf.get(k, None) or default
+            for k, default in WATCHED_CONF.items()
+        }
+
+    # the Catalog applies its documented session normalizations
+    # (nanosAsLong for NANOS-timestamp events, inferTimestampNTZ off) the
+    # first time a table is touched and leaves them set ON PURPOSE — the
+    # conf must still be in effect when lazy plans over its tables
+    # execute.  Take the baseline AFTER one Catalog touch so the gate
+    # flags only undocumented per-query drift.
+    from fastdb_spark.catalog import Catalog
+
+    Catalog(spark, SF_DIR).table("events").limit(1).collect()
+    baseline_conf = conf_snapshot()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,6 +130,17 @@ def main():
                 row["err"] = "no_oracle"
         except Exception:
             row["err"] = traceback.format_exc()[-600:]
+        # conf-leak gate: no query may leave the shared session conf
+        # modified (the nanosAsLong leak class — VERDICT r3 wrong #3)
+        now = conf_snapshot()
+        leaked = {
+            k: (baseline_conf.get(k), now.get(k))
+            for k in set(baseline_conf) | set(now)
+            if baseline_conf.get(k) != now.get(k)
+        }
+        if leaked:
+            row["conf_leak"] = leaked
+            row.setdefault("err", f"conf leak: {leaked}")
         results[name] = row
         ok = row.get("hash_match")
         tag = "OK" if ok else ("rows-only" if row.get("err") == "no_oracle" else "FAIL")
