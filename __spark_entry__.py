@@ -1245,6 +1245,21 @@ def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_perplexity(docs)
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (token-level dedup signal): md5 of
+    every 16-token window, hash-grouped; spans shared by >= 2 distinct
+    documents of the planted exact-dup corpus surface with their doc-id
+    lists."""
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.spans import duplicate_spans
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = exactdup_docs(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return duplicate_spans(corpus, n=16, min_docs=2)
+
+
 def _q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff perplexity (Brants et al.): seen transitions
     score cnt(w1 w2)/cnt(w1), unseen back off to the smoothed unigram —
@@ -1310,10 +1325,25 @@ def _bigram_perplexity_oracle() -> str:
     return bigram_perplexity_oracle_sql()
 
 
+def _spans_oracle() -> str:
+    from fastdb_spark.pipeline.corpus import EXACTDUP_DOCS_SQL
+    from fastdb_spark.pipeline.spans import duplicate_spans_oracle_sql
+
+    return duplicate_spans_oracle_sql(
+        n=16, min_docs=2, table=f"({EXACTDUP_DOCS_SQL})"
+    )
+
+
 def _pack_manifest_oracle() -> str:
     from fastdb_spark.pipeline.packing import pack_manifest_oracle_sql
 
     return pack_manifest_oracle_sql(seq_len=2048)
+
+
+def _pack_materialize_oracle() -> str:
+    from fastdb_spark.pipeline.packing import materialize_packed_oracle_sql
+
+    return materialize_packed_oracle_sql(seq_len=2048)
 
 
 def _decontam_oracle() -> str:
@@ -1371,6 +1401,16 @@ def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(docs, seq_len=2048)
 
 
+def _q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences — the actual training artifact: each
+    row is one seq_len-token sequence assembled from its manifest slices
+    (space-joined token text, hash-exact across engines)."""
+    from fastdb_spark.pipeline.packing import materialize_packed
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return materialize_packed(docs, seq_len=2048)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any distinct word
     8-gram with the eval split, with distinct-hit counts (flag ledger).
@@ -1412,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_perplexity": _q_doc_perplexity,  # NEW in round 4
         "doc_perplexity_bigram": _q_doc_perplexity_bigram,  # NEW in round 4
+        "duplicate_spans": _q_duplicate_spans,  # NEW in round 4
+        "pack_materialize": _q_pack_materialize,  # NEW in round 4
         "json_extract": _q_json_extract,
         "latest_mag_per_band": _q_latest_mag_per_band,
         "pagination_ranged": _q_pagination_ranged,
@@ -1440,13 +1482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
         "first_seen_dedup": _q_first_seen_dedup,
-        "sessionize": _q_sessionize,
         "ltcv_patch": _q_ltcv_patch,
         "ltcv_nested_probe": _q_ltcv_nested_probe,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
-        "hot_ltcvs": _q_hot_ltcvs,
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
         "crossmatch": _q_crossmatch,
@@ -1460,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green in CORRECTNESS_r03 and untouched this round ---------------
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
+        "sessionize": _q_sessionize,
+        "hot_ltcvs": _q_hot_ltcvs,
         "doc_stats": _q_doc_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2152,6 +2194,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": po.doc_repetition_sql(),
         "doc_perplexity": _perplexity_oracle(),
         "doc_perplexity_bigram": _bigram_perplexity_oracle(),
+        "duplicate_spans": _spans_oracle(),
+        "pack_materialize": _pack_materialize_oracle(),
         "pack_sequences": _pack_oracle(),
         "pack_manifest": _pack_manifest_oracle(),
         "leakage_safe_split": _split_oracle(),

@@ -395,6 +395,64 @@ def build_ivf_index(
     )
 
 
+def ivf_index_upsert(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a vector batch to an existing ``build_ivf_index`` layout
+    WITHOUT retraining or a rebuild — the incremental-maintenance half of
+    train-once/query-many: the persisted centroids (and codebooks, for a
+    PQ index) are read back (KBs), the batch is assigned and encoded with
+    the SAME immutable quantizers, and its rows append into their cluster
+    directories only — untouched partitions are never read or written.
+
+    Quantizers stay frozen between rebuilds (the FAISS model: drift is
+    handled by periodic re-train, not per-batch mutation, or queries
+    would see codes from mixed codebooks).  Concurrent upserts serialize
+    on the index's write lock; callers supply new ids (idempotency via
+    deterministic ids, same policy as the ingest path).  Returns the
+    number of rows appended."""
+    import os
+
+    from fastdb_spark.locks import table_write_lock
+
+    spark = new_vectors.sparkSession
+    with table_write_lock(path):
+        cents_rows = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cluster")
+            .collect()
+        )
+        cents = [list(map(float, r["centroid"])) for r in cents_rows]
+        base = new_vectors.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+        )
+        tagged = with_ivf_cluster(base, cents, vec_col)
+        if os.path.exists(os.path.join(path, "codebooks")):
+            _, books, residual = _read_ivfpq_index(spark, path)
+            if residual:
+                out = encode_pq_residual(
+                    tagged, cents, books, id_col=id_col, vec_col=vec_col,
+                    cluster_col="cluster", keep_vec=vec_col,
+                )
+            else:
+                out = encode_pq(
+                    tagged, books, id_col=id_col, vec_col=vec_col,
+                    keep=["cluster"], keep_vec=vec_col,
+                )
+        else:
+            out = tagged
+        # count the cheap projection, not `out` — counting the encoded
+        # frame would run the Arrow encode pass twice
+        n = base.count()
+        out.write.partitionBy("cluster").mode("append").parquet(
+            os.path.join(path, "vectors")
+        )
+        return n
+
+
 def _adc_score(
     codebooks: list[list[list[float]]],
     q_norm: list[float],

@@ -269,6 +269,7 @@ def embedding_neardup_pairs(
     n_blocks: int = 8,
     lsh_planes: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = 65536,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding corpus.
 
@@ -337,6 +338,19 @@ def embedding_neardup_pairs(
         from fastdb_spark.pipeline.ann import with_lsh_bucket
 
         bucketed = with_lsh_bucket(keyed, lsh_planes, dim, "v")
+        if max_bucket_size is not None:
+            # same frequency filter as _candidate_pairs, but here the cap
+            # also bounds the PER-TASK GEMM: one bucket is one Arrow
+            # cogroup task whose memory is O(b·d) and compute O(b²·d) —
+            # an unbounded bucket is an executor OOM, not just a slow
+            # join.  Audit drops with oversized_buckets(..., "bucket").
+            keep = (
+                bucketed.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_bsz"))
+                .filter(F.col("_bsz") <= max_bucket_size)
+                .select("bucket")
+            )
+            bucketed = bucketed.join(keep, on="bucket")
 
         def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
             return _score(pdf, pdf, upper=True)

@@ -201,6 +201,70 @@ def pack_manifest(
     )
 
 
+def materialize_packed(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """The actual training artifact: one row per packed sequence —
+    ``(seq_id, n_tokens, text)`` where ``text`` is the sequence's tokens
+    space-joined in placement order (every sequence exactly ``seq_len``
+    tokens except a shorter final one).
+
+    Built from the :func:`pack_manifest` slices: join each slice to its
+    document's token array (shuffle keyed on the near-unique doc id),
+    ``slice`` out the covered tokens, and assemble per sequence with a
+    sorted-struct ``collect_list`` + ``flatten`` (state per group is one
+    sequence = ``seq_len`` tokens, never a document set).  Tokens use the
+    same unfiltered single-space split as the ledger's ``token_count``,
+    so slice offsets align exactly."""
+    from fastdb_spark.functions.text import tokens
+
+    man = pack_manifest(
+        df, seq_len, id_col=id_col, text_col=text_col, num_ranges=num_ranges
+    )
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("l"))
+    joined = man.join(toks_df, on=id_col)
+    part = F.slice(F.col("l"), F.col("doc_offset") + 1, F.col("length"))
+    seqs = joined.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("seq_offset").alias("o"), part.alias("p"))
+            )
+        ).alias("parts")
+    )
+    toks_col = F.flatten(F.transform(F.col("parts"), lambda s: s["p"]))
+    return seqs.select(
+        "seq_id",
+        F.size(toks_col).cast("long").alias("n_tokens"),
+        F.array_join(toks_col, " ").alias("text"),
+    )
+
+
+def materialize_packed_oracle_sql(
+    seq_len: int, order_col: str = "doc_id"
+) -> str:
+    """duckdb twin of :func:`materialize_packed` (manifest subquery →
+    ordered list aggregate → flatten → join)."""
+    man = pack_manifest_oracle_sql(seq_len, order_col)
+    return f"""
+        WITH man AS ({man}),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        SELECT m.seq_id,
+               CAST(len(flatten(list(
+                   l[m.doc_offset + 1 : m.doc_offset + m.length]
+                   ORDER BY m.seq_offset))) AS BIGINT) AS n_tokens,
+               array_to_string(flatten(list(
+                   l[m.doc_offset + 1 : m.doc_offset + m.length]
+                   ORDER BY m.seq_offset)), ' ') AS text
+        FROM man m JOIN toks USING (doc_id)
+        GROUP BY m.seq_id
+    """
+
+
 def pack_manifest_oracle_sql(seq_len: int, order_col: str = "doc_id") -> str:
     """duckdb twin of :func:`pack_manifest` (generate_series explode over
     the cumsum ledger; identical integer slice arithmetic)."""

@@ -547,3 +547,107 @@ def test_ivfpq_search_index_many_matches_single(spark, clustered, tmp_path):
         got = many[many.query_id == str(q)]["vec_id"].tolist()
         assert set(got) == set(single), (q, got, single)
     assert len(many) == 30
+
+
+# --- duplicate-span detection ------------------------------------------------
+
+
+def test_duplicate_spans_finds_planted_boilerplate(spark):
+    """A shared 8-token license header across otherwise-distinct docs is
+    found; unique text is not flagged."""
+    from fastdb_spark.pipeline.spans import duplicate_spans, flag_span_duplicates
+
+    header = "licensed under the apache license version two zero"
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon"),
+        (2, header + " completely different tail content here"),
+        (3, "no shared prefix at all in this document text body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, n=8, min_docs=2).collect()
+    assert spans and all(r["doc_ids"] == "1,2" for r in spans)
+
+    flags = {r["doc_id"]: r for r in flag_span_duplicates(df, n=8).collect()}
+    assert flags[1]["n_dup_windows"] >= 1
+    assert flags[3]["n_dup_windows"] == 0 and flags[3]["dup_frac_ppm"] == 0
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """The LSH-strategy GEMM must skip buckets above the cap (per-task
+    memory guard) while small buckets still pair normally."""
+    from fastdb_spark.pipeline.dedup import embedding_neardup_pairs
+
+    # 300 identical vectors -> one giant bucket; 2 near-dup outliers in
+    # (likely) another bucket
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(1000, [-1.0, -1.0, 0.0, 0.0]), (1001, [-1.0, -1.001, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(
+        df, strategy="lsh", dim=4, max_bucket_size=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in got            # small bucket still works
+    assert not any(a < 300 and b < 300 for a, b in got)  # bomb dropped
+
+
+def test_ivf_index_upsert_incremental(spark, clustered, tmp_path):
+    """Appending a batch reuses the frozen quantizers, lands rows in
+    their cluster directories WITHOUT rewriting untouched partitions,
+    and the persisted search sees the new vectors immediately."""
+    import glob
+    import os
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_upsert,
+        ivfpq_search_index,
+    )
+
+    path = str(tmp_path / "upsert_idx")
+    build_ivf_index(
+        clustered, path, n_clusters=8, strategy="seed",
+        pq_m=8, pq_k=16, pq_residual=True,
+    )
+    before = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "vectors", "cluster=*"))
+    }
+    # a batch of near-clones of vector 0 (same cluster as id 0)
+    v0 = list(clustered.filter(F.col("vec_id") == 0).head()["embedding"])
+    newbie = spark.createDataFrame(
+        [(10_000 + i, [x + 0.001 * i for x in v0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    n = ivf_index_upsert(newbie, path)
+    assert n == 3
+    after = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "vectors", "cluster=*"))
+    }
+    changed = [d for d in before if before[d] != after.get(d, [])]
+    assert 1 <= len(changed) <= 2  # only the batch's cluster dirs grew
+    for d in changed:
+        assert set(before[d]) <= set(after[d])  # append, not rewrite
+    got = {
+        r["vec_id"]
+        for r in ivfpq_search_index(spark, path, v0, k=10, nprobe=3).collect()
+    }
+    assert {10_000, 10_001, 10_002} <= got
+
+
+def test_materialize_packed_tiles_exactly(spark):
+    """Every materialized sequence has exactly seq_len tokens (shorter
+    final), and concatenating all sequences reproduces the id-ordered
+    corpus token stream."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.packing import materialize_packed
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    out = materialize_packed(docs, seq_len=512).orderBy("seq_id").collect()
+    assert all(r["n_tokens"] == 512 for r in out[:-1])
+    assert 0 < out[-1]["n_tokens"] <= 512
+    stream = " ".join(r["text"] for r in out).split(" ")
+    want = []
+    for r in docs.orderBy("doc_id").select("text").collect():
+        want.extend(r["text"].split(" "))
+    assert stream == want
