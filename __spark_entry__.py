@@ -1098,7 +1098,12 @@ def _q_alert_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays are what the driver hashes)."""
     from fastdb_spark.queries.reconstruct import reconstruct_alerts
 
-    li = Catalog(spark, sf_dir).table("lineitem")
+    # the testdata table is one parquet split; spreading it parallelizes
+    # the tagged-history range join and the conditional collect aggregate
+    # (at deployment the multi-file layout provides the splits natively)
+    li = Catalog(spark, sf_dir).table("lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     phot = ad.photometry(li)
     det = ad.detections(li).withColumnRenamed("srcid", "diasourceid").withColumnRenamed(
         "rootid", "diaobjectid"

@@ -444,6 +444,19 @@ def ivf_index_upsert(
                 )
         else:
             out = tagged
+        # the stored layout may carry payload columns beyond
+        # (id, vector, cluster[, pq_code]) — an append missing them would
+        # leave files with diverging schemas that read back inconsistently
+        existing = set(
+            spark.read.parquet(os.path.join(path, "vectors")).columns
+        )
+        missing = existing - set(out.columns)
+        if missing:
+            raise ValueError(
+                f"index layout at {path} stores columns {sorted(missing)} "
+                "the upsert batch does not provide; select the same "
+                "payload columns before upserting"
+            )
         # count the cheap projection, not `out` — counting the encoded
         # frame would run the Arrow encode pass twice
         n = base.count()
