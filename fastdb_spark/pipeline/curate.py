@@ -29,6 +29,10 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 8,
     max_top_word_ppm: int | None = None,
+    max_ppl: float | None = None,
+    perplexity_lm: DataFrame | None = None,
+    max_span_dup_ppm: int | None = None,
+    span_n: int = 16,
 ) -> DataFrame:
     """Surviving documents with their quality metrics.
 
@@ -40,6 +44,13 @@ def curate_corpus(
     - ``max_top_word_ppm``: Gopher-style repetition cut — drop documents
       whose most frequent word covers more than this many parts-per-
       million of the text (``pipeline.textstats.repetition_stats``).
+    - ``max_ppl``: CCNet-style fluency cut — drop documents whose
+      unigram-LM perplexity exceeds the threshold (``pipeline.lm``;
+      ``perplexity_lm`` supplies a reference-corpus LM, default is
+      self-trained).
+    - ``max_span_dup_ppm``: token-level dup cut — drop documents where
+      more than this fraction (ppm) of ``span_n``-token windows also
+      occur verbatim in other documents (``pipeline.spans``).
     """
     if eval_docs is not None:
         from fastdb_spark.pipeline.decontam import decontaminate
@@ -55,6 +66,24 @@ def curate_corpus(
             id_col
         )
         df = df.join(F.broadcast(noisy), id_col, "left_anti")
+    if max_ppl is not None:
+        from fastdb_spark.pipeline.lm import doc_perplexity
+
+        ppl = doc_perplexity(
+            df, lm=perplexity_lm, id_col=id_col, text_col=text_col
+        )
+        bad = ppl.filter(F.col("ppl") > max_ppl).select(id_col)
+        df = df.join(F.broadcast(bad), id_col, "left_anti")
+    if max_span_dup_ppm is not None:
+        from fastdb_spark.pipeline.spans import flag_span_duplicates
+
+        sp = flag_span_duplicates(
+            df, n=span_n, id_col=id_col, text_col=text_col
+        )
+        spanny = sp.filter(F.col("dup_frac_ppm") > max_span_dup_ppm).select(
+            id_col
+        )
+        df = df.join(F.broadcast(spanny), id_col, "left_anti")
     t = F.col(text_col)
     stats = df.select(
         F.col(id_col),

@@ -651,3 +651,45 @@ def test_materialize_packed_tiles_exactly(spark):
     for r in docs.orderBy("doc_id").select("text").collect():
         want.extend(r["text"].split(" "))
     assert stream == want
+
+
+def test_curate_with_perplexity_and_span_gates(spark):
+    """The composed curation pipeline honors the new fluency and
+    duplicate-span gates end-to-end (tested one gate at a time — the
+    shared-prefix corpus that exercises the span gate is, correctly,
+    also near-duplicate prey for every other stage)."""
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.curate import curate_corpus
+
+    # --- perplexity gate: gibberish dies, fluent survives ---------------
+    fluent = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, fluent + f" variant {i}") for i in range(20)]
+    rows.append((500, "zxqv jkwp mmtr qqld uuyx oprw qwerty asdfgh zxcvbn plmokn ijnuhb ygvtfc"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(df, min_tokens=5, min_quality=0.0, max_ppl=40.0).collect()
+    }
+    release_staged()
+    assert 500 not in kept  # gibberish cut by the perplexity gate
+    assert 0 in kept        # canonical fluent doc survives all stages
+
+    # --- span gate: shared boilerplate dies, distinct text survives -----
+    boiler = "licensed under the apache license version two zero exactly as written"
+    rows2 = [
+        (600, boiler + " first tail marker alpha beta"),
+        (601, boiler + " second tail marker gamma delta"),
+        (700, "completely different prose with no repeated window anywhere at all today"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    kept2 = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df2, min_tokens=5, min_quality=0.0,
+            max_span_dup_ppm=300_000, span_n=8,
+        ).collect()
+    }
+    release_staged()
+    assert not {600, 601} & kept2  # BOTH boilerplate docs cut (near-dup
+    # alone would have kept the lower id — the span gate kills the pair)
+    assert 700 in kept2
