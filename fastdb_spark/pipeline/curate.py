@@ -108,8 +108,12 @@ def curate_corpus(
         kept.join(canon, on=[id_col, "fingerprint"], how="left_semi"), eager=True
     )
 
+    # exact dedup already ran: byte-identical documents are collapsed, so
+    # the duplicate-bomb scenario the LSH bucket cap guards against cannot
+    # occur here — skip the cap's count+join (the documented safe case)
     pairs = minhash_lsh_pairs(
-        kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+        kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
+        max_bucket_size=None,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = kept.join(drops, on=id_col, how="left_anti")
