@@ -101,6 +101,34 @@ def domain_mix_sample(
     )
 
 
+def temperature_mix_shares(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+) -> dict[str, float]:
+    """Target mixture DERIVED from the corpus by temperature sampling
+    (the multilingual-pretraining rebalance, public literature: sample
+    stratum s with probability ``p_s^alpha / sum(p^alpha)`` where ``p_s``
+    is its empirical share).  ``alpha=1`` keeps the natural mixture,
+    ``alpha=0`` is uniform, the conventional 0.3 lifts rare strata
+    without drowning common ones.
+
+    One map-side-combined count aggregate; the returned dict (one entry
+    per stratum — bounded by domain cardinality, not corpus size) feeds
+    :func:`domain_mix_sample` directly::
+
+        shares = temperature_mix_shares(docs, "lang", alpha=0.3)
+        mixed = domain_mix_sample(docs, "lang", shares, 0.5, "doc_id")
+    """
+    rows = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if not rows:
+        return {}
+    total = float(sum(r["n"] for r in rows))
+    weights = {r[stratum_col]: (r["n"] / total) ** alpha for r in rows}
+    z = sum(weights.values())
+    return {k: w / z for k, w in sorted(weights.items())}
+
+
 def leakage_safe_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -693,3 +693,27 @@ def test_curate_with_perplexity_and_span_gates(spark):
     assert not {600, 601} & kept2  # BOTH boilerplate docs cut (near-dup
     # alone would have kept the lower id — the span gate kills the pair)
     assert 700 in kept2
+
+
+def test_temperature_mix_shares(spark):
+    """alpha=1 reproduces the natural mixture, alpha=0 is uniform, and
+    alpha=0.3 lifts the rare stratum while keeping the order."""
+    from fastdb_spark.pipeline.sample import (
+        domain_mix_sample,
+        temperature_mix_shares,
+    )
+
+    rows = [(i, "en") for i in range(900)] + [(1000 + i, "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    nat = temperature_mix_shares(df, "lang", alpha=1.0)
+    assert abs(nat["en"] - 0.9) < 1e-9 and abs(nat["fr"] - 0.1) < 1e-9
+    uni = temperature_mix_shares(df, "lang", alpha=0.0)
+    assert abs(uni["en"] - 0.5) < 1e-9
+    t = temperature_mix_shares(df, "lang", alpha=0.3)
+    assert 0.1 < t["fr"] < 0.5 < t["en"] < 0.9
+    assert abs(sum(t.values()) - 1.0) < 1e-9
+    # and the shares drive the existing sampler end-to-end
+    mixed = domain_mix_sample(df, "lang", t, 0.5, "doc_id")
+    got = {r["lang"]: r["n"] for r in
+           mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["fr"] > 50  # rare stratum lifted well above natural 0.5*100*0.1
