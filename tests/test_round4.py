@@ -717,3 +717,60 @@ def test_temperature_mix_shares(spark):
     got = {r["lang"]: r["n"] for r in
            mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["fr"] > 50  # rare stratum lifted well above natural 0.5*100*0.1
+
+
+def test_quality_classifier_separates_planted(spark, tmp_path):
+    """Weak-label bootstrap -> LR -> held-out separation: fluent docs
+    score higher p_good than gibberish, and the model round-trips
+    through save/load (train-once/score-many)."""
+    import random
+
+    from fastdb_spark.pipeline.classify import (
+        classifier_filter,
+        quality_features,
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    rng = random.Random(5)
+    words = ("the of and to in for on with as at by from this that it is "
+             "was are be have not they you we all one new more").split()
+    junk = ["zxq", "@#$%", "qqqq", "////", "kjh!", "0x1f", "~~~~", "%%a"]
+    rows = []
+    for i in range(60):  # fluent: common words, low punct
+        rows.append((i, " ".join(rng.choice(words) for _ in range(40))))
+    for i in range(60):  # junk: rare tokens, heavy punctuation
+        rows.append((1000 + i, " ".join(rng.choice(junk) for _ in range(40))))
+    mid = ("apple banana cherry dragonfruit elderberry figs grapes honeydew "
+           "kiwano lemons mangoes nectarine").split()
+    for i in range(20):  # ambiguous: clean text, zero stopwords
+        rows.append((2000 + i, " ".join(rng.choice(mid) for _ in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    feats = quality_features(df).cache()
+    labels = weak_quality_labels(feats)
+    # weak labels must cover both classes but not everything
+    lab = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert {0.0, 1.0} <= set(lab.values())
+    assert not any(2000 <= d < 3000 for d in lab)  # ambiguous mid excluded
+
+    model = train_quality_classifier(feats, labels)
+    scores = {r["doc_id"]: r["p_good"] for r in score_quality(feats, model).collect()}
+    good = sum(scores[i] for i in range(60)) / 60
+    bad = sum(scores[1000 + i] for i in range(60)) / 60
+    assert good > 0.8 > 0.2 > bad, (good, bad)
+
+    kept = {r["doc_id"] for r in classifier_filter(df, model=model).collect()}
+    assert all(i in kept for i in range(60))
+    assert not any(1000 + i in kept for i in range(60))
+
+    # persistence round-trip
+    p = str(tmp_path / "qmodel")
+    model.write().overwrite().save(p)
+    from pyspark.ml import PipelineModel
+
+    again = PipelineModel.load(p)
+    s2 = {r["doc_id"]: r["p_good"] for r in score_quality(feats, again).collect()}
+    assert s2 == scores
+    feats.unpersist()
