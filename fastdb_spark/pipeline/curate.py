@@ -33,6 +33,8 @@ def curate_corpus(
     perplexity_lm: DataFrame | None = None,
     max_span_dup_ppm: int | None = None,
     span_n: int = 16,
+    quality_model=None,
+    min_p_good: float | None = None,
 ) -> DataFrame:
     """Surviving documents with their quality metrics.
 
@@ -51,6 +53,9 @@ def curate_corpus(
     - ``max_span_dup_ppm``: token-level dup cut — drop documents where
       more than this fraction (ppm) of ``span_n``-token windows also
       occur verbatim in other documents (``pipeline.spans``).
+    - ``min_p_good``: model-based quality cut — keep only documents the
+      classifier (``quality_model``, or a weak-label bootstrap trained
+      on the spot) scores at least this good (``pipeline.classify``).
     """
     if eval_docs is not None:
         from fastdb_spark.pipeline.decontam import decontaminate
@@ -84,6 +89,13 @@ def curate_corpus(
             id_col
         )
         df = df.join(F.broadcast(spanny), id_col, "left_anti")
+    if min_p_good is not None:
+        from fastdb_spark.pipeline.classify import classifier_filter
+
+        df = classifier_filter(
+            df, model=quality_model, min_p_good=min_p_good,
+            id_col=id_col, text_col=text_col,
+        )
     t = F.col(text_col)
     stats = df.select(
         F.col(id_col),
