@@ -1438,6 +1438,109 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_QUERY, k=10)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE encoding with a fixed merge table, adjudicated EXACTLY:
+    the real Arrow-batched greedy-merge encoder vs a duckdb chained-
+    replace twin over a double-separator framing whose boundary-safety is
+    proved in ``pipeline/tokenizer.py`` (encoded-string md5 + token
+    count per document)."""
+    from fastdb_spark.pipeline.tokenizer import FIXED_MERGES, encoded_flat
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    flat = encoded_flat(docs, FIXED_MERGES)
+    return flat.select(
+        "doc_id",
+        F.md5(F.col("encoded")).alias("enc_md5"),
+        "n_bpe_tokens",
+    )
+
+
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training: ONE corpus pass builds the word-type
+    histogram (map-side combined), the merge loop runs on that bounded
+    histogram — returns the learned merge table (rank, left, right).
+    No tractable SQL twin (iterative argmax) -> driver rows-only; the
+    trainer is equality-tested against an independent reference
+    implementation in tests/test_tokenizer_shards.py."""
+    from fastdb_spark.pipeline.tokenizer import merges_df, train_bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = train_bpe(docs, n_merges=64)
+    return merges_df(spark, merges)
+
+
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 fixed shards (training-data
+    last mile): shard = md5-prefix mod n (scan-stage), pos = hash-order
+    rank within the shard (the one exchange a sharded write needs)."""
+    from fastdb_spark.pipeline.shards import shuffle_to_shards
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    return shuffle_to_shards(docs, 8, salt="shard1")
+
+
+_TB_BUDGETS = {"en": 4000, "fr": 1500, "de": 1000}
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection: docs taken in deterministic
+    hash order until each language's whitespace-token budget fills;
+    conservative cut (never exceeds the budget)."""
+    from fastdb_spark.pipeline.shards import token_budget_select
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = token_budget_select(
+        docs, budget=_TB_BUDGETS, stratum_col="lang", salt="tb1"
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (keyword extraction): one (doc, term) tf aggregate, df broadcast
+    back, floor-quantized scores, (score desc, term) tie-break."""
+    from fastdb_spark.pipeline.retrieval import tfidf_topk
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return tfidf_topk(docs, k=3)
+
+
+def _bpe_encode_oracle() -> str:
+    from fastdb_spark.pipeline.tokenizer import FIXED_MERGES, bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(FIXED_MERGES)
+
+
+def _shards_oracle() -> str:
+    from fastdb_spark.pipeline.shards import shards_oracle_sql
+
+    return shards_oracle_sql(
+        "documents", 8, salt="shard1", select_cols="doc_id, lang"
+    )
+
+
+def _token_budget_oracle() -> str:
+    from fastdb_spark.pipeline.shards import token_budget_oracle_sql
+
+    return token_budget_oracle_sql(
+        "documents",
+        _TB_BUDGETS,
+        stratum_col="lang",
+        salt="tb1",
+        select_cols="doc_id, lang",
+    )
+
+
+def _tfidf_oracle() -> str:
+    from fastdb_spark.pipeline.retrieval import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  ROUND-4 ROTATION: the 18 queries that had never
@@ -1448,6 +1551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle and runs in tests/test_oracle_parity.py every session.
     # The swap list is recorded in ROUND_NOTES.md for the round-5 rotation.
     return {
+        # --- NEW this round (late round-4 additions) ---------------------
+        "bpe_encode": _q_bpe_encode,
+        "bpe_train_merges": _q_bpe_train_merges,  # rows-only by design
+        "shuffle_shards": _q_shuffle_shards,
+        "token_budget_select": _q_token_budget,
+        "tfidf_topk": _q_tfidf_topk,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1484,12 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "pagination": _q_pagination,
         # --- previously green, kept in-window ----------------------------
-        "priority_dedup": _q_priority_dedup,
-        "versioned_dedup": _q_versioned_dedup,
-        "first_seen_dedup": _q_first_seen_dedup,
-        "ltcv_patch": _q_ltcv_patch,
         "ltcv_nested_probe": _q_ltcv_nested_probe,
-        "ltcv_detections_cut": _q_ltcv_detections_cut,
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
@@ -1503,6 +1607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # --- adjudication tail (position >50): long-stable generics, all
         # green in CORRECTNESS_r03 and untouched this round ---------------
+        "priority_dedup": _q_priority_dedup,
+        "versioned_dedup": _q_versioned_dedup,
+        "first_seen_dedup": _q_first_seen_dedup,
+        "ltcv_patch": _q_ltcv_patch,
+        "ltcv_detections_cut": _q_ltcv_detections_cut,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2213,4 +2322,9 @@ def oracle_sql() -> dict[str, str]:
             salt="mix2",
             select_cols="d.doc_id, d.lang, d.source",
         ),
+        # --- late round-4 additions (bpe_train_merges: rows-only) --------
+        "bpe_encode": _bpe_encode_oracle(),
+        "shuffle_shards": _shards_oracle(),
+        "token_budget_select": _token_budget_oracle(),
+        "tfidf_topk": _tfidf_oracle(),
     }

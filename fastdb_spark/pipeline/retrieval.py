@@ -242,3 +242,93 @@ def bm25_oracle_sql(
         ORDER BY score_q DESC, doc_id
         LIMIT {k}
     """
+
+
+def tfidf_topk(
+    documents: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (the scikit-learn convention: ``idf = ln((N+1)/(df+1)) + 1``).
+
+    The keyword-extraction / doc-representation primitive of a corpus
+    pipeline: per-doc top terms feed topic labelling, near-dup triage
+    and quality review.  Returns ``(id_col, term, tf, score_q, rk)``.
+
+    Shape: ONE (doc, term) tf aggregate over the exploded token stream
+    (map-side combinable, near-unique keys), a per-term df aggregate of
+    the much smaller tf frame, df broadcast back, and a per-doc window
+    for the top-k cut.  Scores are floor-quantized (1e4) so a last-ulp
+    ``ln`` difference between engines cannot flip a rank; ties break on
+    ascending term — fully deterministic, exact duckdb twin below.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_q",
+            F.floor(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(10000.0)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "score_q", "rk")
+    )
+
+
+def tfidf_oracle_sql(k: int = 5) -> str:
+    """duckdb twin of :func:`tfidf_topk` — same smoothing, same
+    quantization, same (score desc, term) tie-break."""
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          WHERE term <> ''
+          GROUP BY doc_id, term),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 CAST(FLOOR(tf.tf
+                      * (ln((nd.n_docs + 1.0) / (dft.df + 1.0)) + 1.0)
+                      * 10000.0) AS BIGINT) AS score_q
+          FROM tf JOIN dft USING (term) CROSS JOIN nd),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score_q DESC, term) AS INTEGER) AS rk
+          FROM scored)
+        SELECT doc_id, term, tf, score_q, rk
+        FROM ranked WHERE rk <= {k}
+    """

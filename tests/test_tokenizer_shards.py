@@ -1,0 +1,323 @@
+"""Tests for the round-4 additions: trained BPE tokenizer, deterministic
+shard shuffle, token-budget selection, and TF-IDF top terms.
+
+The BPE trainer/encoder is verified against an INDEPENDENT naive
+reference implementation written here (different code path: per-corpus
+symbol-sequence training without the histogram, encode by sequential
+full-pass merge application) so an engine bug and a test bug cannot
+cancel out.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from fastdb_spark.pipeline import shards as sh
+from fastdb_spark.pipeline import tokenizer as tok
+from fastdb_spark.pipeline.retrieval import tfidf_oracle_sql, tfidf_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# naive reference BPE (independent implementation)
+
+
+def _ref_train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Reference trainer: keep every word occurrence as its own symbol
+    sequence (no histogram), count pairs over all occurrences, merge the
+    max-count / lexicographically-smallest pair, sequentially."""
+    seqs = [list(w) for t in texts for w in t.split(" ") if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for p in zip(s, s[1:]):
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == a and s[i + 1] == b:
+                    s[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    return merges
+
+
+def _ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder: sequential full-pass application of each merge
+    in list order (Sennrich-style), per word."""
+    out: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for a, b in merges:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == a and s[i + 1] == b:
+                    s[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        out.extend(s)
+    return out
+
+
+TOY = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide wide wide",
+    "low newer wide lowest",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TOY)], "doc_id long, text string")
+    got = tok.train_bpe(df, n_merges=12, max_words=1000)
+    want = _ref_train(TOY, 12)
+    assert got == want
+
+
+def test_bpe_train_histogram_vs_occurrences():
+    # the histogram trainer must equal the occurrence trainer (weighting
+    # by count == enumerating occurrences)
+    from collections import Counter
+
+    words = Counter(w for t in TOY for w in t.split(" ") if w)
+    got = tok.train_bpe_from_histogram(words.items(), 12)
+    assert got == _ref_train(TOY, 12)
+
+
+def test_bpe_encode_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TOY)], "doc_id long, text string")
+    merges = tok.train_bpe(df, n_merges=8, max_words=1000)
+    enc = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in tok.encode_bpe(df, merges).collect()
+    }
+    for i, t in enumerate(TOY):
+        want = _ref_encode(t, merges)
+        assert enc[i][0] == want, f"doc {i}: {enc[i][0]} != {want}"
+        assert enc[i][1] == len(want)
+
+
+def test_bpe_encode_roundtrip_property(spark):
+    # concatenating the pieces of every word reconstructs the text's words
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges = tok.train_bpe(df, n_merges=30)
+    rows = (
+        tok.encode_bpe(df, merges)
+        .join(df.select("doc_id", "text"), "doc_id")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+
+
+def test_bpe_fixed_merges_self_consistent():
+    produced = set()
+    for a, b in tok.FIXED_MERGES:
+        for el in (a, b):
+            assert len(el) == 1 or el in produced, f"element {el!r} unproduced"
+        produced.add(a + b)
+
+
+def test_bpe_encoded_flat_oracle_parity(spark):
+    """The encode gate's exact cross-engine check, locally: real Pandas-UDF
+    encoder vs the duckdb chained-replace twin, on real documents."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flat = tok.encoded_flat(docs, tok.FIXED_MERGES)
+    got = {
+        r["doc_id"]: (r["encoded"], r["n_bpe_tokens"])
+        for r in flat.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.execute(
+        tok.bpe_encode_oracle_sql(tok.FIXED_MERGES)
+    ).fetchall()
+    assert len(oracle) == len(got)
+    import hashlib
+
+    for doc_id, enc_md5, n in oracle:
+        enc, n_spark = got[doc_id]
+        assert hashlib.md5(enc.encode()).hexdigest() == enc_md5, doc_id
+        assert n_spark == n, doc_id
+
+
+def test_bpe_histogram_cap_and_min_count(spark):
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    hist = tok.word_histogram(df, max_words=2)
+    assert hist == [("aa", 3), ("bb", 2)]
+    hist2 = tok.word_histogram(df, min_count=2)
+    assert ("cc", 1) not in hist2
+
+
+# ---------------------------------------------------------------------------
+# shard shuffle
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def test_shuffle_to_shards_parity(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sh.shuffle_to_shards(docs.select("doc_id"), 8).collect()
+    got = sorted((r["doc_id"], r["shard"], r["pos"]) for r in out)
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(
+            sh.shards_oracle_sql("documents", 8, select_cols="doc_id")
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_shuffle_to_shards_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sh.shuffle_to_shards(docs, 4)
+    rows = out.select("shard", "pos").collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} gap"
+    # deterministic: second run identical
+    again = sh.shuffle_to_shards(docs, 4).select("shard", "pos").collect()
+    assert sorted((r["shard"], r["pos"]) for r in rows) == sorted(
+        (r["shard"], r["pos"]) for r in again
+    )
+
+
+def test_shuffle_decorrelates_ids(spark):
+    # adjacent doc ids should land in different shards (that's the point)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in sh.shuffle_to_shards(docs, 8).collect()
+    }
+    ids = sorted(out)
+    same = sum(1 for a, b in zip(ids, ids[1:]) if out[a] == out[b])
+    # random expectation 1/8; flag only gross failure (e.g. mod on raw id)
+    assert same < 0.5 * len(ids)
+
+
+def test_write_shards_layout(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "shards")
+    sh.write_shards(docs, path, 4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) <= set(
+        range(4)
+    )
+
+
+def test_shards_rejects_bad_n(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError):
+        sh.shuffle_to_shards(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# token budget
+
+
+def test_token_budget_global_parity(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sh.token_budget_select(docs, budget=2000).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(
+            sh.token_budget_oracle_sql("documents", 2000, select_cols="doc_id")
+        )
+        .fetchall()
+    )
+    assert got == want
+    assert got, "budget selected nothing"
+
+
+def test_token_budget_per_stratum(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budgets = {"en": 1500, "fr": 400}
+    out = sh.token_budget_select(
+        docs, budget=budgets, stratum_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+    rows = out.collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], 0)
+        per[r["lang"]] += r["n_tokens"]
+    for lang, tot in per.items():
+        assert tot <= budgets.get(lang, 0), f"{lang} over budget"
+    assert set(per) <= set(budgets)
+    # oracle parity too
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(
+            sh.token_budget_oracle_sql(
+                "documents", budgets, stratum_col="lang",
+                select_cols="doc_id, lang",
+            )
+        )
+        .fetchall()
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_tokens"], r["cum_tokens"]) for r in rows
+    )
+    assert got == want
+
+
+def test_token_budget_never_exceeds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for budget in (0, 1, 137, 10**9):
+        out = sh.token_budget_select(docs, budget=budget)
+        mx = out.agg(F.max("cum_tokens")).collect()[0][0]
+        assert mx is None or mx <= budget
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+
+
+def test_tfidf_parity(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(tuple(r) for r in tfidf_topk(docs, k=5).collect())
+    want = sorted(_duck(SF_DIR).execute(tfidf_oracle_sql(5)).fetchall())
+    assert got == want
+    assert got
+
+
+def test_tfidf_k_and_rank(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    out = tfidf_topk(docs, k=3).collect()
+    per: dict[int, list[int]] = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["rk"])
+    for doc, rks in per.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
