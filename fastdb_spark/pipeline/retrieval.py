@@ -249,6 +249,7 @@ def tfidf_topk(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_tf: bool = True,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by smoothed TF-IDF
     (the scikit-learn convention: ``idf = ln((N+1)/(df+1)) + 1``).
@@ -263,8 +264,15 @@ def tfidf_topk(
     for the top-k cut.  Scores are floor-quantized (1e4) so a last-ulp
     ``ln`` difference between engines cannot flip a rank; ties break on
     ascending term — fully deterministic, exact duckdb twin below.
+
+    ``stage_tf`` persists the (doc, term, tf) frame (cachereg-tracked,
+    released by the consumer) so the df aggregate reads it instead of
+    re-tokenizing the corpus — at 100 TB the tf frame is the expensive
+    pass and must not run twice.
     """
     from pyspark.sql import Window
+
+    from fastdb_spark import cachereg
 
     tf = (
         documents.select(
@@ -275,6 +283,8 @@ def tfidf_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if stage_tf:
+        tf = cachereg.stage(tf)
     n_docs = documents.select(
         F.count(F.lit(1)).alias("n_docs")
     )

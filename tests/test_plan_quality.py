@@ -266,3 +266,58 @@ def test_ivfpq_search_index_plan(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
     assert out.count() == 10
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Shard assignment is a scan-stage expression; the intra-shard rank
+    is the ONE exchange a sharded write needs anyway."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.shards import shuffle_to_shards
+
+    docs = Catalog(spark, SF_DIR).table("documents").select("doc_id")
+    import re as _re
+
+    plan = _plan(shuffle_to_shards(docs, 8))
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan
+
+
+def test_token_budget_single_exchange(spark):
+    """The running-sum budget cut is one per-stratum window exchange; the
+    token count and hash key stay in the scan stage."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.shards import token_budget_select
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    import re as _re
+
+    plan = _plan(token_budget_select(docs, budget=1000, stratum_col="lang"))
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan
+
+
+def test_tfidf_reuses_staged_tf(spark):
+    """With stage_tf the df aggregate must read the persisted (doc, term,
+    tf) frame (InMemoryTableScan), not re-tokenize the corpus: exactly one
+    parquet scan of documents.text in the whole plan."""
+    from fastdb_spark import cachereg
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.retrieval import tfidf_topk
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    try:
+        out = tfidf_topk(docs, k=3)
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+        # text is tokenized in one place only: the staged tf lineage
+        n_text_scans = sum(
+            1 for ln in plan.splitlines()
+            if "Scan parquet" in ln and "documents" in ln
+        )
+        # one scan feeds the cached tf; one count-only scan feeds n_docs
+        assert n_text_scans <= 2, plan
+        assert out.count() > 0
+    finally:
+        cachereg.release_staged()
