@@ -1509,6 +1509,32 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+_TS_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_TS_BUDGETS = {"en": 3000, "fr": 1200, "de": 800}
+
+
+def _q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data last mile, adjudicated EXACTLY end to
+    end: curate (quality -> exact dedup -> minhash near-dedup) ->
+    leakage-safe split by content fingerprint -> per-language token
+    budget -> deterministic shard shuffle.  Four pipeline stages, one
+    declarative program, one oracle assembled from the stage twins."""
+    from fastdb_spark.pipeline.trainset import build_training_set
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return build_training_set(
+        docs, _TS_WEIGHTS, _TS_BUDGETS, stratum_col="lang", n_shards=4
+    )
+
+
+def _trainset_oracle() -> str:
+    from fastdb_spark.pipeline.trainset import trainset_oracle_sql
+
+    return trainset_oracle_sql(_TS_WEIGHTS, _TS_BUDGETS, n_shards=4)
+
+
 def _bpe_encode_oracle() -> str:
     from fastdb_spark.pipeline.tokenizer import FIXED_MERGES, bpe_encode_oracle_sql
 
@@ -1557,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": _q_shuffle_shards,
         "token_budget_select": _q_token_budget,
         "tfidf_topk": _q_tfidf_topk,
+        "training_set": _q_training_set,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1598,7 +1625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
-        "crossmatch": _q_crossmatch,
         "range_join": _q_range_join,
         "asof_latest_forced": _q_asof_latest_forced,
         "spectrum_workflow": _q_spectrum_workflow,
@@ -1612,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_dedup": _q_first_seen_dedup,
         "ltcv_patch": _q_ltcv_patch,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
+        "crossmatch": _q_crossmatch,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2324,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # --- late round-4 additions (bpe_train_merges: rows-only) --------
         "bpe_encode": _bpe_encode_oracle(),
+        "training_set": _trainset_oracle(),
         "shuffle_shards": _shards_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),

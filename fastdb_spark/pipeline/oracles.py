@@ -145,10 +145,16 @@ def curate_sql(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    corpus_sql: str | None = None,
 ) -> str:
     """The composed curation pipeline: quality gate -> exact dedup ->
-    minhash near-dedup (drop id_b of every pair)."""
+    minhash near-dedup (drop id_b of every pair).  ``corpus_sql``
+    overrides the planted-dup corpus derivation (default) with any
+    (doc_id, text) SELECT."""
     from fastdb_spark.pipeline.corpus import CURATE_DOCS_SQL
+
+    if corpus_sql is None:
+        corpus_sql = CURATE_DOCS_SQL
 
     mtl = f"list_sum(list_transform({TOKS}, w -> length(w))) / greatest(len({TOKS}), 1)"
     punct = (
@@ -163,7 +169,7 @@ def curate_sql(
       ) / 3.0, 6)"""
     mh = _minhash_pair_ctes("kept", shingle_k, n_hashes, bands, threshold)
     return f"""
-        WITH corpus AS ({CURATE_DOCS_SQL}),
+        WITH corpus AS ({corpus_sql}),
         stats AS (SELECT doc_id, text, {n_tok} AS n_tokens,
                          {quality} AS quality,
                          md5(regexp_replace(trim(text), ' +', ' ', 'g'))

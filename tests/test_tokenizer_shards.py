@@ -321,3 +321,59 @@ def test_tfidf_k_and_rank(spark):
     for doc, rks in per.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+# ---------------------------------------------------------------------------
+# composed training-set assembly
+
+
+_TS_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_TS_BUDGETS = {"en": 2000, "fr": 800}
+
+
+def test_build_training_set_parity(spark):
+    from fastdb_spark.pipeline.trainset import build_training_set, trainset_oracle_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = build_training_set(
+        docs, _TS_WEIGHTS, _TS_BUDGETS, stratum_col="lang", n_shards=4
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(trainset_oracle_sql(_TS_WEIGHTS, _TS_BUDGETS, n_shards=4))
+        .fetchall()
+    )
+    assert got == want
+    assert got, "empty training set"
+
+
+def test_training_set_determinism_and_budget(spark):
+    from fastdb_spark.pipeline.trainset import build_training_set
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = build_training_set(docs, _TS_WEIGHTS, _TS_BUDGETS, n_shards=4).collect()
+    b = build_training_set(docs, _TS_WEIGHTS, _TS_BUDGETS, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per: dict[str, int] = {}
+    for r in a:
+        per[r["lang"]] = per.get(r["lang"], 0) + r["n_tokens"]
+    for lang, tot in per.items():
+        assert tot <= _TS_BUDGETS[lang]
+
+
+def test_materialize_training_set(spark, tmp_path):
+    from fastdb_spark.pipeline.trainset import (
+        build_training_set,
+        materialize_training_set,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "ts")
+    materialize_training_set(docs, path, _TS_WEIGHTS, _TS_BUDGETS, n_shards=4)
+    back = spark.read.parquet(path)
+    want = build_training_set(docs, _TS_WEIGHTS, _TS_BUDGETS, n_shards=4)
+    assert back.count() == want.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} <= set(
+        range(4)
+    )
