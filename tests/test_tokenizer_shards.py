@@ -377,3 +377,74 @@ def test_materialize_training_set(spark, tmp_path):
     assert {r["shard"] for r in back.select("shard").distinct().collect()} <= set(
         range(4)
     )
+
+
+# ---------------------------------------------------------------------------
+# word/document embeddings (pipeline.embed)
+
+
+def test_doc_embeddings_exact_mean(spark):
+    from fastdb_spark.pipeline.embed import doc_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b b c"), (3, "zzz")], "doc_id long, text string"
+    )
+    wv = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [2.0, 2.0])],
+        "word string, vector array<float>",
+    )
+    out = {r["doc_id"]: list(r["embedding"]) for r in doc_embeddings(docs, wv).collect()}
+    assert out[1] == pytest.approx([0.5, 0.5])
+    assert out[2] == pytest.approx([2.0 / 3.0, 4.0 / 3.0])
+    assert 3 not in out  # no known words -> no embedding row
+
+
+def test_train_word_vectors_deterministic(spark):
+    from fastdb_spark.pipeline.embed import train_word_vectors
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    a = {r["word"]: list(r["vector"]) for r in train_word_vectors(docs, dim=8).collect()}
+    b = {r["word"]: list(r["vector"]) for r in train_word_vectors(docs, dim=8).collect()}
+    assert a.keys() == b.keys() and len(a) > 5
+    for w in a:
+        assert a[w] == pytest.approx(b[w])
+        assert len(a[w]) == 8
+
+
+def test_similar_documents_topical(spark):
+    from fastdb_spark.pipeline.embed import similar_documents
+
+    # two disjoint-vocabulary topics with hand-built word vectors: the
+    # nearest neighbours of a topic-A doc must all be topic-A docs
+    rows = [
+        (0, "apple pear plum"),
+        (1, "pear plum apple apple"),
+        (2, "plum apple pear pear"),
+        (10, "iron zinc lead"),
+        (11, "zinc lead iron iron"),
+        (12, "lead iron zinc zinc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wv = spark.createDataFrame(
+        [
+            ("apple", [1.0, 0.1]), ("pear", [0.9, 0.0]), ("plum", [1.1, -0.1]),
+            ("iron", [0.0, 1.0]), ("zinc", [-0.1, 0.9]), ("lead", [0.1, 1.1]),
+        ],
+        "word string, vector array<float>",
+    )
+    out = similar_documents(docs, query_doc_id=0, k=2, word_vectors=wv).collect()
+    assert [r["vec_id"] for r in out] and all(r["vec_id"] in (1, 2) for r in out)
+
+
+def test_embeddings_feed_ann_index(spark, tmp_path):
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_search_index
+    from fastdb_spark.pipeline.embed import doc_embeddings, train_word_vectors
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    wv = train_word_vectors(docs, dim=8)
+    embs = doc_embeddings(docs, wv).withColumnRenamed("doc_id", "vec_id")
+    path = str(tmp_path / "docvec_idx")
+    build_ivf_index(embs, path, n_clusters=4, strategy="seed")
+    q = embs.head()
+    out = ivf_search_index(spark, path, list(q["embedding"]), k=5, nprobe=2)
+    assert out.count() == 5
