@@ -172,3 +172,86 @@ def test_pack_sequences_invariants(spark, toks, seq_len):
                 == (start + n - 1) // seq_len - start // seq_len + 1
             )
         start += n
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer properties (pure-Python core: no Spark in the loop, so
+# hypothesis can afford many examples)
+
+
+from fastdb_spark.pipeline import tokenizer as _tok
+
+_WORD = st.text(alphabet="abcde", min_size=1, max_size=6)
+_CORPUS = st.lists(
+    st.lists(_WORD, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_CORPUS, st.integers(0, 12))
+@settings(max_examples=40, deadline=None)
+def test_bpe_roundtrip_and_greedy_equals_sequential(texts, n_merges):
+    """(a) piece concatenation reconstructs every word; (b) the greedy
+    lowest-rank encoder equals sequential full-pass merge application —
+    the equivalence the chained-replace oracle rests on."""
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    merges = _tok.train_bpe_from_histogram(freqs.items(), n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in freqs:
+        greedy = list(_tok._encode_word(w, ranks))
+        seq = [*w]
+        # sequential full-pass application in rank order
+        s = list(w)
+        for a, b in merges:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == a and s[i + 1] == b:
+                    s[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        assert greedy == s, (w, merges)
+        assert "".join(greedy) == w
+
+
+@given(_CORPUS, st.integers(1, 10))
+@settings(max_examples=25, deadline=None)
+def test_bpe_oracle_framing_matches_encoder(texts, n_merges):
+    """The duckdb chained-replace framing equals the real encoder on
+    ARBITRARY corpora and TRAINED merges (not just the fixed gate list) —
+    exercises the boundary-safety argument, including multi-space and
+    shared-prefix token edge cases."""
+    import duckdb
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    merges = _tok.train_bpe_from_histogram(freqs.items(), n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    sep2 = _tok.SEP * 2
+    con = duckdb.connect()
+    for t in texts:
+        # python-side framing (mirrors encoded_flat's enc_doc)
+        parts = [sep2]
+        n = 0
+        words = t.split(" ")
+        for wi, w in enumerate(words):
+            if w:
+                pieces = _tok._encode_word(w, ranks)
+                for p in pieces:
+                    parts.append(p)
+                    parts.append(sep2)
+                n += len(pieces)
+            if wi < len(words) - 1:
+                parts.append(" ")
+                parts.append(sep2)
+        py = "".join(parts)
+        sql = _tok.bpe_encode_oracle_sql(
+            merges, table="(SELECT 0 AS doc_id, ? AS text)"
+        )
+        doc_id, md5, n_sql = con.execute(sql, [t]).fetchone()
+        import hashlib
+
+        assert hashlib.md5(py.encode()).hexdigest() == md5, (t, merges)
+        assert n == n_sql, (t, merges)
