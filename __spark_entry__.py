@@ -1509,6 +1509,18 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+def _q_doc_similar_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic document search end-to-end: MLlib Word2Vec word vectors
+    (seed-pinned single-partition fit), JVM-side mean pooling into doc
+    embeddings, brute-force cosine top-k.  Rows-only: the trained vector
+    space has no SQL twin; pooling exactness and topical-neighbour
+    behavior are adjudicated in tests against hand-built vector tables."""
+    from fastdb_spark.pipeline.embed import similar_documents
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return similar_documents(docs, query_doc_id=0, k=10, dim=16)
+
+
 _TS_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _TS_BUDGETS = {"en": 3000, "fr": 1200, "de": 800}
 
@@ -1584,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _q_token_budget,
         "tfidf_topk": _q_tfidf_topk,
         "training_set": _q_training_set,
+        "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1629,7 +1642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_forced": _q_asof_latest_forced,
         "spectrum_workflow": _q_spectrum_workflow,
         "alert_reconstruct": _q_alert_reconstruct,
-        "broker_info": _q_broker_info,
         "multimodal_features": _q_multimodal_features,
         # --- adjudication tail (position >50): long-stable generics, all
         # green in CORRECTNESS_r03 and untouched this round ---------------
@@ -1639,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltcv_patch": _q_ltcv_patch,
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "crossmatch": _q_crossmatch,
+        "broker_info": _q_broker_info,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,

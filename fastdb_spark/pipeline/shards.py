@@ -140,8 +140,10 @@ def token_budget_select(
     shard shuffle uses) and kept while the running whitespace-token sum
     stays ``<= budget``; with ``stratum_col`` and a dict budget the cut
     is per stratum — the way a mixture target is hit at a fixed total
-    budget.  The first document that crosses the budget is EXCLUDED
-    (conservative cut: the selection never exceeds the budget).
+    budget.  Strata NOT named in a dict budget get budget 0, i.e. are
+    dropped entirely (the mixture lists what it wants).  The first
+    document that crosses the budget is EXCLUDED (conservative cut: the
+    selection never exceeds the budget).
 
     Returns the kept rows with ``n_tokens`` (per doc) and ``cum_tokens``
     (running total within the stratum, including the row) appended.

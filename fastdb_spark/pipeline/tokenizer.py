@@ -303,7 +303,12 @@ def bpe_encode_oracle_sql(
 ) -> str:
     """duckdb twin of :func:`encoded_flat` with a FIXED merge list:
     chained left-to-right ``replace`` over the double-separator-framed
-    string (see :func:`encoded_flat` for the soundness argument)."""
+    string (see :func:`encoded_flat` for the soundness argument).
+
+    The framing reserves ``SEP`` (U+001F): text containing that control
+    character would collide with the token boundaries in BOTH engines —
+    the encoder itself handles any text, only this oracle framing has
+    the reservation."""
     s = SEP
     # frame every char: leading "··", each char followed by "··" — this
     # renders the initial all-single-char token stream (spaces included

@@ -111,6 +111,7 @@ def test_queries_have_oracles():
     # approximate-by-design (no exact SQL twin) -> driver rows-only check
     allowed_missing = {
         "bpe_train_merges",  # iterative argmax training — no SQL twin
+        "doc_similar_w2v",  # trained vector space — no SQL twin
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivf_index",
