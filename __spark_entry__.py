@@ -1509,6 +1509,28 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+def _q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition REMOVAL (block-aligned n-token dedup,
+    keep-first): the planted corpus pastes a 16-token prefix twice, and
+    the operator must collapse it back — clean_text adjudicated exactly
+    against the duckdb slice-based twin."""
+    from fastdb_spark.pipeline.corpus import intradup_docs
+    from fastdb_spark.pipeline.spans import dedup_doc_blocks
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = intradup_docs(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup_doc_blocks(corpus, n=16)
+
+
+def _intra_doc_oracle() -> str:
+    from fastdb_spark.pipeline.corpus import INTRADUP_DOCS_SQL
+    from fastdb_spark.pipeline.spans import dedup_doc_blocks_oracle_sql
+
+    return dedup_doc_blocks_oracle_sql(n=16, table=f"({INTRADUP_DOCS_SQL})")
+
+
 def _q_doc_similar_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic document search end-to-end: MLlib Word2Vec word vectors
     (seed-pinned single-partition fit), JVM-side mean pooling into doc
@@ -1597,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "training_set": _q_training_set,
         "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
+        "intra_doc_dedup": _q_intra_doc_dedup,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1640,7 +1663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cone_search": _q_cone_search,
         "range_join": _q_range_join,
         "asof_latest_forced": _q_asof_latest_forced,
-        "spectrum_workflow": _q_spectrum_workflow,
         "alert_reconstruct": _q_alert_reconstruct,
         "multimodal_features": _q_multimodal_features,
         # --- adjudication tail (position >50): long-stable generics, all
@@ -1652,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltcv_detections_cut": _q_ltcv_detections_cut,
         "crossmatch": _q_crossmatch,
         "broker_info": _q_broker_info,
+        "spectrum_workflow": _q_spectrum_workflow,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2365,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         # --- late round-4 additions (bpe_train_merges: rows-only) --------
         "bpe_encode": _bpe_encode_oracle(),
         "training_set": _trainset_oracle(),
+        "intra_doc_dedup": _intra_doc_oracle(),
         "shuffle_shards": _shards_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),

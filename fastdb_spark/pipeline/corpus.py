@@ -143,3 +143,25 @@ def neardup_embs(embeddings: DataFrame) -> DataFrame:
         )
     )
     return embeddings.select("vec_id", v.alias("embedding")).unionAll(planted)
+
+
+#: intra-doc repetition corpus: originals + docs whose 16-token prefix is
+#: pasted twice (BLOCK-ALIGNED duplication, so 16-token block dedup
+#: provably collapses the planted copy back to one block)
+INTRADUP_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+       array_to_string(string_split(text, ' ')[1:16], ' ') AS text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def intradup_docs(documents: DataFrame) -> DataFrame:
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 16), " ")
+    doubled = documents.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(" ", prefix, prefix).alias("text"),
+    )
+    return documents.select("doc_id", "text").unionAll(doubled)

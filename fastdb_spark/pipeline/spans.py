@@ -129,3 +129,90 @@ def duplicate_spans_oracle_sql(
         FROM grams GROUP BY gram
         HAVING count(DISTINCT doc_id) >= {min_docs}
     """
+
+
+def dedup_doc_blocks(
+    docs: DataFrame,
+    n: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REMOVE intra-document repetition: cut the document into aligned
+    ``n``-token blocks, keep the FIRST occurrence of each distinct block,
+    and reassemble the text in order — the transformation counterpart to
+    :func:`duplicate_spans` (which only flags).  Catches the "same
+    paragraph pasted k times" pathology that document-level dedup cannot
+    see and window-level flagging only reports.
+
+    Block-aligned (not sliding) by design: removal is well-defined, the
+    result is deterministic, and the cost is ONE row per block (~1/n of
+    the token stream), not one per token.  Returns
+    ``(id_col, clean_text, n_blocks, n_kept)``.
+
+    Shape: block texts come from ``transform(sequence) + slice`` (pure
+    column expressions in the scan stage), one hash aggregate picks the
+    first occurrence per (doc, block_text), one more reassembles in
+    block order.  Exact duckdb twin below (same 1-based inclusive list
+    slicing in both engines).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nblk = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * n + 1, n)
+                ),
+            )
+        ).alias("block", "block_text"),
+        nblk.alias("n_blocks"),
+    )
+    first = blocks.groupBy(id_col, "n_blocks", "block_text").agg(
+        F.min("block").alias("block")
+    )
+    return first.groupBy(id_col, "n_blocks").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("block"), F.col("block_text")))
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    ).select(id_col, "clean_text", F.col("n_blocks").cast("long").alias("n_blocks"), "n_kept")
+
+
+def dedup_doc_blocks_oracle_sql(
+    n: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """duckdb twin of :func:`dedup_doc_blocks` — identical block slicing
+    (1-based inclusive), first-occurrence keep, in-order reassembly."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, string_split({text_col}, ' ') AS toks
+          FROM {table}),
+        blocks AS (
+          SELECT {id_col}, i.i AS block,
+                 CAST(ceil(len(toks) / {float(n)!r}) AS BIGINT) AS n_blocks,
+                 array_to_string(toks[i.i*{n}+1 : (i.i+1)*{n}], ' ')
+                   AS block_text
+          FROM base,
+               LATERAL (SELECT unnest(range(0,
+                   CAST(ceil(len(toks) / {float(n)!r}) AS BIGINT))) AS i) i),
+        first AS (
+          SELECT {id_col}, n_blocks, block_text, min(block) AS block
+          FROM blocks GROUP BY {id_col}, n_blocks, block_text)
+        SELECT {id_col},
+               string_agg(block_text, ' ' ORDER BY block) AS clean_text,
+               n_blocks,
+               count(*) AS n_kept
+        FROM first
+        GROUP BY {id_col}, n_blocks
+    """

@@ -448,3 +448,44 @@ def test_embeddings_feed_ann_index(spark, tmp_path):
     q = embs.head()
     out = ivf_search_index(spark, path, list(q["embedding"]), k=5, nprobe=2)
     assert out.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# intra-document block dedup
+
+
+def test_dedup_doc_blocks_removes_doubled_text(spark):
+    from fastdb_spark.pipeline.spans import dedup_doc_blocks
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(32))),          # no dups
+            (2, " ".join(f"w{i%8}" for i in range(16)) ),       # blocks of 8: two identical
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_doc_blocks(docs, n=8).collect()}
+    assert out[1]["n_blocks"] == 4 and out[1]["n_kept"] == 4
+    assert out[1]["clean_text"] == " ".join(f"w{i}" for i in range(32))
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == " ".join(f"w{i%8}" for i in range(8))
+
+
+def test_dedup_doc_blocks_parity(spark):
+    from fastdb_spark.pipeline.corpus import INTRADUP_DOCS_SQL, intradup_docs
+    from fastdb_spark.pipeline.spans import dedup_doc_blocks, dedup_doc_blocks_oracle_sql
+
+    docs = intradup_docs(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    got = sorted(tuple(r) for r in dedup_doc_blocks(docs, n=16).collect())
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(
+            dedup_doc_blocks_oracle_sql(n=16, table=f"({INTRADUP_DOCS_SQL})")
+        )
+        .fetchall()
+    )
+    assert got == want
+    # the planted block-aligned copies must actually collapse
+    doubled = [r for r in got if r[0] >= 3000000]
+    collapsed = [r for r in doubled if r[3] < r[2]]
+    assert doubled and collapsed, "planted intra-doc dups did not collapse"
