@@ -1,0 +1,265 @@
+"""Incremental corpus dedup against a PERSISTED dedup index — the
+document-side twin of ``ann.ivf_index_upsert``.
+
+A production corpus grows by crawl increments; re-running global dedup
+over 100 TB for every daily batch is the naive O(N) answer.  The right
+shape is train-once/probe-many, like the ANN index: persist the dedup
+artifacts (content fingerprints for exact dedup; MinHash band buckets +
+shingle sets for near-dup), check each NEW batch against them, and
+append only the survivors' entries.
+
+Index layout (``path/``):
+
+- ``fingerprints/`` — (fingerprint, doc_id) parquet: one row per
+  surviving document, the exact-dedup anti-join side.
+- ``bands/``       — (band, doc_id) parquet: LSH band buckets of the
+  survivors; the near-dup candidate join side.  At 100 TB this table
+  should be written bucketed/partitioned by band hash range so the
+  increment join prunes (documented; the emulation appends plain files).
+- ``shingles/``    — (doc_id, sh) parquet: shingle arrays for the exact
+  Jaccard refine of candidate pairs.
+- ``_meta.json``   — sketch parameters; upserts enforce consistency (a
+  batch banded with different parameters would silently miss dups).
+
+Incremental semantics (stated precisely, tested): a new document is
+dropped iff (a) its fingerprint already exists in the index or collides
+within the batch (keep min id), or (b) its Jaccard vs ANY indexed
+document >= threshold, or (c) the in-batch greedy near-dup pass
+(identical to ``curate_corpus``: drop the higher id of every pair)
+drops it.  Concurrent upserts serialize on the table write lock
+(``locks.table_write_lock``) — same lost-update story as storage.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.sketches import lsh_band_hashes, minhash_signature
+from fastdb_spark.functions.text import doc_fingerprint, word_shingles
+from fastdb_spark.locks import table_write_lock
+from fastdb_spark.pipeline.dedup import (
+    DEFAULT_MAX_BUCKET,
+    _candidate_pairs,
+    jaccard,
+)
+
+_META = "_meta.json"
+
+
+def _params_path(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, fingerprint, sh, sig) for a batch — computed once, reused by
+    every phase (cachereg-staged by callers)."""
+    rows = n_hashes // bands
+    return df.select(
+        F.col(id_col),
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn(
+        "sig", minhash_signature(F.col("sh"), n_hashes)
+    ).withColumn(
+        "bands", lsh_band_hashes(F.col("sig"), bands, rows)
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> int:
+    """Curate ``docs`` (exact + in-batch near-dup, the ``curate_corpus``
+    dedup semantics) and persist the survivors' dedup artifacts.
+    Returns the number of indexed documents."""
+    from fastdb_spark.cachereg import release_staged, stage
+
+    sk = stage(_sketch(docs, id_col, text_col, shingle_k, n_hashes, bands))
+    try:
+        canon = sk.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        kept = sk.join(canon, on=[id_col, "fingerprint"], how="left_semi")
+        surv = kept.join(
+            _inbatch_drops(kept, id_col, threshold, DEFAULT_MAX_BUCKET),
+            on=id_col,
+            how="left_anti",
+        )
+        n = len(_append_survivors(surv, path, id_col, overwrite=True))
+    finally:
+        release_staged()
+    with open(_params_path(path), "w") as f:
+        json.dump(
+            {
+                "shingle_k": shingle_k,
+                "n_hashes": n_hashes,
+                "bands": bands,
+                "threshold": threshold,
+            },
+            f,
+        )
+    return n
+
+
+def _inbatch_drops(
+    frame: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Ids dropped by the in-batch greedy near-dup pass (the
+    ``curate_corpus`` rule: drop the higher id of every refined pair).
+    ``frame`` carries (id, sh, bands) from :func:`_sketch`."""
+    pairs = _candidate_pairs(
+        frame.select(id_col, F.explode("bands").alias("band")),
+        frame.select(id_col, "sh"),
+        id_col,
+        "band",
+        max_bucket_size=max_bucket_size,
+    )
+    pairs = pairs.withColumn(
+        "jac", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    ).filter(F.col("jac") >= threshold)
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def _append_survivors(
+    surv: DataFrame, path: str, id_col: str, overwrite: bool
+) -> list:
+    """Write the survivors' index entries; returns their ids.
+
+    The ids are collected WHILE the frame is persisted: the survivor
+    plan reads the index tables this function is about to modify, so
+    any re-evaluation after the append would see the new rows and
+    wrongly classify every survivor as a duplicate (read-after-write)."""
+    mode = "overwrite" if overwrite else "append"
+    surv = surv.persist()
+    try:
+        ids = sorted(r[id_col] for r in surv.select(id_col).collect())
+        surv.select("fingerprint", id_col).write.mode(mode).parquet(
+            os.path.join(path, "fingerprints")
+        )
+        surv.select(
+            F.explode("bands").alias("band"), F.col(id_col)
+        ).write.mode(mode).parquet(os.path.join(path, "bands"))
+        surv.select(id_col, "sh").write.mode(mode).parquet(
+            os.path.join(path, "shingles")
+        )
+    finally:
+        surv.unpersist()
+    return ids
+
+
+def _load_params(path: str) -> dict:
+    with open(_params_path(path)) as f:
+        return json.load(f)
+
+
+def dedup_index_upsert(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> list:
+    """Dedup ``new_docs`` against the index AND append the survivors.
+
+    Returns the sorted surviving ids (materialized inside the write
+    lock — the check-then-append must be atomic vs other writers).
+    Sketch parameters come from the index metadata, never the caller,
+    so every increment is banded identically."""
+    p = _load_params(path)
+    from fastdb_spark.cachereg import release_staged, stage
+
+    with table_write_lock(os.path.normpath(path)):
+        sk = stage(
+            _sketch(
+                new_docs, id_col, text_col,
+                p["shingle_k"], p["n_hashes"], p["bands"],
+            )
+        )
+        try:
+            # (a) exact vs index + in-batch keep-min-id
+            fps = spark.read.parquet(os.path.join(path, "fingerprints"))
+            fresh = sk.join(
+                fps.select("fingerprint"), on="fingerprint", how="left_anti"
+            )
+            canon = fresh.groupBy("fingerprint").agg(
+                F.min(id_col).alias(id_col)
+            )
+            fresh = fresh.join(
+                canon, on=[id_col, "fingerprint"], how="left_semi"
+            )
+            # (b) near-dup vs index: band-bucket join against the stored
+            # buckets, shingle refine against the stored shingle sets
+            old_bands = spark.read.parquet(os.path.join(path, "bands"))
+            old_sh = spark.read.parquet(os.path.join(path, "shingles"))
+            new_banded = fresh.select(
+                id_col, F.explode("bands").alias("band")
+            )
+            cand = (
+                new_banded.join(
+                    old_bands.select(
+                        F.col("band"), F.col(id_col).alias("_old_id")
+                    ),
+                    on="band",
+                )
+                .select(id_col, "_old_id")
+                .dropDuplicates([id_col, "_old_id"])
+            )
+            if max_bucket_size is not None:
+                # guard mirrors _candidate_pairs: a pathological band
+                # (e.g. the batch re-ingests a boilerplate bomb) would
+                # blow the join; cap candidates per new doc instead of
+                # per bucket here — the refine only needs ONE hit
+                w = Window.partitionBy(id_col).orderBy("_old_id")
+                cand = (
+                    cand.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= max_bucket_size)
+                    .drop("_rn")
+                )
+            scored = (
+                cand.join(fresh.select(id_col, "sh"), on=id_col)
+                .join(
+                    old_sh.select(
+                        F.col(id_col).alias("_old_id"),
+                        F.col("sh").alias("_old_sh"),
+                    ),
+                    on="_old_id",
+                )
+                .withColumn(
+                    "jac", F.round(jaccard(F.col("sh"), F.col("_old_sh")), 6)
+                )
+            )
+            dup_vs_index = (
+                scored.filter(F.col("jac") >= p["threshold"])
+                .select(id_col)
+                .distinct()
+            )
+            fresh = fresh.join(dup_vs_index, on=id_col, how="left_anti")
+            # (c) in-batch greedy near-dup (same rule as curate_corpus)
+            surv = fresh.join(
+                _inbatch_drops(fresh, id_col, p["threshold"], max_bucket_size),
+                on=id_col,
+                how="left_anti",
+            )
+            ids = _append_survivors(surv, path, id_col, overwrite=False)
+        finally:
+            release_staged()
+    return ids

@@ -489,3 +489,98 @@ def test_dedup_doc_blocks_parity(spark):
     doubled = [r for r in got if r[0] >= 3000000]
     collapsed = [r for r in doubled if r[3] < r[2]]
     assert doubled and collapsed, "planted intra-doc dups did not collapse"
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup index (pipeline.incdedup)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE_TEXTS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "one two three four five six seven eight nine"),
+    (2, "red orange yellow green blue indigo violet"),
+]
+
+
+def test_incdedup_build_and_exact_increment(spark, tmp_path):
+    from fastdb_spark.pipeline.incdedup import build_dedup_index, dedup_index_upsert
+
+    path = str(tmp_path / "didx")
+    n = build_dedup_index(_mk_docs(spark, _BASE_TEXTS), path)
+    assert n == 3
+    # batch 2: one exact dup of doc 0, one near-dup of doc 1 (one word
+    # swapped), one genuinely new doc
+    batch = _mk_docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "one two three four five six seven eight ten"),
+            (12, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        ],
+    )
+    surv = dedup_index_upsert(spark, batch, path)
+    assert surv == [12], surv
+
+
+def test_incdedup_idempotent_replay(spark, tmp_path):
+    from fastdb_spark.pipeline.incdedup import build_dedup_index, dedup_index_upsert
+
+    path = str(tmp_path / "didx2")
+    build_dedup_index(_mk_docs(spark, _BASE_TEXTS), path)
+    batch = _mk_docs(spark, [(20, "lorem ipsum dolor sit amet consectetur")])
+    assert dedup_index_upsert(spark, batch, path) == [20]
+    # replaying the same batch: everything is already indexed
+    assert dedup_index_upsert(spark, batch, path) == []
+
+
+def test_incdedup_inbatch_rules(spark, tmp_path):
+    from fastdb_spark.pipeline.incdedup import build_dedup_index, dedup_index_upsert
+
+    path = str(tmp_path / "didx3")
+    build_dedup_index(_mk_docs(spark, _BASE_TEXTS), path)
+    # batch with an internal exact pair (keep min id) and an internal
+    # near pair (drop higher id)
+    batch = _mk_docs(
+        spark,
+        [
+            (31, "apple banana cherry date elderberry fig grape"),
+            (30, "apple banana cherry date elderberry fig grape"),
+            (32, "apple banana cherry date elderberry fig melon"),
+        ],
+    )
+    surv = dedup_index_upsert(spark, batch, path)
+    assert surv == [30], surv
+
+
+def test_incdedup_matches_oneshot_on_single_batch(spark, tmp_path):
+    """Building an index from a corpus must keep exactly the documents
+    curate_corpus keeps (same dedup semantics), checked on the planted
+    curation corpus."""
+    from fastdb_spark.pipeline.corpus import curate_docs
+    from fastdb_spark.pipeline.curate import curate_corpus
+    from fastdb_spark.pipeline.incdedup import build_dedup_index
+
+    docs = curate_docs(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    path = str(tmp_path / "didx4")
+    n = build_dedup_index(docs, path)
+    want = curate_corpus(docs, min_tokens=0, min_quality=0.0)
+    from fastdb_spark.cachereg import release_staged
+
+    try:
+        n_want = want.count()
+    finally:
+        release_staged()
+    assert n == n_want
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "didx4" / "fingerprints")).collect()
+    }
+    try:
+        want_ids = {r["doc_id"] for r in want.collect()}
+    finally:
+        release_staged()
+    assert got_ids == want_ids
