@@ -1509,6 +1509,25 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: one row of release-report numbers (sizes,
+    language spread, exact-dup ppm, quantized mean quality) — one corpus
+    pass + two tiny aggregates, integer/string outputs for bit-exact
+    cross-engine adjudication."""
+    from fastdb_spark.pipeline.textstats import corpus_card
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return corpus_card(docs)
+
+
+def _corpus_card_oracle() -> str:
+    from fastdb_spark.pipeline.textstats import corpus_card_oracle_sql
+
+    return corpus_card_oracle_sql()
+
+
 def _q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition REMOVAL (block-aligned n-token dedup,
     keep-first): the planted corpus pastes a 16-token prefix twice, and
@@ -1620,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
         "intra_doc_dedup": _q_intra_doc_dedup,
+        "corpus_card": _q_corpus_card,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1661,7 +1681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "cone_search": _q_cone_search,
-        "range_join": _q_range_join,
         "asof_latest_forced": _q_asof_latest_forced,
         "alert_reconstruct": _q_alert_reconstruct,
         "multimodal_features": _q_multimodal_features,
@@ -1675,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmatch": _q_crossmatch,
         "broker_info": _q_broker_info,
         "spectrum_workflow": _q_spectrum_workflow,
+        "range_join": _q_range_join,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2389,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         "training_set": _trainset_oracle(),
         "intra_doc_dedup": _intra_doc_oracle(),
+        "corpus_card": _corpus_card_oracle(),
         "shuffle_shards": _shards_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),

@@ -103,3 +103,134 @@ def repetition_stats(
             "dup_trigram_ppm"
         ),
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """ONE summary row for the corpus — the "dataset card" numbers a
+    data release reports: sizes, language spread, duplication rate,
+    quality distribution.
+
+    Columns: ``n_docs, n_tokens, n_chars, n_strata, top_stratum,
+    exact_dup_ppm`` (docs whose normalized text repeats, parts-per-
+    million), ``mean_quality_q`` (corpus mean quality, floor-quantized
+    1e6).  Everything is ONE pass + two tiny aggregates (fingerprint
+    groups and stratum counts are intermediate aggregates of the same
+    scan); all outputs integers/strings so the duckdb twin matches
+    bit-for-bit.  Top stratum ties break to the lexicographically
+    smallest name (deterministic).
+    """
+    from fastdb_spark.functions.text import doc_fingerprint, quality_score, token_count
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("_stratum"),
+        token_count(F.col(text_col)).alias("_ntok"),
+        F.length(F.col(text_col)).alias("_nchr"),
+        quality_score(F.col(text_col)).alias("_q"),
+        doc_fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    from fastdb_spark.cachereg import stage
+
+    base = stage(base)
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum("_nchr").cast("long").alias("n_chars"),
+        F.floor(
+            F.sum(F.floor(F.col("_q") * F.lit(1000000.0)))
+            / F.count(F.lit(1))
+        ).cast("long").alias("mean_quality_q"),
+    )
+    dup = (
+        base.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") - 1).cast("long").alias("_ndup"),
+            F.sum("c").cast("long").alias("_nall"),
+        )
+    )
+    strata = (
+        base.groupBy("_stratum")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_strata"),
+            F.min_by(
+                "_stratum",
+                F.struct(F.negative(F.col("c")), F.col("_stratum")),
+            ).alias("top_stratum"),
+        )
+    )
+    return (
+        overall.crossJoin(dup)
+        .crossJoin(strata)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_strata",
+            "top_stratum",
+            F.floor(F.col("_ndup") * F.lit(1000000.0) / F.col("_nall"))
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            "mean_quality_q",
+        )
+    )
+
+
+def corpus_card_oracle_sql(stratum_col: str = "lang") -> str:
+    """duckdb twin of :func:`corpus_card` — same quantizations, same
+    tie-breaks."""
+    from fastdb_spark.pipeline.oracles import doc_stats_sql  # noqa: F401
+
+    toks = "string_split(text, ' ')"
+    mtl = (
+        f"list_sum(list_transform({toks}, w -> length(w)))"
+        f" / greatest(len({toks}), 1)"
+    )
+    punct = (
+        "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+        " / greatest(length(text), 1)"
+    )
+    ntok = "len(string_split(text, ' '))"
+    quality = f"""round((
+        (CASE WHEN {ntok} >= 10 AND {ntok} <= 1000 THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + (1.0 - least({punct} * 5.0, 1.0))
+      ) / 3.0, 6)"""
+    return f"""
+        WITH base AS (
+          SELECT {stratum_col} AS _stratum,
+                 CAST({ntok} AS BIGINT) AS _ntok,
+                 length(text) AS _nchr,
+                 {quality} AS _q,
+                 md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS _fp
+          FROM documents),
+        overall AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(_ntok) AS BIGINT) AS n_tokens,
+                 CAST(sum(_nchr) AS BIGINT) AS n_chars,
+                 CAST(floor(sum(floor(_q * 1000000.0)) / count(*)) AS BIGINT)
+                   AS mean_quality_q
+          FROM base),
+        dup AS (
+          SELECT CAST(sum(c - 1) AS BIGINT) AS _ndup,
+                 CAST(sum(c) AS BIGINT) AS _nall
+          FROM (SELECT count(*) AS c FROM base GROUP BY _fp)),
+        strata AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 (SELECT _stratum
+                  FROM (SELECT _stratum, count(*) AS c FROM base
+                        GROUP BY _stratum)
+                  ORDER BY c DESC, _stratum LIMIT 1) AS top_stratum
+          FROM (SELECT count(*) AS c2 FROM base GROUP BY _stratum))
+        SELECT n_docs, n_tokens, n_chars, n_strata, top_stratum,
+               CAST(floor(_ndup * 1000000.0 / _nall) AS BIGINT)
+                 AS exact_dup_ppm,
+               mean_quality_q
+        FROM overall, dup, strata
+    """

@@ -584,3 +584,18 @@ def test_incdedup_matches_oneshot_on_single_batch(spark, tmp_path):
     finally:
         release_staged()
     assert got_ids == want_ids
+
+
+def test_corpus_card_parity(spark):
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.textstats import corpus_card, corpus_card_oracle_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    try:
+        got = [tuple(r) for r in corpus_card(docs).collect()]
+    finally:
+        release_staged()
+    want = _duck(SF_DIR).execute(corpus_card_oracle_sql()).fetchall()
+    assert got == want and len(got) == 1
+    row = got[0]
+    assert row[0] > 0 and row[1] > 0 and row[3] >= 1
