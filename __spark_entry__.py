@@ -1509,6 +1509,46 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (context-window / RAG
+    prep): pure scan-stage sequence+slice expressions, zero shuffle."""
+    from fastdb_spark.pipeline.spans import chunk_documents
+
+    docs = Catalog(spark, sf_dir).table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return chunk_documents(docs, size=24, overlap=8)
+
+
+def _chunk_oracle() -> str:
+    from fastdb_spark.pipeline.spans import chunk_documents_oracle_sql
+
+    return chunk_documents_oracle_sql(size=24, overlap=8)
+
+
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate cut (C4-style): blocks occurring in >1
+    distinct document are removed from every document — the planted
+    exact-dup corpus makes the cut discriminative."""
+    from fastdb_spark.pipeline.corpus import exactdup_docs
+    from fastdb_spark.pipeline.spans import remove_boilerplate_blocks
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = exactdup_docs(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return remove_boilerplate_blocks(corpus, n=16, max_docs=1)
+
+
+def _boilerplate_oracle() -> str:
+    from fastdb_spark.pipeline.corpus import EXACTDUP_DOCS_SQL
+    from fastdb_spark.pipeline.spans import remove_boilerplate_oracle_sql
+
+    return remove_boilerplate_oracle_sql(
+        n=16, max_docs=1, table=f"({EXACTDUP_DOCS_SQL})"
+    )
+
+
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card summary: one row of release-report numbers (sizes,
     language spread, exact-dup ppm, quantized mean quality) — one corpus
@@ -1640,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
         "intra_doc_dedup": _q_intra_doc_dedup,
         "corpus_card": _q_corpus_card,
+        "chunk_docs": _q_chunk_docs,
+        "boilerplate_removal": _q_boilerplate_removal,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1676,11 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "pagination": _q_pagination,
         # --- previously green, kept in-window ----------------------------
-        "ltcv_nested_probe": _q_ltcv_nested_probe,
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
-        "cone_search": _q_cone_search,
         "asof_latest_forced": _q_asof_latest_forced,
         "alert_reconstruct": _q_alert_reconstruct,
         "multimodal_features": _q_multimodal_features,
@@ -1695,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broker_info": _q_broker_info,
         "spectrum_workflow": _q_spectrum_workflow,
         "range_join": _q_range_join,
+        "cone_search": _q_cone_search,
+        "ltcv_nested_probe": _q_ltcv_nested_probe,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2410,6 +2452,8 @@ def oracle_sql() -> dict[str, str]:
         "training_set": _trainset_oracle(),
         "intra_doc_dedup": _intra_doc_oracle(),
         "corpus_card": _corpus_card_oracle(),
+        "chunk_docs": _chunk_oracle(),
+        "boilerplate_removal": _boilerplate_oracle(),
         "shuffle_shards": _shards_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),

@@ -216,3 +216,164 @@ def dedup_doc_blocks_oracle_sql(
         FROM first
         GROUP BY {id_col}, n_blocks
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap
+    — the context-window / RAG-index preparation step.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; a document shorter than ``size`` yields
+    one chunk.  Pure scan-stage expressions (``sequence`` + ``slice`` +
+    ``posexplode``), no shuffle at all; output order is (doc, chunk).
+    Returns ``(id_col, chunk, chunk_text, n_tokens)``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size (got {overlap}, {size})")
+    stride = size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n_tok - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * stride + 1, size),
+            )
+        ).alias("chunk", "_ctoks"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk",
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    size: int = 128,
+    overlap: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """duckdb twin of :func:`chunk_documents` — same stride arithmetic,
+    same 1-based inclusive slicing."""
+    stride = size - overlap
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, string_split({text_col}, ' ') AS toks
+          FROM {table}),
+        nc AS (
+          SELECT {id_col}, toks,
+                 greatest(1, CAST(ceil((len(toks) - {overlap})
+                                       / {float(stride)!r}) AS BIGINT))
+                   AS n_chunks
+          FROM base)
+        SELECT {id_col}, CAST(i.i AS INTEGER) AS chunk,
+               array_to_string(toks[i.i*{stride}+1 : i.i*{stride}+{size}], ' ')
+                 AS chunk_text,
+               CAST(len(toks[i.i*{stride}+1 : i.i*{stride}+{size}]) AS BIGINT)
+                 AS n_tokens
+        FROM nc, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) i
+    """
+
+
+def remove_boilerplate_blocks(
+    docs: DataFrame,
+    n: int = 16,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4-style repeated-line cut,
+    block-aligned): any ``n``-token block whose text occurs in MORE than
+    ``max_docs`` distinct documents is removed from EVERY document; the
+    remaining blocks reassemble in order.  Documents that lose all their
+    blocks drop out of the result (both engines agree on that edge).
+
+    Shape: one block explode (1/n of the token stream), one hash
+    aggregate for the per-block distinct-doc count, the common-block set
+    broadcast back as an anti-join, one reassembly aggregate.  Returns
+    ``(id_col, clean_text, n_blocks, n_kept)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nblk = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)),
+            )
+        ).alias("block", "block_text"),
+        nblk.alias("n_blocks"),
+    )
+    common = (
+        blocks.groupBy("block_text")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("block_text")
+    )
+    kept = blocks.join(F.broadcast(common), on="block_text", how="left_anti")
+    return kept.groupBy(id_col, "n_blocks").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("block"), F.col("block_text")))
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    ).select(
+        id_col,
+        "clean_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "n_kept",
+    )
+
+
+def remove_boilerplate_oracle_sql(
+    n: int = 16,
+    max_docs: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """duckdb twin of :func:`remove_boilerplate_blocks`."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, string_split({text_col}, ' ') AS toks
+          FROM {table}),
+        blocks AS (
+          SELECT {id_col}, i.i AS block,
+                 CAST(ceil(len(toks) / {float(n)!r}) AS BIGINT) AS n_blocks,
+                 array_to_string(toks[i.i*{n}+1 : (i.i+1)*{n}], ' ')
+                   AS block_text
+          FROM base,
+               LATERAL (SELECT unnest(range(0,
+                   CAST(ceil(len(toks) / {float(n)!r}) AS BIGINT))) AS i) i),
+        common AS (
+          SELECT block_text FROM blocks
+          GROUP BY block_text HAVING count(DISTINCT {id_col}) > {max_docs})
+        SELECT {id_col},
+               string_agg(block_text, ' ' ORDER BY block) AS clean_text,
+               n_blocks,
+               count(*) AS n_kept
+        FROM blocks b
+        WHERE NOT EXISTS (SELECT 1 FROM common c
+                          WHERE c.block_text = b.block_text)
+        GROUP BY {id_col}, n_blocks
+    """

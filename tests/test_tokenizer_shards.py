@@ -599,3 +599,83 @@ def test_corpus_card_parity(spark):
     assert got == want and len(got) == 1
     row = got[0]
     assert row[0] > 0 and row[1] > 0 and row[3] >= 1
+
+
+# ---------------------------------------------------------------------------
+# chunking + boilerplate removal
+
+
+def test_chunk_documents_shapes(spark):
+    from fastdb_spark.pipeline.spans import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    # size 4, overlap 0 -> chunks of 4/4/2
+    out = sorted(
+        (r["chunk"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, size=4).collect()
+    )
+    assert [o[2] for o in out] == [4, 4, 2]
+    assert out[0][1] == "w0 w1 w2 w3" and out[2][1] == "w8 w9"
+    # overlap 2 -> stride 2: windows 0..2..6 + final partials
+    out2 = chunk_documents(docs, size=4, overlap=2).collect()
+    texts = {r["chunk"]: r["chunk_text"] for r in out2}
+    assert texts[0] == "w0 w1 w2 w3" and texts[1] == "w2 w3 w4 w5"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=4, overlap=4)
+
+
+def test_chunk_documents_parity(spark):
+    from fastdb_spark.pipeline.spans import chunk_documents, chunk_documents_oracle_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(tuple(r) for r in chunk_documents(docs, size=12, overlap=4).collect())
+    want = sorted(
+        _duck(SF_DIR).execute(chunk_documents_oracle_sql(size=12, overlap=4)).fetchall()
+    )
+    assert got == want and got
+
+
+def test_remove_boilerplate_blocks(spark):
+    from fastdb_spark.pipeline.spans import remove_boilerplate_blocks
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(8))),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(8))),
+            (3, " ".join(f"z{i}" for i in range(16))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_blocks(docs, n=8, max_docs=1).collect()}
+    assert out[1]["clean_text"] == " ".join(f"x{i}" for i in range(8))
+    assert out[2]["clean_text"] == " ".join(f"y{i}" for i in range(8))
+    assert out[3]["n_kept"] == 2  # untouched
+
+
+def test_remove_boilerplate_parity(spark):
+    from fastdb_spark.pipeline.corpus import EXACTDUP_DOCS_SQL, exactdup_docs
+    from fastdb_spark.pipeline.spans import (
+        remove_boilerplate_blocks,
+        remove_boilerplate_oracle_sql,
+    )
+
+    docs = exactdup_docs(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    got = sorted(
+        tuple(r) for r in remove_boilerplate_blocks(docs, n=16, max_docs=1).collect()
+    )
+    want = sorted(
+        _duck(SF_DIR)
+        .execute(
+            remove_boilerplate_oracle_sql(
+                n=16, max_docs=1, table=f"({EXACTDUP_DOCS_SQL})"
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+    # the planted exact-dup docs must have lost their shared blocks
+    n_docs = docs.count()
+    assert len(got) < n_docs
