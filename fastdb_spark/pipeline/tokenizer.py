@@ -367,3 +367,30 @@ FIXED_MERGES: list[tuple[str, str]] = [
     ("h", "as"),
     ("has", "h"),
 ]
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as rank-ordered parquet — the tokenizer
+    artifact a 100 TB pipeline trains once and ships to every job."""
+    merges_df(spark, merges).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into apply order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_vocab(merges: list[tuple[str, str]], base: Iterable[str] = ()) -> list[str]:
+    """The token vocabulary induced by a merge list: the base symbols
+    (characters seen in training — pass them in, or rely on the merge
+    elements) plus every merged token, in first-appearance order."""
+    seen: dict[str, None] = {}
+    for ch in base:
+        seen.setdefault(ch, None)
+    for a, b in merges:
+        for el in (a, b):
+            if len(el) == 1:
+                seen.setdefault(el, None)
+        seen.setdefault(a + b, None)
+    return list(seen)

@@ -679,3 +679,15 @@ def test_remove_boilerplate_parity(spark):
     # the planted exact-dup docs must have lost their shared blocks
     n_docs = docs.count()
     assert len(got) < n_docs
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    merges = tok.train_bpe(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30), n_merges=20
+    )
+    path = str(tmp_path / "bpe")
+    tok.save_bpe(spark, merges, path)
+    assert tok.load_bpe(spark, path) == merges
+    vocab = tok.bpe_vocab(merges)
+    assert all(a + b in vocab for a, b in merges)
+    assert len(vocab) == len(set(vocab))
