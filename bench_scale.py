@@ -125,6 +125,93 @@ def synth_photometry(spark, n_rows: int, n_objects: int):
     )
 
 
+VOCAB = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "hash", "join", "value", "row", "batch",
+    "spark", "line", "agg", "slow", "alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa", "lam", "mu",
+    "nu", "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon",
+    "phi", "chi", "psi", "omega", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine", "ten", "red", "green",
+    "blue", "cyan", "teal", "plum", "iron", "zinc", "lead", "gold",
+]
+
+
+def synth_documents(spark, n: int, tokens_per_doc: int = 40):
+    """Document-shaped frame from pure column expressions: 64-word vocab,
+    word choice an arithmetic hash of (doc seed, position).  Every 13th
+    doc reuses the previous doc's seed -> planted exact duplicates."""
+    i = F.col("id")
+    seed = F.when(i % 13 == 0, i - 1).otherwise(i)
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(tokens_per_doc)),
+        lambda j: F.element_at(
+            F.lit(VOCAB),
+            (F.pmod(F.xxhash64(seed, j), F.lit(64)) + 1).cast("int"),
+        ),
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+        F.concat(F.lit("s"), (i % 5).cast("string")).alias("lang"),
+    )
+
+
+def bench_llm_ops(spark) -> dict:
+    """Scale rows for the training-data operators (no reference twin —
+    recorded as absolute throughput)."""
+    n_docs = int(os.environ.get("SCALE_DOCS", 5_000_000))
+    out = {"llm_docs_n": n_docs}
+    docs = synth_documents(spark, n_docs)
+
+    from fastdb_spark.pipeline.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    groups = exact_dedup(docs).count()
+    dt = time.perf_counter() - t0
+    out["exact_dedup_s"] = round(dt, 2)
+    out["exact_dedup_docs_per_s"] = round(n_docs / dt)
+    out["exact_dedup_groups"] = groups
+
+    from fastdb_spark.pipeline.shards import shuffle_to_shards, token_budget_select
+
+    t0 = time.perf_counter()
+    shuffle_to_shards(docs, 1024).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    out["shuffle_shards_1024_s"] = round(dt, 2)
+    out["shuffle_shards_docs_per_s"] = round(n_docs / dt)
+
+    t0 = time.perf_counter()
+    token_budget_select(
+        docs, {f"s{k}": 10_000_000 for k in range(5)}, stratum_col="lang"
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    out["token_budget_s"] = round(dt, 2)
+
+    from fastdb_spark.pipeline.tokenizer import encode_bpe, train_bpe
+
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, n_merges=200)
+    out["bpe_train_200_s"] = round(time.perf_counter() - t0, 2)
+    n_enc = min(n_docs, 1_000_000)
+    enc_docs = docs.where(F.col("doc_id") < n_enc)
+    t0 = time.perf_counter()
+    encode_bpe(enc_docs, merges).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    out["bpe_encode_1M_s"] = round(dt, 2)
+    out["bpe_encode_docs_per_s"] = round(n_enc / dt)
+
+    from fastdb_spark.pipeline.spans import chunk_documents
+
+    t0 = time.perf_counter()
+    chunk_documents(docs, size=16, overlap=0).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    out["chunk_docs_s"] = round(dt, 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -132,6 +219,11 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out = {}
+
+    if os.environ.get("SCALE_LLM_ONLY", "0") == "1":
+        out["llm_ops"] = bench_llm_ops(spark)
+        print(json.dumps(out))
+        return
 
     src = synth_photometry(spark, N_SOURCES, N_SOURCES // 15)
     key = F.struct("diaobjectid", "visit")
@@ -165,6 +257,8 @@ def main() -> None:
     out["count_forced_900M_hll_s"] = round(time.perf_counter() - t0, 2)
 
     out.update(bench_ingest(spark))
+    if os.environ.get("SCALE_LLM", "1") == "1":
+        out["llm_ops"] = bench_llm_ops(spark)
 
     out["reference_baseline"] = {
         "count_sources_60M_s": "60-120 (docs/usage.rst:164)",
