@@ -201,6 +201,20 @@ def bench_llm_ops(spark) -> dict:
     out["bpe_encode_1M_s"] = round(dt, 2)
     out["bpe_encode_docs_per_s"] = round(n_enc / dt)
 
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    n_nd = min(n_docs, int(os.environ.get("SCALE_NEARDUP_DOCS", 1_000_000)))
+    nd_docs = docs.where(F.col("doc_id") < n_nd)
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(nd_docs).count()
+    dt = time.perf_counter() - t0
+    from fastdb_spark.cachereg import release_staged
+
+    release_staged()
+    out["minhash_lsh_1M_s"] = round(dt, 2)
+    out["minhash_lsh_docs_per_s"] = round(n_nd / dt)
+    out["minhash_lsh_pairs"] = n_pairs
+
     from fastdb_spark.pipeline.spans import chunk_documents
 
     t0 = time.perf_counter()
