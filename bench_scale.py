@@ -215,6 +215,14 @@ def bench_llm_ops(spark) -> dict:
     out["minhash_lsh_docs_per_s"] = round(n_nd / dt)
     out["minhash_lsh_pairs"] = n_pairs
 
+    t0 = time.perf_counter()
+    n_pairs_f = minhash_lsh_pairs(nd_docs, hash_impl="fast").count()
+    dt = time.perf_counter() - t0
+    release_staged()
+    out["minhash_fast_1M_s"] = round(dt, 2)
+    out["minhash_fast_docs_per_s"] = round(n_nd / dt)
+    out["minhash_fast_pairs"] = n_pairs_f
+
     from fastdb_spark.pipeline.spans import chunk_documents
 
     t0 = time.perf_counter()

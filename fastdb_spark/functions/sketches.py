@@ -102,3 +102,42 @@ def simhash_bands(simhash: Column, bands: int = 6, band_bits: int = 10) -> Colum
 
 def hamming60(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def minhash_signature_fast(shingles: Column, n_hashes: int = 12) -> Column:
+    """FAST-PATH MinHash: each shingle is string-hashed ONCE
+    (``xxhash64``), the ``n_hashes`` permutations derive from that base
+    via long-input ``xxhash64(base, i)`` — integer-only, no per-seed
+    string re-hash, ~an order of magnitude cheaper at scale.
+
+    NOT oracle-parity (duckdb seeds xxhash64 differently): banding
+    buckets differ from the md5 path, so candidate sets differ — the
+    Jaccard refine keeps the FINAL pair semantics identical in
+    expectation, and exact duplicates still collide in every band under
+    any hash.  Use for production scale; keep the md5 path wherever a
+    cross-engine oracle adjudicates."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    sig = [
+        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def lsh_band_hashes_fast(
+    signature: Column, bands: int, rows_per_band: int
+) -> Column:
+    """Fast-path band hashes: fold each signature slice with long-input
+    ``xxhash64`` (band index as the fold seed) — integer-only."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(signature, j * rows_per_band + 1, rows_per_band),
+                F.lit(j).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ).cast("string")
+            for j in range(bands)
+        ]
+    )

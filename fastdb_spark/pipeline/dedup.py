@@ -201,9 +201,26 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding + exact Jaccard
-    refine (shingle->minhash->band->bucket-join)."""
+    refine (shingle->minhash->band->bucket-join).
+
+    ``hash_impl``: ``"md5"`` (default — cross-engine oracle parity) or
+    ``"fast"`` (single string hash per shingle + integer permutations,
+    ~3x cheaper signatures; same refined-pair semantics in expectation,
+    different banding buckets — no duckdb twin).  The Jaccard refine is
+    identical either way, and exact duplicates collide in every band
+    under both."""
+    from fastdb_spark.functions.sketches import (
+        lsh_band_hashes_fast,
+        minhash_signature_fast,
+    )
+
+    mk_sig = minhash_signature if hash_impl == "md5" else minhash_signature_fast
+    mk_bands = lsh_band_hashes if hash_impl == "md5" else lsh_band_hashes_fast
+    if hash_impl not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
     rows = n_hashes // bands
     # stage pre-explode: the banded set duplicates the shingle payload
     # `bands` times; caching the compact (id, sh, sig) frame instead keeps
@@ -212,11 +229,11 @@ def minhash_lsh_pairs(
         df.select(
             F.col(id_col),
             word_shingles(F.col(text_col), shingle_k).alias("sh"),
-        ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        ).withColumn("sig", mk_sig(F.col("sh"), n_hashes))
     )
     banded = keyed.select(
         id_col,
-        F.explode(lsh_band_hashes(F.col("sig"), bands, rows)).alias("band"),
+        F.explode(mk_bands(F.col("sig"), bands, rows)).alias("band"),
     )
     pairs = _candidate_pairs(
         banded, keyed.select(id_col, "sh"), id_col, "band",
