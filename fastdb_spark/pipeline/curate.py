@@ -35,6 +35,7 @@ def curate_corpus(
     span_n: int = 16,
     quality_model=None,
     min_p_good: float | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Surviving documents with their quality metrics.
 
@@ -56,6 +57,9 @@ def curate_corpus(
     - ``min_p_good``: model-based quality cut — keep only documents the
       classifier (``quality_model``, or a weak-label bootstrap trained
       on the spot) scores at least this good (``pipeline.classify``).
+    - ``hash_impl``: ``"md5"`` (oracle-parity default) or ``"fast"``
+      (integer MinHash permutations — the production path at scale; see
+      ``pipeline.dedup.minhash_lsh_pairs``).
     """
     if eval_docs is not None:
         from fastdb_spark.pipeline.decontam import decontaminate
@@ -125,7 +129,7 @@ def curate_corpus(
     # occur here — skip the cap's count+join (the documented safe case)
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col, threshold=jaccard_threshold,
-        max_bucket_size=None,
+        max_bucket_size=None, hash_impl=hash_impl,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = kept.join(drops, on=id_col, how="left_anti")

@@ -724,3 +724,19 @@ def test_minhash_fast_path_finds_planted_dups(spark):
     assert inter / max(len(md5p), 1) > 0.9
     with pytest.raises(ValueError):
         minhash_lsh_pairs(docs, hash_impl="sha9000")
+
+
+def test_curate_fast_hash_equivalent_on_planted(spark):
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.corpus import curate_docs
+    from fastdb_spark.pipeline.curate import curate_corpus
+
+    docs = curate_docs(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    try:
+        a = {r["doc_id"] for r in curate_corpus(docs).collect()}
+        b = {r["doc_id"] for r in curate_corpus(docs, hash_impl="fast").collect()}
+    finally:
+        release_staged()
+    # different banding, same refined semantics: survivors should agree
+    # almost everywhere on the planted corpus
+    assert len(a & b) / max(len(a), 1) > 0.95
