@@ -154,6 +154,11 @@ def token_budget_select(
         "n_tokens", token_count(F.col(text_col)).cast("long")
     )
     if stratum_col is None:
+        if isinstance(budget, dict):
+            raise ValueError(
+                "a dict budget needs stratum_col (per-stratum budgets "
+                "have no meaning without a stratum)"
+            )
         part = Window.orderBy(F.col("_key"), F.col(id_col))
         budget_col = F.lit(int(budget))
     else:

@@ -155,6 +155,8 @@ def dedup_doc_blocks(
     block order.  Exact duckdb twin below (same 1-based inclusive list
     slicing in both engines).
     """
+    if n <= 0:
+        raise ValueError(f"block size n must be positive (got {n})")
     toks = F.split(F.col(text_col), " ")
     nblk = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
     blocks = docs.select(
@@ -307,6 +309,13 @@ def remove_boilerplate_blocks(
     broadcast back as an anti-join, one reassembly aggregate.  Returns
     ``(id_col, clean_text, n_blocks, n_kept)``.
     """
+    if n <= 0:
+        raise ValueError(f"block size n must be positive (got {n})")
+    if max_docs < 1:
+        raise ValueError(
+            f"max_docs must be >= 1 (got {max_docs}) — 0 would remove "
+            "every block"
+        )
     toks = F.split(F.col(text_col), " ")
     nblk = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
     blocks = docs.select(

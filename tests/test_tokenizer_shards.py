@@ -740,3 +740,17 @@ def test_curate_fast_hash_equivalent_on_planted(spark):
     # different banding, same refined semantics: survivors should agree
     # almost everywhere on the planted corpus
     assert len(a & b) / max(len(a), 1) > 0.95
+
+
+def test_argument_guards(spark):
+    from fastdb_spark.pipeline.spans import dedup_doc_blocks, remove_boilerplate_blocks
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_doc_blocks(docs, n=0)
+    with pytest.raises(ValueError):
+        remove_boilerplate_blocks(docs, n=-1)
+    with pytest.raises(ValueError):
+        remove_boilerplate_blocks(docs, max_docs=0)
+    with pytest.raises(ValueError):
+        sh.token_budget_select(docs, budget={"en": 10})  # dict w/o stratum
