@@ -1662,13 +1662,16 @@ def _tfidf_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROUND-4 ROTATION: the 18 queries that had never
-    # received a driver CORRECTNESS row (r1-r3 always placed them past the
-    # 50-slot cap) now lead the window, followed by every query whose code
-    # changed this round; 18 long-stable rows (green in CORRECTNESS_r03
-    # AND untouched this round) rotate to the tail — each still has an
-    # oracle and runs in tests/test_oracle_parity.py every session.
-    # The swap list is recorded in ROUND_NOTES.md for the round-5 rotation.
+    # their oracles.  ROUND-4 ROTATION (final state): the window leads
+    # with the 11 operators NEW this round (BPE encode/train, shard
+    # shuffle, token budget, TF-IDF, composed training set, Word2Vec doc
+    # search, intra-doc dedup, corpus card, chunking, boilerplate
+    # removal), then the 18 queries that had never received a driver
+    # CORRECTNESS row in r1-r3, then every query whose code changed this
+    # round.  29 long-stable rows (green in CORRECTNESS_r03 AND
+    # untouched) sit in the tail — each still has an oracle and runs in
+    # tests/test_oracle_parity.py AND tools/stock_sweep.py every session.
+    # Swap lists are recorded in ROUND_NOTES.md for the round-5 rotation.
     return {
         # --- NEW this round (late round-4 additions) ---------------------
         "bpe_encode": _q_bpe_encode,
