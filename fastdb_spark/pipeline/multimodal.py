@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct;
 all per-item compute (decode, resize, feature extraction, frame sampling)
-runs as Arrow-batched ``mapInPandas`` over partition iterators — the Spark
-side (schema, partitioning, batch shapes, UDF signatures) is real and
-tested; the codec step itself is STUBBED because the runtime image carries
-no image/audio libraries.  ``decoder=`` accepts a real codec callable when
-one is available (e.g. PIL on a full cluster image).
+runs as Arrow-batched ``mapInPandas`` over partition iterators.  The codec
+step is REAL for PNG and FITS images (spec-derived, dependency-free —
+``sources.imagecodec``; pass ``decoder=imagecodec.real_decode_features`` /
+``resizer=imagecodec.real_resize``); other formats (JPEG, audio, video
+frames) remain PIL/codec-gated with a deterministic fake for plumbing
+tests.
 """
 
 from __future__ import annotations
@@ -39,23 +40,29 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode path — requires an imaging library (not in this image).
+    """Real decode path.
 
-    Referenced from the mapInPandas pipeline when ``decoder='real'``.
+    PNG and FITS image HDUs decode WITHOUT any imaging library via the
+    spec-derived codecs in ``sources.imagecodec`` (the two formats the
+    reference cutout pipeline emits); other formats (JPEG, ...) fall
+    back to PIL when present, else raise with the format named.
     """
+    from fastdb_spark.sources import imagecodec as ic
+
+    if ic.sniff(payload) != "unknown":
+        return ic.decode_any(payload)
     try:
+        import io
+
         from PIL import Image  # noqa: F401  (gated import)
+
+        return Image.open(io.BytesIO(payload))
     except ImportError as e:  # pragma: no cover - no PIL in test image
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. Pillow); "
-            "the test container ships none — use the deterministic fake "
-            "decoder for plumbing tests"
+            "payload is neither PNG nor FITS (decoded natively); other "
+            "formats need an imaging library (e.g. Pillow), which this "
+            "container ships without"
         ) from e
-    import io
-
-    from PIL import Image
-
-    return Image.open(io.BytesIO(payload))
 
 
 def fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
