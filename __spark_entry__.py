@@ -1549,6 +1549,70 @@ def _boilerplate_oracle() -> str:
     )
 
 
+def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec under the exact gate: per document a deterministic
+    8x8 grey image (pixel k = (doc_id*31 + k) % 256) is encoded to actual
+    PNG bytes and decoded back through the spec-derived codec inside
+    mapInPandas; the INTEGER pixel statistics of the decoded array are
+    adjudicated against an oracle that computes them arithmetically —
+    any pixel the codec corrupts flips the sums."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = np.arange(64, dtype=np.int64)
+                arr = ((int(doc_id) * 31 + k) % 256).astype(np.uint8)
+                arr = arr.reshape(8, 8)
+                dec = ic.decode_any(ic.encode_png(arr))[:, :, 0]
+                d = dec.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        dec.shape[0],
+                        dec.shape[1],
+                        int(d.sum()),
+                        int((d * d).sum()),
+                        int(d.min()),
+                        int(d.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width",
+                    "pix_sum", "pix_sq_sum", "pix_min", "pix_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        op,
+        "doc_id long, height int, width int, pix_sum long, "
+        "pix_sq_sum long, pix_min int, pix_max int",
+    )
+
+
+_MM_CODEC_ORACLE = """
+    SELECT doc_id,
+           8 AS height, 8 AS width,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v*v) AS BIGINT) AS pix_sq_sum,
+           CAST(min(v) AS INTEGER) AS pix_min,
+           CAST(max(v) AS INTEGER) AS pix_max
+    FROM (SELECT doc_id, (doc_id*31 + k.k) % 256 AS v
+          FROM documents, (SELECT unnest(range(0, 64)) AS k) k)
+    GROUP BY doc_id
+"""
+
+
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card summary: one row of release-report numbers (sizes,
     language spread, exact-dup ppm, quantized mean quality) — one corpus
@@ -1685,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": _q_corpus_card,
         "chunk_docs": _q_chunk_docs,
         "boilerplate_removal": _q_boilerplate_removal,
+        "multimodal_codec_roundtrip": _q_multimodal_codec,
         # --- never-driver-adjudicated before round 4 (18) ----------------
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
@@ -1724,7 +1789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
-        "asof_latest_forced": _q_asof_latest_forced,
         "alert_reconstruct": _q_alert_reconstruct,
         "multimodal_features": _q_multimodal_features,
         # --- adjudication tail (position >50): long-stable generics, all
@@ -1740,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "cone_search": _q_cone_search,
         "ltcv_nested_probe": _q_ltcv_nested_probe,
+        "asof_latest_forced": _q_asof_latest_forced,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
         "sessionize": _q_sessionize,
@@ -2457,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": _corpus_card_oracle(),
         "chunk_docs": _chunk_oracle(),
         "boilerplate_removal": _boilerplate_oracle(),
+        "multimodal_codec_roundtrip": _MM_CODEC_ORACLE,
         "shuffle_shards": _shards_oracle(),
         "token_budget_select": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),
