@@ -1574,6 +1574,11 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = arr.reshape(8, 8)
                 dec = ic.decode_any(ic.encode_png(arr))[:, :, 0]
                 d = dec.astype(np.int64)
+                # FITS leg: signed 16-bit values through the FITS codec
+                fv = ((int(doc_id) * 17 + k) % 1000 - 500).astype(np.int16)
+                fdec = ic.decode_fits_image(
+                    ic.encode_fits_image(fv.reshape(8, 8))
+                ).astype(np.int64)
                 rows.append(
                     (
                         int(doc_id),
@@ -1583,6 +1588,9 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int((d * d).sum()),
                         int(d.min()),
                         int(d.max()),
+                        int(fdec.sum()),
+                        int(fdec.min()),
+                        int(fdec.max()),
                     )
                 )
             yield pd.DataFrame(
@@ -1590,13 +1598,15 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "doc_id", "height", "width",
                     "pix_sum", "pix_sq_sum", "pix_min", "pix_max",
+                    "fits_sum", "fits_min", "fits_max",
                 ],
             )
 
     return docs.mapInPandas(
         op,
         "doc_id long, height int, width int, pix_sum long, "
-        "pix_sq_sum long, pix_min int, pix_max int",
+        "pix_sq_sum long, pix_min int, pix_max int, "
+        "fits_sum long, fits_min int, fits_max int",
     )
 
 
@@ -1606,8 +1616,13 @@ _MM_CODEC_ORACLE = """
            CAST(sum(v) AS BIGINT) AS pix_sum,
            CAST(sum(v*v) AS BIGINT) AS pix_sq_sum,
            CAST(min(v) AS INTEGER) AS pix_min,
-           CAST(max(v) AS INTEGER) AS pix_max
-    FROM (SELECT doc_id, (doc_id*31 + k.k) % 256 AS v
+           CAST(max(v) AS INTEGER) AS pix_max,
+           CAST(sum(f) AS BIGINT) AS fits_sum,
+           CAST(min(f) AS INTEGER) AS fits_min,
+           CAST(max(f) AS INTEGER) AS fits_max
+    FROM (SELECT doc_id,
+                 (doc_id*31 + k.k) % 256 AS v,
+                 (doc_id*17 + k.k) % 1000 - 500 AS f
           FROM documents, (SELECT unnest(range(0, 64)) AS k) k)
     GROUP BY doc_id
 """
