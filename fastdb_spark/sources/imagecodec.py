@@ -305,3 +305,84 @@ def real_resize(payload: bytes, width: int, height: int) -> bytes:
             resize_nearest(decode_fits_image(payload), width, height)
         )
     raise ValueError("unrecognized image payload (not PNG or FITS)")
+
+
+# ---------------------------------------------------------------------------
+# WAV audio (PCM) — the audio modality's dependency-free leg
+
+_WAV_WIDTHS = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (samples array of shape (n_frames, channels), rate).
+
+    RIFF container, ``fmt `` chunk (PCM only, 8/16/32-bit), ``data``
+    chunk; anything else (float PCM, ADPCM, missing chunks) raises
+    ``ValueError`` with the feature named."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+    width = bits // 8
+    if width not in _WAV_WIDTHS:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    arr = np.frombuffer(data, dtype=_WAV_WIDTHS[width])
+    n = len(arr) // channels
+    return arr[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n_frames, channels) int PCM array -> WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype not in (np.int8, np.dtype("<i2"), np.dtype("<i4")):
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    n, ch = samples.shape
+    width = samples.dtype.itemsize
+    data = np.ascontiguousarray(samples).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * width, ch * width, width * 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_audio_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL WAV decode + features for ``extract_features``:
+    [n_frames, channels, rate, duration_s, mean, rms, peak, zero-cross
+    rate] padded/truncated to ``n_features``."""
+    samples, rate = decode_wav(payload)
+    a = samples.astype(np.float64)
+    mono = a.mean(axis=1)
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    feats = [
+        float(samples.shape[0]),
+        float(samples.shape[1]),
+        float(rate),
+        samples.shape[0] / float(rate),
+        float(a.mean()),
+        float(np.sqrt((a * a).mean())),
+        float(np.abs(a).max()),
+        zc / max(len(mono) - 1, 1),
+    ]
+    feats = feats[:n_features] + [0.0] * max(0, n_features - len(feats))
+    return feats

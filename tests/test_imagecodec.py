@@ -113,3 +113,57 @@ def test_decode_image_falls_back_to_builtin_codec():
     arr = _rng(13).integers(0, 256, (5, 6, 3), dtype=np.uint8)
     out = decode_image(ic.encode_png(arr))
     assert np.array_equal(np.asarray(out), arr)
+
+
+# ---------------------------------------------------------------------------
+# WAV audio
+
+
+@pytest.mark.parametrize("dtype", [np.int8, np.dtype("<i2"), np.dtype("<i4")])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_roundtrip(dtype, ch):
+    samples = (
+        _rng(int(np.dtype(dtype).itemsize) * 10 + ch)
+        .integers(-100, 100, (500, ch))
+        .astype(dtype)
+    )
+    enc = ic.encode_wav(samples, rate=8000)
+    dec, rate = ic.decode_wav(enc)
+    assert rate == 8000
+    assert np.array_equal(dec, samples)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        ic.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        ic.decode_wav(b"\x00" * 64)
+
+
+def test_real_audio_features_known_sine():
+    t = np.arange(16000)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 10000).astype("<i2")
+    feats = ic.real_audio_features(ic.encode_wav(sine, 16000))
+    n, ch, rate, dur, mean, rms, peak, zcr = feats
+    assert (n, ch, rate) == (16000.0, 1.0, 16000.0)
+    assert dur == pytest.approx(1.0)
+    assert abs(mean) < 20
+    assert rms == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+    assert peak <= 10000
+    # 440 Hz -> ~880 zero crossings/second
+    assert 0.05 < zcr < 0.06
+
+
+def test_multimodal_audio_end_to_end(spark):
+    from fastdb_spark.pipeline.multimodal import extract_features
+
+    wav = ic.encode_wav(
+        _rng(21).integers(-1000, 1000, (800, 2)).astype("<i2"), rate=4000
+    )
+    media = spark.createDataFrame(
+        [(5, "audio", bytearray(wav), "audio/wav", None, None, 200)],
+        "media_id long, modality string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = extract_features(media, decoder=ic.real_audio_features).collect()
+    assert feats[0]["feat"][:3] == [800.0, 2.0, 4000.0]
