@@ -265,10 +265,15 @@ def sniff(payload: bytes) -> str:
 
 def decode_any(payload: bytes) -> np.ndarray:
     kind = sniff(payload)
-    if kind == "png":
-        return decode_png(payload)
-    if kind == "fits":
-        return decode_fits_image(payload)
+    try:
+        if kind == "png":
+            return decode_png(payload)
+        if kind == "fits":
+            return decode_fits_image(payload)
+    except (struct.error, zlib.error, IndexError) as e:
+        # documented contract: malformed payloads raise ValueError (the
+        # reject-row cascade catches that, not parser internals)
+        raise ValueError(f"malformed {kind} payload: {e}") from e
     raise ValueError("unrecognized image payload (not PNG or FITS)")
 
 
@@ -321,6 +326,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     ``ValueError`` with the feature named."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    if len(payload) < 44:
+        raise ValueError("truncated WAV payload")
     pos = 12
     fmt = None
     data = None

@@ -167,3 +167,11 @@ def test_multimodal_audio_end_to_end(spark):
     )
     feats = extract_features(media, decoder=ic.real_audio_features).collect()
     assert feats[0]["feat"][:3] == [800.0, 2.0, 4000.0]
+
+
+def test_decode_any_malformed_raises_valueerror():
+    # truncated PNG: valid signature, garbage after
+    with pytest.raises(ValueError):
+        ic.decode_any(b"\x89PNG\r\n\x1a\n" + b"\x00\x00")
+    with pytest.raises(ValueError):
+        ic.decode_wav(b"RIFF\x10\x00\x00\x00WAVE")
