@@ -263,3 +263,48 @@ def dedup_index_upsert(
         finally:
             release_staged()
     return ids
+
+
+def stream_dedup_upserts(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    fmt: str = "json",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list:
+    """Structured-Streaming front end for the dedup index: consume
+    document files from ``source_dir`` as a stream and run every
+    micro-batch through :func:`dedup_index_upsert`.
+
+    ``availableNow`` trigger (drain what exists, then stop) — the batch
+    replay of a continuous ingest.  At-least-once delivery is safe: a
+    replayed batch is entirely deduped against the index it already
+    updated (the exact anti-join makes the upsert idempotent), which is
+    the same at-least-once + idempotent-merge contract the alert ingest
+    uses (``streaming/ingest.py``).  Returns the surviving ids across
+    all batches, in arrival order of the batches.
+    """
+    survivors: list = []
+
+    def handle(batch, _bid):
+        if batch.isEmpty():
+            return
+        survivors.extend(
+            dedup_index_upsert(
+                spark, batch, index_path, id_col=id_col, text_col=text_col
+            )
+        )
+
+    reader = spark.readStream.schema(schema)
+    stream = getattr(reader, fmt)(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return survivors

@@ -754,3 +754,42 @@ def test_argument_guards(spark):
         remove_boilerplate_blocks(docs, max_docs=0)
     with pytest.raises(ValueError):
         sh.token_budget_select(docs, budget={"en": 10})  # dict w/o stratum
+
+
+def test_stream_dedup_upserts(spark, tmp_path):
+    """Streaming front end: two jsonl files drain through foreachBatch
+    into the dedup index; the final index equals the sequential-upsert
+    result, and a replay (fresh checkpoint, same files) adds nothing."""
+    import json as _json
+
+    from fastdb_spark.pipeline.incdedup import build_dedup_index, stream_dedup_upserts
+
+    idx = str(tmp_path / "sidx")
+    build_dedup_index(_mk_docs(spark, _BASE_TEXTS), idx)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+                {"doc_id": 101, "text": "totally fresh words nobody used before now"},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        _json.dumps({"doc_id": 102, "text": "totally fresh words nobody used before now"})
+    )
+    got = stream_dedup_upserts(
+        spark, str(src), idx, checkpoint=str(tmp_path / "ck1")
+    )
+    # 100 is an exact dup of indexed doc 0; 102 duplicates 101 (order of
+    # micro-batches for two files is one batch or two — either way only
+    # the first copy of the fresh text survives)
+    assert 100 not in got
+    assert sorted(got) == [101]
+    # replay with a fresh checkpoint: everything already indexed
+    again = stream_dedup_upserts(
+        spark, str(src), idx, checkpoint=str(tmp_path / "ck2")
+    )
+    assert again == []
