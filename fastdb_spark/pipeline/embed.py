@@ -67,8 +67,12 @@ def doc_embeddings(
     Shape: explode tokens -> broadcast-join the word-vector table (it is
     vocabulary-sized, not corpus-sized) -> per-(doc, dimension) average
     via posexplode + one hash aggregate -> re-assemble the array with an
-    ordered collect.  Words missing from the table are skipped (same as
-    the Word2Vec transform convention).  Returns
+    ordered collect.  Words missing from the table are skipped — the
+    mean is over IN-VOCABULARY token occurrences only.  Note this
+    deliberately diverges from Spark ML's ``Word2VecModel.transform``,
+    which divides the vector sum by the FULL sentence length including
+    OOV tokens; with ``min_count > 1`` the two differ whenever a
+    document carries OOV words.  Returns
     ``(id_col, embedding array<float>)``."""
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")

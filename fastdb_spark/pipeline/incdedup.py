@@ -85,10 +85,16 @@ def build_dedup_index(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> int:
     """Curate ``docs`` (exact + in-batch near-dup, the ``curate_corpus``
     dedup semantics) and persist the survivors' dedup artifacts.
-    Returns the number of indexed documents."""
+    Returns the number of indexed documents.
+
+    ``max_bucket_size=None`` (the default) matches ``curate_corpus``
+    exactly: the exact-dedup pre-pass has already collapsed identical
+    boilerplate, so the LSH bucket cap is dead weight here; pass a cap
+    explicitly for corpora with huge *near*-identical families."""
     from fastdb_spark.cachereg import release_staged, stage
 
     sk = stage(_sketch(docs, id_col, text_col, shingle_k, n_hashes, bands))
@@ -96,11 +102,11 @@ def build_dedup_index(
         canon = sk.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
         kept = sk.join(canon, on=[id_col, "fingerprint"], how="left_semi")
         surv = kept.join(
-            _inbatch_drops(kept, id_col, threshold, DEFAULT_MAX_BUCKET),
+            _inbatch_drops(kept, id_col, threshold, max_bucket_size),
             on=id_col,
             how="left_anti",
         )
-        n = len(_append_survivors(surv, path, id_col, overwrite=True))
+        n = _append_survivors(surv, path, id_col, overwrite=True)[1]
     finally:
         release_staged()
     with open(_params_path(path), "w") as f:
@@ -138,19 +144,41 @@ def _inbatch_drops(
     return pairs.select(F.col("id_b").alias(id_col)).distinct()
 
 
-def _append_survivors(
-    surv: DataFrame, path: str, id_col: str, overwrite: bool
-) -> list:
-    """Write the survivors' index entries; returns their ids.
+# Above this many survivors the upsert stops materializing ids on the
+# driver: the batch is staged to a scratch parquet (cluster-side
+# materialization — same read-after-write protection as persist) and the
+# caller gets ``None`` instead of the id list.
+DEFAULT_ID_CEILING = 1_000_000
 
-    The ids are collected WHILE the frame is persisted: the survivor
-    plan reads the index tables this function is about to modify, so
-    any re-evaluation after the append would see the new rows and
-    wrongly classify every survivor as a duplicate (read-after-write)."""
+
+def _append_survivors(
+    surv: DataFrame,
+    path: str,
+    id_col: str,
+    overwrite: bool,
+    id_ceiling: int = DEFAULT_ID_CEILING,
+) -> tuple[list | None, int]:
+    """Write the survivors' index entries; returns ``(ids, count)``.
+
+    The survivor plan reads the index tables this function is about to
+    modify, so it must be materialized BEFORE the append (read-after-
+    write).  Small batches persist + collect their ids; batches above
+    ``id_ceiling`` are staged to a scratch parquet instead — the append
+    then reads the scratch copy, no unbounded driver collect — and
+    ``ids`` comes back ``None``."""
     mode = "overwrite" if overwrite else "append"
     surv = surv.persist()
+    scratch = None
     try:
-        ids = sorted(r[id_col] for r in surv.select(id_col).collect())
+        n = surv.count()
+        if n > id_ceiling:
+            scratch = os.path.join(path, "_scratch_batch")
+            surv.write.mode("overwrite").parquet(scratch)
+            surv.unpersist()
+            surv = surv.sparkSession.read.parquet(scratch)
+            ids = None
+        else:
+            ids = sorted(r[id_col] for r in surv.select(id_col).collect())
         surv.select("fingerprint", id_col).write.mode(mode).parquet(
             os.path.join(path, "fingerprints")
         )
@@ -161,13 +189,26 @@ def _append_survivors(
             os.path.join(path, "shingles")
         )
     finally:
-        surv.unpersist()
-    return ids
+        try:
+            surv.unpersist()
+        except Exception:
+            pass
+        if scratch is not None:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+    return ids, n
 
 
 def _load_params(path: str) -> dict:
     with open(_params_path(path)) as f:
         return json.load(f)
+
+
+#: audit of the most recent upsert's candidate-cap truncation: docs whose
+#: vs-index candidate set was cut at ``max_bucket_size`` MIGHT have had
+#: their one true near-dup dropped.  ``{"truncated_docs": n, "sample": [...]}``.
+LAST_UPSERT_AUDIT: dict = {"truncated_docs": 0, "sample": []}
 
 
 def dedup_index_upsert(
@@ -177,13 +218,18 @@ def dedup_index_upsert(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-) -> list:
+    id_ceiling: int = DEFAULT_ID_CEILING,
+) -> list | None:
     """Dedup ``new_docs`` against the index AND append the survivors.
 
     Returns the sorted surviving ids (materialized inside the write
-    lock — the check-then-append must be atomic vs other writers).
-    Sketch parameters come from the index metadata, never the caller,
-    so every increment is banded identically."""
+    lock — the check-then-append must be atomic vs other writers), or
+    ``None`` when the batch survives with more than ``id_ceiling``
+    documents (a backfill-scale batch is staged to a scratch parquet
+    instead of the driver; read the index to enumerate).  Sketch
+    parameters come from the index metadata, never the caller, so every
+    increment is banded identically.  Documents whose candidate set hit
+    the ``max_bucket_size`` cap are counted in ``LAST_UPSERT_AUDIT``."""
     p = _load_params(path)
     from fastdb_spark.cachereg import release_staged, stage
 
@@ -227,13 +273,28 @@ def dedup_index_upsert(
                 # guard mirrors _candidate_pairs: a pathological band
                 # (e.g. the batch re-ingests a boilerplate bomb) would
                 # blow the join; cap candidates per new doc instead of
-                # per bucket here — the refine only needs ONE hit
+                # per bucket here — the refine only needs ONE hit.
+                # _cnt rides the same window partition (no extra
+                # shuffle) so truncated docs can be flagged.
                 w = Window.partitionBy(id_col).orderBy("_old_id")
-                cand = (
+                wc = Window.partitionBy(id_col)
+                cand = stage(
                     cand.withColumn("_rn", F.row_number().over(w))
+                    .withColumn("_cnt", F.count("*").over(wc))
                     .filter(F.col("_rn") <= max_bucket_size)
-                    .drop("_rn")
                 )
+                trunc = (
+                    cand.filter(F.col("_cnt") > max_bucket_size)
+                    .select(id_col)
+                    .distinct()
+                    .limit(101)
+                    .collect()
+                )
+                LAST_UPSERT_AUDIT["truncated_docs"] = len(trunc)
+                LAST_UPSERT_AUDIT["sample"] = sorted(
+                    r[id_col] for r in trunc[:100]
+                )
+                cand = cand.drop("_rn", "_cnt")
             scored = (
                 cand.join(fresh.select(id_col, "sh"), on=id_col)
                 .join(
@@ -259,7 +320,9 @@ def dedup_index_upsert(
                 on=id_col,
                 how="left_anti",
             )
-            ids = _append_survivors(surv, path, id_col, overwrite=False)
+            ids, _n = _append_survivors(
+                surv, path, id_col, overwrite=False, id_ceiling=id_ceiling
+            )
         finally:
             release_staged()
     return ids
@@ -292,11 +355,10 @@ def stream_dedup_upserts(
     def handle(batch, _bid):
         if batch.isEmpty():
             return
-        survivors.extend(
-            dedup_index_upsert(
-                spark, batch, index_path, id_col=id_col, text_col=text_col
-            )
+        ids = dedup_index_upsert(
+            spark, batch, index_path, id_col=id_col, text_col=text_col
         )
+        survivors.extend(ids or [])
 
     reader = spark.readStream.schema(schema)
     stream = getattr(reader, fmt)(source_dir)

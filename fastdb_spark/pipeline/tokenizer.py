@@ -308,12 +308,18 @@ def bpe_encode_oracle_sql(
     The framing reserves ``SEP`` (U+001F): text containing that control
     character would collide with the token boundaries in BOTH engines —
     the encoder itself handles any text, only this oracle framing has
-    the reservation."""
+    the reservation.  The char-framing pattern uses ``[\\s\\S]`` rather
+    than ``.`` because duckdb's RE2 dot does not match newline — with
+    ``(.)`` any document containing ``\\n`` would be misframed and the
+    oracle would diverge from the Spark encoder (which treats newlines
+    as ordinary in-word characters)."""
     s = SEP
     # frame every char: leading "··", each char followed by "··" — this
     # renders the initial all-single-char token stream (spaces included
     # as stream elements)
-    expr = f"'{s}{s}' || regexp_replace({text_col}, '(.)', '\\1{s}{s}', 'g')"
+    expr = (
+        f"'{s}{s}' || regexp_replace({text_col}, '([\\s\\S])', '\\1{s}{s}', 'g')"
+    )
     for a, b in merges:
         expr = f"replace({expr}, '{s}{a}{s}{s}{b}{s}', '{s}{a}{b}{s}')"
     n_words = (

@@ -270,9 +270,11 @@ def decode_any(payload: bytes) -> np.ndarray:
             return decode_png(payload)
         if kind == "fits":
             return decode_fits_image(payload)
-    except (struct.error, zlib.error, IndexError) as e:
+    except (struct.error, zlib.error, IndexError, KeyError) as e:
         # documented contract: malformed payloads raise ValueError (the
-        # reject-row cascade catches that, not parser internals)
+        # reject-row cascade catches that, not parser internals).
+        # KeyError covers a FITS header carrying END but missing a
+        # mandatory card (BITPIX/NAXIS1/NAXIS2).
         raise ValueError(f"malformed {kind} payload: {e}") from e
     raise ValueError("unrecognized image payload (not PNG or FITS)")
 
@@ -302,14 +304,13 @@ def real_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
 def real_resize(payload: bytes, width: int, height: int) -> bytes:
     """REAL decode -> nearest resize -> re-encode for ``resize_images``.
     PNG round-trips as PNG; FITS as FITS."""
+    # decode through decode_any so parser internals (struct/zlib/Key/
+    # IndexError) surface as the documented ValueError contract
+    arr = decode_any(payload)
     kind = sniff(payload)
     if kind == "png":
-        return encode_png(resize_nearest(decode_png(payload), width, height))
-    if kind == "fits":
-        return encode_fits_image(
-            resize_nearest(decode_fits_image(payload), width, height)
-        )
-    raise ValueError("unrecognized image payload (not PNG or FITS)")
+        return encode_png(resize_nearest(arr, width, height))
+    return encode_fits_image(resize_nearest(arr, width, height))
 
 
 # ---------------------------------------------------------------------------
@@ -337,12 +338,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk too short ({len(body)} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
+    if channels < 1:
+        raise ValueError(f"invalid WAV channel count {channels}")
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
     width = bits // 8
@@ -376,8 +381,12 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 def real_audio_features(payload: bytes, n_features: int = 8) -> list[float]:
     """REAL WAV decode + features for ``extract_features``:
     [n_frames, channels, rate, duration_s, mean, rms, peak, zero-cross
-    rate] padded/truncated to ``n_features``."""
-    samples, rate = decode_wav(payload)
+    rate] padded/truncated to ``n_features``.  Malformed payloads raise
+    ``ValueError`` (same contract as ``decode_any``)."""
+    try:
+        samples, rate = decode_wav(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed wav payload: {e}") from e
     a = samples.astype(np.float64)
     mono = a.mean(axis=1)
     zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))

@@ -556,6 +556,60 @@ def test_incdedup_inbatch_rules(spark, tmp_path):
     assert surv == [30], surv
 
 
+def test_incdedup_id_ceiling_scratch_path(spark, tmp_path):
+    """A batch whose survivors exceed ``id_ceiling`` must NOT be
+    collected on the driver: the upsert returns None, but the index
+    contents are identical to the collected path and a replay still
+    dedups everything."""
+    from fastdb_spark.pipeline.incdedup import build_dedup_index, dedup_index_upsert
+
+    path = str(tmp_path / "didx5")
+    build_dedup_index(_mk_docs(spark, _BASE_TEXTS), path)
+    batch = _mk_docs(
+        spark,
+        [
+            (40, "quark lepton boson gluon photon neutrino muon"),
+            (41, "stack queue heap trie graph matrix tensor"),
+            (42, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        ],
+    )
+    got = dedup_index_upsert(spark, batch, path, id_ceiling=1)
+    assert got is None
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "didx5" / "fingerprints")).collect()
+    }
+    assert idx_ids == {0, 1, 2, 40, 41}
+    assert not (tmp_path / "didx5" / "_scratch_batch").exists()
+    # replay: the scratch-path append must have indexed both survivors
+    assert dedup_index_upsert(spark, batch, path) == []
+
+
+def test_incdedup_truncation_audit(spark, tmp_path):
+    """Docs whose vs-index candidate set hits max_bucket_size are
+    flagged in LAST_UPSERT_AUDIT (the cap can drop the one true match)."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx6")
+    # three near-identical indexed docs (threshold high enough that they
+    # all survive the build) -> a new near-dup shares single-row band
+    # buckets (bands=12, rows=1) with more than one of them
+    base = [
+        (0, "apple banana cherry date elderberry fig grape kiwi"),
+        (1, "apple banana cherry date elderberry fig grape lime"),
+        (2, "apple banana cherry date elderberry fig grape pear"),
+    ]
+    incdedup.build_dedup_index(
+        _mk_docs(spark, base), path, threshold=0.95, bands=12
+    )
+    batch = _mk_docs(
+        spark, [(50, "apple banana cherry date elderberry fig grape mango")]
+    )
+    incdedup.dedup_index_upsert(spark, batch, path, max_bucket_size=1)
+    assert incdedup.LAST_UPSERT_AUDIT["truncated_docs"] >= 1
+    assert 50 in incdedup.LAST_UPSERT_AUDIT["sample"]
+
+
 def test_incdedup_matches_oneshot_on_single_batch(spark, tmp_path):
     """Building an index from a corpus must keep exactly the documents
     curate_corpus keeps (same dedup semantics), checked on the planted
