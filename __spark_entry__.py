@@ -1739,75 +1739,275 @@ def _tfidf_oracle() -> str:
     return tfidf_oracle_sql(3)
 
 
+# ---------------------------------------------------------------------------
+# write-path gates (round 5): the wrangle/upsert/FITS-load paths get
+# driver-visible rows by deriving a DETERMINISTIC batch from the gate
+# tables, pushing it through the real write machinery, and reading the
+# stored result back — the returned frame is the table on disk, not the
+# in-memory plan, so the oracle adjudicates the write itself.
+
+
+def _q_load_alert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3+P6 under the exact gate: a nested alert batch derived from
+    the events table is wrangled by the real alert wrangler
+    (lowercase schema-filter, prvDiaSources explode, quality-flag
+    bitmask, savetime watermark — reference
+    src/services/brokerconsumer.py:463-649), run through the
+    solar-system reject cascade (diaobjectid==0 dropped with children,
+    reference src/services/source_importer.py:277-298), staged to a
+    bronze ParquetTable and READ BACK.  All derived values are dyadic
+    (floor/0.25/0.125 arithmetic) so float32 storage is exact."""
+    import tempfile
+
+    from fastdb_spark.sources.alerts import reject_solar_system, wrangle_alerts
+    from fastdb_spark.storage import ParquetTable
+
+    ev = Catalog(spark, sf_dir).table("events")
+    nf = F.lit(None).cast("float")
+    flux = F.floor("value").cast("float")
+    mjd = F.lit(60000.0) + (F.col("event_id") % 1000) * F.lit(0.25)
+
+    def _src(sid, visit, mjd_, flux_, flag_base):
+        return F.struct(
+            sid.cast("long").alias("diaSourceId"),
+            (F.col("user_id") % 50).cast("long").alias("diaObjectId"),
+            visit.cast("long").alias("visit"),
+            F.col("event_type").alias("band"),
+            mjd_.cast("double").alias("midpointMjdTai"),
+            flux_.cast("float").alias("psfFlux"),
+            (flux_ / 4).cast("float").alias("psfFluxErr"),
+            (F.col("user_id") * 0.125).alias("ra"),
+            (F.col("user_id") * 0.0625 - 10.0).alias("dec"),
+            nf.alias("raErr"),
+            nf.alias("decErr"),
+            nf.alias("ra_dec_Cov"),
+            (flag_base % 2 == 0).alias("psfFluxFlag"),
+            (flag_base % 3 == 0).alias("pixelFlags"),
+            (flag_base % 5 == 0).alias("centroidFlag"),
+        )
+
+    cur = _src(F.col("event_id"), F.col("event_id") % 1000, mjd, flux,
+               F.col("event_id"))
+    # one previous source per event_id%4==0 alert (exercises the explode);
+    # prv flags all-false via a base with no small divisors (flag_base=1)
+    prv = _src(F.col("event_id") + 10_000_000, F.col("event_id") % 1000 + 1,
+               mjd + 0.25, flux + 1, F.lit(1))
+    alerts = ev.select(
+        F.col("event_id").alias("alertId"),
+        F.lit("gatebroker").alias("brokername"),
+        F.lit("gatetopic").alias("topic"),
+        F.col("props").alias("classifications"),
+        cur.alias("diaSource"),
+        F.filter(F.array(prv), lambda _: F.col("event_id") % 4 == 0).alias(
+            "prvDiaSources"
+        ),
+        F.lit(None).cast(
+            "array<struct<diaForcedSourceId:long,diaObjectId:long,visit:long,"
+            "band:string,midpointMjdTai:double,psfFlux:float,psfFluxErr:float,"
+            "ra:double,dec:double>>"
+        ).alias("prvDiaForcedSources"),
+        F.struct(
+            (F.col("user_id") % 50).cast("long").alias("diaObjectId"),
+            (F.col("user_id") * 0.125).alias("ra"),
+            (F.col("user_id") * 0.0625 - 10.0).alias("dec"),
+            nf.alias("raErr"),
+            nf.alias("decErr"),
+        ).alias("diaObject"),
+        F.lit(None).cast("binary").alias("cutoutDifference"),
+        F.lit(None).cast("binary").alias("cutoutTemplate"),
+    )
+    w = reject_solar_system(
+        wrangle_alerts(
+            alerts, "gate-bpv",
+            savetime=F.to_timestamp(F.lit("2026-01-01 00:00:00")),
+        )
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"fastdb_alertbatch_{tag}")
+    tbl = ParquetTable(spark, path)
+    tbl.overwrite(w["diasource"])
+    out = tbl.read()
+    return out.select(
+        "diasourceid",
+        "diaobjectid",
+        "visit",
+        "band",
+        "midpointmjdtai",
+        F.col("psfflux").cast("double").alias("psfflux"),
+        (F.col("psffluxerr").cast("double") * 4).cast("long").alias("fluxerr_x4"),
+        "ra",
+        F.col("dec").alias("decl"),
+        "flags",
+        F.date_format("savetime", "yyyy-MM-dd HH:mm:ss").alias("savetime_s"),
+    )
+
+
+def _q_bulk_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 under the exact gate: three deterministic conflicting batches
+    derived from orders MERGE into a BucketedParquetTable — initial
+    DO-NOTHING load, a DO-UPDATE batch on the even keys, an idempotent
+    REPLAY of that update batch, then a DO-NOTHING batch that may only
+    insert absent keys — and the final table is read back.  Proves the
+    reference's COPY + ON CONFLICT semantics (src/db.py:1406-1515) on
+    the partition-pruned incremental write path."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.storage import BucketedParquetTable
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).alias("price_c"),
+    )
+    b1 = base.filter(F.col("o_orderkey") % 3 != 0).withColumn("ver", F.lit("v1"))
+    b2 = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price_c", F.col("price_c") + 1)
+        .withColumn("ver", F.lit("v2"))
+    )
+    b3 = base.filter(F.col("o_orderkey") % 5 == 0).withColumn("ver", F.lit("v3"))
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"fastdb_upsert_gate_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per adjudication
+    t = BucketedParquetTable(spark, path, keys=["o_orderkey"], n_buckets=8)
+    t.upsert(b1, on_conflict="nothing")  # initial load
+    t.upsert(b2, on_conflict="update")  # conflicting batch: matched rows update
+    t.upsert(b2, on_conflict="update")  # replay: must be idempotent
+    t.upsert(b3, on_conflict="nothing")  # only keys absent so far insert
+    return t.read().select("o_orderkey", "o_custkey", "price_c", "ver")
+
+
+def _q_snana_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 under the exact gate: a SNANA HEAD/PHOT FITS pair synthesized
+    from the events table (user_id -> SNID, per-object 1-indexed
+    PTROBS_MIN/MAX pointer slices, photflag detection bit) is written
+    with the dependency-free BINTABLE writer and loaded back through the
+    distributed ``read_snana_fits`` loader (reference
+    src/admin/load_snana_fits.py:115-246).  The synthesis collect is
+    KB-bounded (user_id <= 40, ~3k rows at every gate sf); the loader
+    itself parallelizes by FILE PAIR, which is the real unit of work.
+    ``snana_zeropoint=31.4`` makes the rescale factor exactly 1.0 and
+    all derived values dyadic, so the float32 FITS round-trip is exact."""
+    import tempfile
+
+    import numpy as np
+
+    from fastdb_spark.sources.fits import write_bintable
+    from fastdb_spark.sources.loaders import read_snana_fits
+
+    ev = Catalog(spark, sf_dir).table("events")
+    rows = (
+        ev.filter(F.col("user_id") <= 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("band"),
+            F.floor("value").alias("fluxcal"),
+            (F.lit(60000.0) + (F.col("event_id") % 1000) * F.lit(0.25)).alias(
+                "mjd"
+            ),
+            (F.col("event_id") % 2 * 4096).alias("photflag"),
+        )
+        .orderBy("user_id", "event_id")
+        .collect()
+    )
+    users = sorted({r["user_id"] for r in rows})
+    per_user: dict[int, list] = {u: [] for u in users}
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    ptr_min, ptr_max, pos = [], [], 1  # FITS pointers are 1-indexed
+    for u in users:
+        n = len(per_user[u])
+        ptr_min.append(pos)
+        ptr_max.append(pos + n - 1)
+        pos += n
+    d = tempfile.mkdtemp(prefix="fastdb_snana_gate_")
+    head_path = os.path.join(d, "GATE_HEAD.FITS.gz")
+    write_bintable(
+        head_path,
+        {
+            "SNID": np.array(users, dtype=np.int64),
+            "PTROBS_MIN": np.array(ptr_min, dtype=np.int64),
+            "PTROBS_MAX": np.array(ptr_max, dtype=np.int64),
+            "RA": np.array([u * 0.125 for u in users], dtype=np.float64),
+            "DEC": np.array([u * 0.0625 - 10.0 for u in users], dtype=np.float64),
+        },
+    )
+    write_bintable(
+        os.path.join(d, "GATE_PHOT.FITS.gz"),
+        {
+            "MJD": np.array([r["mjd"] for r in rows], dtype=np.float64),
+            "BAND": np.array([r["band"] for r in rows], dtype="U10"),
+            "FLUXCAL": np.array([r["fluxcal"] for r in rows], dtype=np.float32),
+            "FLUXCALERR": np.array(
+                [r["fluxcal"] / 4 for r in rows], dtype=np.float32
+            ),
+            "PHOTFLAG": np.array([r["photflag"] for r in rows], dtype=np.int32),
+        },
+    )
+    loaded = read_snana_fits(spark, [head_path], snana_zeropoint=31.4)
+    return loaded.select(
+        "diaobjectid",
+        "diaforcedsourceid",
+        "visit",
+        "band",
+        "midpointmjdtai",
+        F.col("psfflux").cast("long").alias("psfflux_i"),
+        (F.col("psffluxerr").cast("double") * 4).cast("long").alias("fluxerr_x4"),
+        "ra",
+        F.col("dec").alias("decl"),
+        "is_detection",
+    )
+
+
+def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Word2Vec POOLING+table path under an exact oracle: the trained
+    vector space is what keeps ``doc_similar_w2v`` rows-only, so this
+    gate swaps it for a deterministic word-vector table derived from the
+    corpus vocabulary (small integer components: ascii codes + length)
+    and drives the real ``doc_embeddings`` pooling — integer components
+    make every per-(doc,dim) sum exact and order-independent, so the
+    float32 mean is bit-reproducible in duckdb."""
+    from fastdb_spark.pipeline.embed import doc_embeddings
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    wv = vocab.select(
+        "word",
+        F.array(
+            F.ascii("word").cast("float"),
+            F.length("word").cast("float"),
+            F.expr("ascii(right(word, 1))").cast("float"),
+            F.lit(7.0).cast("float"),
+        ).alias("vector"),
+    )
+    emb = doc_embeddings(docs, wv)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("dim", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROUND-4 ROTATION (final state): the window leads
-    # with the 11 operators NEW this round (BPE encode/train, shard
-    # shuffle, token budget, TF-IDF, composed training set, Word2Vec doc
-    # search, intra-doc dedup, corpus card, chunking, boilerplate
-    # removal), then the 18 queries that had never received a driver
-    # CORRECTNESS row in r1-r3, then every query whose code changed this
-    # round.  29 long-stable rows (green in CORRECTNESS_r03 AND
-    # untouched) sit in the tail — each still has an oracle and runs in
+    # their oracles.  ROUND-5 ROTATION: the window leads with the 34
+    # long-stable queries that spent round 4 in the tail (their last
+    # driver row is r3-era; VERDICT r4 next-round #1 — the 11 core FASTDB
+    # ops first), then the 4 NEW write-path/pooling gates, then every
+    # query whose code was touched this round (paginate auto heuristic,
+    # imagecodec error contract, BPE oracle regex, dedup bucket-cap
+    # rework).  The 38 tail rows all have a GREEN CORRECTNESS_r04 driver
+    # row and untouched code; each still has an oracle and runs in
     # tests/test_oracle_parity.py AND tools/stock_sweep.py every session.
-    # Swap lists are recorded in ROUND_NOTES.md for the round-5 rotation.
+    # Swap lists are recorded in ROUND_NOTES.md for the round-6 rotation.
     return {
-        # --- NEW this round (late round-4 additions) ---------------------
-        "bpe_encode": _q_bpe_encode,
-        "bpe_train_merges": _q_bpe_train_merges,  # rows-only by design
-        "shuffle_shards": _q_shuffle_shards,
-        "token_budget_select": _q_token_budget,
-        "tfidf_topk": _q_tfidf_topk,
-        "training_set": _q_training_set,
-        "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
-        "intra_doc_dedup": _q_intra_doc_dedup,
-        "corpus_card": _q_corpus_card,
-        "chunk_docs": _q_chunk_docs,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "multimodal_codec_roundtrip": _q_multimodal_codec,
-        # --- never-driver-adjudicated before round 4 (18) ----------------
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "dup_clusters": _q_dup_clusters,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "domain_mix_sample": _q_domain_mix,
-        "doc_repetition": _q_doc_repetition,
-        "doc_perplexity": _q_doc_perplexity,  # NEW in round 4
-        "doc_perplexity_bigram": _q_doc_perplexity_bigram,  # NEW in round 4
-        "duplicate_spans": _q_duplicate_spans,  # NEW in round 4
-        "pack_materialize": _q_pack_materialize,  # NEW in round 4
-        "json_extract": _q_json_extract,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "pagination_ranged": _q_pagination_ranged,
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # --- code touched in round 4: re-adjudicate ----------------------
-        "minhash_lsh_dedup": _q_minhash_lsh,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "exact_dedup": _q_exact_dedup,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_cosine_topk": _q_ann_topk,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "curate_corpus": _q_curate_corpus,
-        "pagination": _q_pagination,
-        # --- previously green, kept in-window ----------------------------
-        "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
-        "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
-        "multimodal_features": _q_multimodal_features,
-        # --- adjudication tail (position >50): long-stable generics, all
-        # green in CORRECTNESS_r03 and untouched this round ---------------
+        # --- r4 tail rotated back in: core FASTDB ops first (r3 green) ---
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
         "first_seen_dedup": _q_first_seen_dedup,
@@ -1819,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "cone_search": _q_cone_search,
         "ltcv_nested_probe": _q_ltcv_nested_probe,
+        # --- r4 tail rotated back in: remaining long-stable greens -------
         "asof_latest_forced": _q_asof_latest_forced,
         "object_search": _q_object_search,
         "versioned_count": _q_versioned_count,
@@ -1842,6 +2043,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "pii_redaction": _q_pii_redaction,
         "bm25_search": _q_bm25_search,
+        # --- NEW this round: write-path + pooling gates ------------------
+        "load_alert_batch": _q_load_alert_batch,
+        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
+        "snana_load_roundtrip": _q_snana_load,
+        "doc_embed_pool": _q_doc_embed_pool,
+        # --- code touched in round 5: re-adjudicate ----------------------
+        "pagination": _q_pagination,
+        "multimodal_codec_roundtrip": _q_multimodal_codec,
+        "multimodal_features": _q_multimodal_features,
+        "bpe_encode": _q_bpe_encode,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "curate_corpus": _q_curate_corpus,
+        "training_set": _q_training_set,
+        "exact_dedup": _q_exact_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        # --- adjudication tail (position >50): ALL green in
+        # CORRECTNESS_r04 and untouched this round ------------------------
+        "bpe_train_merges": _q_bpe_train_merges,  # rows-only by design
+        "shuffle_shards": _q_shuffle_shards,
+        "token_budget_select": _q_token_budget,
+        "tfidf_topk": _q_tfidf_topk,
+        "doc_similar_w2v": _q_doc_similar_w2v,  # rows-only by design
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "corpus_card": _q_corpus_card,
+        "chunk_docs": _q_chunk_docs,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "pack_materialize": _q_pack_materialize,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_repetition": _q_doc_repetition,
+        "doc_perplexity": _q_doc_perplexity,
+        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
+        "duplicate_spans": _q_duplicate_spans,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination_ranged": _q_pagination_ranged,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        # the six approximate-ANN gates are rows-only BY DESIGN (emitted
+        # recall@10 is the real metric); ann_lsh/ivf/pq are the deliberate
+        # NO-INDEX baselines (train/bucket per call) — production probes
+        # use the persisted-index twins (ann_ivf_index / ann_ivfpq_*)
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "ann_cosine_topk": _q_ann_topk,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "weighted_position": _q_weighted_position,
+        "alert_reconstruct": _q_alert_reconstruct,
     }
 
 
@@ -1878,6 +2141,93 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # --- write-path gates (round 5): the oracle re-derives the batch
+        # and states the expected FINAL table contents ------------------
+        "load_alert_batch": """
+            WITH base AS (
+              SELECT event_id, user_id % 50 AS oid,
+                     event_id % 1000 AS visit, event_type AS band,
+                     60000.0 + (event_id % 1000) * 0.25 AS mjd,
+                     floor("value") AS flux,
+                     user_id * 0.125 AS ra,
+                     user_id * 0.0625 - 10.0 AS decl
+              FROM events),
+            cur AS (
+              SELECT event_id AS diasourceid, oid, visit, band, mjd,
+                     flux, flux AS errx4,
+                     (CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN event_id % 3 = 0 THEN 2 ELSE 0 END
+                      + CASE WHEN event_id % 5 = 0 THEN 4 ELSE 0 END) AS flags,
+                     ra, decl
+              FROM base),
+            prv AS (
+              SELECT event_id + 10000000 AS diasourceid, oid,
+                     visit + 1 AS visit, band, mjd + 0.25 AS mjd,
+                     flux + 1 AS flux, flux + 1 AS errx4, 0 AS flags,
+                     ra, decl
+              FROM base WHERE event_id % 4 = 0),
+            u AS (SELECT * FROM cur UNION ALL SELECT * FROM prv)
+            SELECT diasourceid, oid AS diaobjectid, visit, band,
+                   mjd AS midpointmjdtai, CAST(flux AS DOUBLE) AS psfflux,
+                   CAST(errx4 AS BIGINT) AS fluxerr_x4, ra, decl,
+                   CAST(flags AS BIGINT) AS flags,
+                   '2026-01-01 00:00:00' AS savetime_s
+            FROM u WHERE oid <> 0
+        """,
+        "bulk_upsert_roundtrip": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(floor(o_totalprice*100) AS BIGINT) + 1
+                        ELSE CAST(floor(o_totalprice*100) AS BIGINT)
+                   END AS price_c,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'v2'
+                        WHEN o_orderkey % 3 <> 0 THEN 'v1'
+                        ELSE 'v3' END AS ver
+            FROM orders
+            WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 <> 0
+               OR o_orderkey % 5 = 0
+        """,
+        "snana_load_roundtrip": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     floor("value") AS flux,
+                     60000.0 + (event_id % 1000) * 0.25 AS mjd,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) - 1 AS seq
+              FROM events WHERE user_id <= 40)
+            SELECT user_id AS diaobjectid,
+                   user_id * 100000 + seq AS diaforcedsourceid,
+                   CAST(floor(mjd * 20000) AS BIGINT) AS visit,
+                   event_type AS band,
+                   mjd AS midpointmjdtai,
+                   CAST(flux AS BIGINT) AS psfflux_i,
+                   CAST(flux AS BIGINT) AS fluxerr_x4,
+                   user_id * 0.125 AS ra,
+                   user_id * 0.0625 - 10.0 AS decl,
+                   (event_id % 2) = 1 AS is_detection
+            FROM e
+        """,
+        "doc_embed_pool": """
+            WITH t0 AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            t AS (SELECT doc_id, word FROM t0 WHERE word <> ''),
+            v AS (SELECT DISTINCT word FROM t
+                  WHERE regexp_matches(word, '^[a-z]{3,}$')),
+            j AS (SELECT t.doc_id, t.word FROM t JOIN v USING (word)),
+            comp AS (
+              SELECT doc_id, d.dim,
+                     CASE d.dim
+                       WHEN 0 THEN ascii(word)
+                       WHEN 1 THEN length(word)
+                       WHEN 2 THEN ascii(right(word, 1))
+                       ELSE 7 END AS c
+              FROM j CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dim))
+            SELECT doc_id, dim,
+                   CAST(CAST(sum(CAST(c AS DOUBLE)) / count(*) AS REAL)
+                        AS DOUBLE) AS val
+            FROM comp GROUP BY doc_id, dim
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -7,10 +7,37 @@ The reference paginates exports with OFFSET/LIMIT over a sorted key
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: a frame backed by ONE local file no bigger than this takes the window
+#: strategy under ``strategy='auto'`` — the fixed persist+count overhead of
+#: the ranged plan (~0.6 s) dwarfs a single-task sort at that size
+_SMALL_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _single_small_file(df: DataFrame, cap: int = _SMALL_FILE_BYTES) -> bool:
+    """True iff ``df`` scans exactly one LOCAL file of <= ``cap`` bytes.
+    ``inputFiles()`` is metadata-only (no job); remote/object-store paths
+    and non-file-backed frames report False (ranged stays the default)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if len(files) != 1:
+        return False
+    p = files[0]
+    if p.startswith("file:"):
+        p = "/" + p[5:].lstrip("/")
+    elif "://" in p:
+        return False
+    try:
+        return os.path.getsize(p) <= cap
+    except OSError:
+        return False
 
 
 #: most recent paginate_ranged cache, unpersisted when the next call (or
@@ -39,17 +66,18 @@ def paginate(
     portable, but that window is a single task sorting everything, so it is
     only acceptable for frames already known to be small.
     ``strategy='ranged'`` delegates to :func:`paginate_ranged`.
-    ``'auto'`` (default) is the ranged plan: it is correct at every size,
-    and probing the input's partition count to "optimize" tiny frames
-    would force an RDD conversion of the analyzed plan (`df.rdd`) — a
-    planning job that costs more than the saved shuffle.  Pass
-    ``strategy='window'`` explicitly for a frame known to be tiny.
+    ``'auto'`` (default) is the ranged plan unless the input is a single
+    local file of <= 128 MiB (a metadata-only ``inputFiles()`` probe — no
+    job, unlike a ``df.rdd`` partition-count probe), in which case the
+    window plan is cheaper: the ranged path pays a fixed persist + count
+    job that dwarfs a one-task sort at that size.  Pass
+    ``strategy='window'`` / ``'ranged'`` to force either.
 
     ``order_by`` must be a total order (append a unique id) or page
     boundaries are ambiguous — same caveat as SQL OFFSET.
     """
     if strategy == "auto":
-        strategy = "ranged"
+        strategy = "window" if _single_small_file(df) else "ranged"
     if strategy == "ranged":
         return paginate_ranged(df, order_by, offset, limit)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]

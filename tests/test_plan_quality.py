@@ -131,15 +131,32 @@ def test_paginate_ranged_stays_jvm_side(spark):
 
 def test_paginate_auto_switches_to_ranged(spark):
     """paginate(strategy='auto') must pick the distributed ranged plan for
-    multi-partition input instead of the single-task global window."""
-    from fastdb_spark.catalog import Catalog
-    from fastdb_spark.operators.paginate import paginate
+    input that is NOT a single small local file (here: a non-file-backed
+    frame, where the inputFiles probe reports nothing)."""
+    from fastdb_spark.operators import paginate as pg
 
-    li = Catalog(spark, SF_DIR).table("lineitem").repartition(4)
-    page = paginate(li, ["l_orderkey", "l_linenumber"], 10, 5)
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 7)
+    pg.unpersist_pages()
+    page = pg.paginate(df, ["k", "id"], 10, 5)
+    # the ranged path persists the range-partitioned frame
+    assert pg._LAST_PAGE_CACHE, "auto did not take the ranged path"
+    assert page.count() == 5
+    pg.unpersist_pages()
+
+
+def test_paginate_auto_small_single_file_uses_window(spark):
+    """A single local parquet file under the size cap skips the ranged
+    plan's fixed persist+count overhead and takes the one-task window —
+    the designed toy-scale fast path."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.operators import paginate as pg
+
+    orders = Catalog(spark, SF_DIR).table("orders")
+    assert pg._single_small_file(orders)
+    pg.unpersist_pages()
+    page = pg.paginate(orders, ["o_orderkey"], 10, 5)
+    assert not pg._LAST_PAGE_CACHE, "small single file should not persist"
     plan = page._jdf.queryExecution().executedPlan().toString()
-    # the global-window plan has a Window with an empty partition spec
-    # sorting ALL rows in one task; the ranged plan windows per range
     assert "row_number" in plan
     assert page.count() == 5
 
