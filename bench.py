@@ -63,17 +63,22 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "sum_query_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # stable sidecar: the driver's stdout capture has truncated the tail of
+    # this line before (BENCH_r04 parsed=null); the full per-query map in a
+    # file keeps round-over-round diffs independent of capture length
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

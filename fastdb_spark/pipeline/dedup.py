@@ -106,16 +106,20 @@ def _candidate_pairs(
     """
     ids = buckets.select(F.col(bucket_col).alias("_bkt"), F.col(id_col))
     if max_bucket_size is not None:
-        # map-side-combined count on the bucket key only; the filter join
-        # shares the _bkt hash partitioning with the self-join below, so
-        # Catalyst reuses the exchange rather than adding one
-        keep = (
-            ids.groupBy("_bkt")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        # bucket sizes via a COUNT window over the banded frame: the
+        # window's hash-partitioning on _bkt is exactly the distribution
+        # the self-join below needs, so the guard rides the exchange the
+        # join pays anyway.  (The previous aggregate+filter-join shape
+        # cost a separate count pass + join — measured +17-69% on the
+        # sf0.1 dedup gates, round-5 quiet-host A/B.)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_bkt")
+        ids = (
+            ids.withColumn("_bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsz") <= max_bucket_size)
-            .select("_bkt")
+            .drop("_bsz")
         )
-        ids = ids.join(keep, on="_bkt")
     left = ids.select("_bkt", F.col(id_col).alias("id_a"))
     right = ids.select("_bkt", F.col(id_col).alias("id_b"))
     pairs = (
