@@ -101,6 +101,84 @@ def domain_mix_sample(
     )
 
 
+def epoch_mix_materialize(
+    df: DataFrame,
+    stratum_col: str,
+    epochs: dict[str, float],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """UPsampling counterpart of :func:`domain_mix_sample`: materialize
+    fractional EPOCHS per stratum — the public-literature mixing recipe
+    where e.g. wiki runs 2.4 epochs while web runs 0.9 (rare, high-value
+    domains repeat; bulk domains subsample, both in ONE operator).
+
+    Each row emits ``floor(e)`` copies plus one more with probability
+    ``frac(e)``, decided by the deterministic md5 uniform — exact in
+    expectation, reproducible, oracle-checkable.  The output carries an
+    ``epoch`` copy index (0-based) making the repetition explicit, so a
+    downstream :func:`~fastdb_spark.pipeline.shards.shuffle_to_shards`
+    over ``(id, epoch)`` spreads copies apart.  Strata absent from
+    ``epochs`` emit zero copies.
+
+    Scale shape: a broadcast map literal + ``explode(sequence(...))`` —
+    pure scan-stage expressions, zero shuffle; output size is exactly
+    the token-weighted mixture the trainer consumes.
+    """
+    pairs: list[Column] = []
+    for k, v in sorted(epochs.items()):
+        if float(v) < 0:
+            raise ValueError(f"epochs[{k!r}] must be >= 0 (got {v!r})")
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    e = F.coalesce(F.create_map(*pairs)[F.col(stratum_col)], F.lit(0.0))
+    n = (
+        F.floor(e)
+        + (hash_uniform(F.col(id_col), salt) < (e - F.floor(e))).cast("long")
+    ).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)  # sequence(0,-1) would step backwards
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n") - F.lit(1))
+            ),
+        )
+        .drop("_n")
+    )
+
+
+def epoch_mix_oracle_sql(
+    table: str,
+    stratum_col: str,
+    epochs: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    select_cols: str = "*",
+) -> str:
+    """duckdb twin of :func:`epoch_mix_materialize` — identical CASE
+    epoch table, md5 uniform, and copy-index enumeration."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(epochs.items())
+    )
+    u = (
+        f"('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT / {_DENOM!r}"
+    )
+    return f"""
+        WITH e AS (
+          SELECT {select_cols},
+                 CAST(floor(ep) AS BIGINT)
+                 + CASE WHEN {u} < ep - floor(ep) THEN 1 ELSE 0 END AS n_copies
+          FROM (SELECT *, CASE {stratum_col} {cases} ELSE 0.0 END AS ep
+                FROM {table}))
+        SELECT * EXCLUDE (n_copies),
+               unnest(generate_series(0, n_copies - 1)) AS epoch
+        FROM e WHERE n_copies > 0
+    """
+
+
 def temperature_mix_shares(
     df: DataFrame,
     stratum_col: str,
