@@ -34,6 +34,24 @@ from fastdb_spark.functions.photometry import flux2mag
 
 SF0001 = "/root/testdata/sf0.001"
 
+#: per-process scratch root for gate-side tables (bucketed twins, ANN
+#: indexes, write-path round-trips).  ``tempfile.mkdtemp`` gives an
+#: unpredictable, 0700, race-free directory, so concurrent adjudications
+#: or different users on the same host never collide, and the gates never
+#: ``rmtree`` a predictable world-writable /tmp name (ADVICE r5:
+#: tmp-squatting hazard).  One root per process keeps the within-session
+#: reuse of cached bucketed tables / persisted indexes.
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(*parts: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="fastdb_gate_")
+    return os.path.join(_SCRATCH_ROOT, *parts)
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -129,7 +147,7 @@ def _q_versioned_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"versioned_phot_bucketed_{tag.replace('.', '_')}"
     if tbl not in _BUCKETED_WRITTEN:
         li = Catalog(spark, sf_dir).table("lineitem")
-        path = os.path.join(tempfile.gettempdir(), f"fastdb_bucketed_{tag}")
+        path = _scratch(f"fastdb_bucketed_{tag}")
         (
             ad.versioned_photometry(li)
             .write.mode("overwrite")
@@ -214,7 +232,7 @@ def _q_ltcv_patch_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         if tbl not in _BUCKETED_WRITTEN:
             li = Catalog(spark, sf_dir).table("lineitem")
             path = os.path.join(
-                tempfile.gettempdir(), f"fastdb_bucketed_{tag}", side
+                _scratch(f"fastdb_bucketed_{tag}"), side
             )
             (
                 maker(li)
@@ -370,7 +388,7 @@ def _q_cone_search_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.operators.spatial import haversine_deg
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_layout_{tag}", "part_sky")
+    path = _scratch(f"fastdb_layout_{tag}", "part_sky")
     if path not in _LAYOUT_WRITTEN:
         part = Catalog(spark, sf_dir).table("part")
         write_spatial(
@@ -762,7 +780,7 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs, qvec = _ann_corpus(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_ivf_c_{tag}")
+    path = _scratch(f"fastdb_ivf_c_{tag}")
     if path not in _IVF_WRITTEN:
         build_ivf_index(embs, path, n_clusters=8, strategy="seed")
         _IVF_WRITTEN.add(path)
@@ -806,7 +824,7 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs, qvec = _ann_corpus(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_ivfpq_{tag}")
+    path = _scratch(f"fastdb_ivfpq_{tag}")
     if path not in _IVF_WRITTEN:
         build_ivf_index(
             embs, path, n_clusters=8, strategy="seed",
@@ -833,7 +851,7 @@ def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs, qvec = _ann_corpus(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_ivfpq_res_{tag}")
+    path = _scratch(f"fastdb_ivfpq_res_{tag}")
     if path not in _IVF_WRITTEN:
         build_ivf_index(
             embs, path, n_clusters=8, strategy="seed",
@@ -1295,6 +1313,27 @@ def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", _MIX_SHARES, _MIX_BUDGET, "doc_id", salt="mix2"
     )
     return out.select("doc_id", "lang", "source")
+
+
+#: epoch-mix recipe (fractional epochs per stratum, the public mixing
+#: convention): rare, high-value langs repeat >1 epoch, the bulk lang
+#: subsamples below one, and one lang sits exactly at 1.0 (the identity
+#: leg) — together they cover every branch of the copy-count arithmetic
+_EPOCH_MIX = {"de": 2.4, "zh": 1.5, "fr": 1.0, "es": 0.75, "en": 0.3}
+
+
+def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling materializer (`epoch_mix_materialize`): each doc emits
+    floor(e) copies plus a Bernoulli(frac(e)) extra, with an explicit
+    0-based ``epoch`` copy index; strata follow _EPOCH_MIX.  Zero-shuffle
+    scan-stage plan (broadcast map literal + explode(sequence))."""
+    from fastdb_spark.pipeline.sample import epoch_mix_materialize
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "source"
+    )
+    out = epoch_mix_materialize(docs, "lang", _EPOCH_MIX, "doc_id", salt="em6")
+    return out.select("doc_id", "lang", "source", "epoch")
 
 
 def _split_oracle() -> str:
@@ -1823,7 +1862,7 @@ def _q_load_alert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_alertbatch_{tag}")
+    path = _scratch(f"fastdb_alertbatch_{tag}")
     tbl = ParquetTable(spark, path)
     tbl.overwrite(w["diasource"])
     out = tbl.read()
@@ -1869,7 +1908,7 @@ def _q_bulk_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b3 = base.filter(F.col("o_orderkey") % 5 == 0).withColumn("ver", F.lit("v3"))
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"fastdb_upsert_gate_{tag}")
+    path = _scratch(f"fastdb_upsert_gate_{tag}")
     shutil.rmtree(path, ignore_errors=True)  # fresh table per adjudication
     t = BucketedParquetTable(spark, path, keys=["o_orderkey"], n_buckets=8)
     t.upsert(b1, on_conflict="nothing")  # initial load
@@ -2007,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py AND tools/stock_sweep.py every session.
     # Swap lists are recorded in ROUND_NOTES.md for the round-6 rotation.
     return {
+        # --- NEW round 6: the round-5 unverified operator, now gated ----
+        "epoch_mix": _q_epoch_mix,
         # --- r4 tail rotated back in: core FASTDB ops first (r3 green) ---
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
@@ -2129,7 +2170,11 @@ _HAV_PAIR = (
 
 def oracle_sql() -> dict[str, str]:
     from fastdb_spark.pipeline import oracles as po
-    from fastdb_spark.pipeline.sample import domain_mix_oracle_sql, sample_oracle_sql
+    from fastdb_spark.pipeline.sample import (
+        domain_mix_oracle_sql,
+        epoch_mix_oracle_sql,
+        sample_oracle_sql,
+    )
     thr = {24: 912.011, 23: 2290.87, 22: 5754.40, 21: 14454.4}
     ndets_cases = ", ".join(
         f"CAST(sum(CASE WHEN psfflux >= {v} THEN 1 ELSE 0 END) AS BIGINT) AS ndets{m}"
@@ -2879,6 +2924,14 @@ def oracle_sql() -> dict[str, str]:
             "doc_id",
             salt="mix2",
             select_cols="d.doc_id, d.lang, d.source",
+        ),
+        "epoch_mix": epoch_mix_oracle_sql(
+            "documents",
+            "lang",
+            _EPOCH_MIX,
+            "doc_id",
+            salt="em6",
+            select_cols="doc_id, lang, source",
         ),
         # --- late round-4 additions (bpe_train_merges: rows-only) --------
         "bpe_encode": _bpe_encode_oracle(),

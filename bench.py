@@ -69,6 +69,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # self-describing sidecar (VERDICT r5 #9): the sidecar alone must
+        # identify the run even when the driver's stdout capture truncates
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "n_queries": len(timings),
     }
     print(json.dumps(payload))
     # stable sidecar: the driver's stdout capture has truncated the tail of

@@ -20,9 +20,21 @@ _SMALL_FILE_BYTES = 128 * 1024 * 1024
 
 
 def _single_small_file(df: DataFrame, cap: int = _SMALL_FILE_BYTES) -> bool:
-    """True iff ``df`` scans exactly one LOCAL file of <= ``cap`` bytes.
-    ``inputFiles()`` is metadata-only (no job); remote/object-store paths
-    and non-file-backed frames report False (ranged stays the default)."""
+    """True iff ``df`` scans exactly one LOCAL file of <= ``cap`` bytes AND
+    its plan is narrow (no Join/Generate nodes), so the source-file size is
+    an honest proxy for the frame size.  Without the narrowness check a
+    self-join / explode / cross join over one small file still reports one
+    input file and would silently take the single-task window sort on an
+    arbitrarily larger frame (ADVICE r5).  Both probes are metadata-only
+    (``inputFiles()`` + the already-analyzed logical plan — no job);
+    remote/object-store paths and non-file-backed frames report False
+    (ranged stays the default)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    if "Join" in plan or "Generate" in plan:
+        return False
     try:
         files = df.inputFiles()
     except Exception:
@@ -67,8 +79,10 @@ def paginate(
     only acceptable for frames already known to be small.
     ``strategy='ranged'`` delegates to :func:`paginate_ranged`.
     ``'auto'`` (default) is the ranged plan unless the input is a single
-    local file of <= 128 MiB (a metadata-only ``inputFiles()`` probe — no
-    job, unlike a ``df.rdd`` partition-count probe), in which case the
+    local file of <= 128 MiB AND the plan is narrow — no Join/Generate
+    nodes, so the file size bounds the frame size (both metadata-only
+    probes: ``inputFiles()`` + the analyzed plan — no job, unlike a
+    ``df.rdd`` partition-count probe), in which case the
     window plan is cheaper: the ranged path pays a fixed persist + count
     job that dwarfs a one-task sort at that size.  Pass
     ``strategy='window'`` / ``'ranged'`` to force either.

@@ -207,7 +207,12 @@ def _load_params(path: str) -> dict:
 
 #: audit of the most recent upsert's candidate-cap truncation: docs whose
 #: vs-index candidate set was cut at ``max_bucket_size`` MIGHT have had
-#: their one true near-dup dropped.  ``{"truncated_docs": n, "sample": [...]}``.
+#: their one true near-dup dropped.  ``truncated_docs`` is a FLOOR capped
+#: at 101 (one bounded limit-collect, not a full count — the exact tally
+#: would add a second driver-blocking job inside the write lock);
+#: ``sample`` holds at most 100 ids.  Reset at the top of every
+#: :func:`dedup_index_upsert` call, so an uncapped run reports zeros
+#: rather than a previous call's values (ADVICE r5).
 LAST_UPSERT_AUDIT: dict = {"truncated_docs": 0, "sample": []}
 
 
@@ -229,10 +234,15 @@ def dedup_index_upsert(
     instead of the driver; read the index to enumerate).  Sketch
     parameters come from the index metadata, never the caller, so every
     increment is banded identically.  Documents whose candidate set hit
-    the ``max_bucket_size`` cap are counted in ``LAST_UPSERT_AUDIT``."""
+    the ``max_bucket_size`` cap are flagged in ``LAST_UPSERT_AUDIT``
+    (floor capped at 101 — see the audit docstring)."""
     p = _load_params(path)
     from fastdb_spark.cachereg import release_staged, stage
 
+    # reset BEFORE the cap branch: an uncapped (max_bucket_size=None) run
+    # must not leave a previous call's truncation counts standing
+    LAST_UPSERT_AUDIT["truncated_docs"] = 0
+    LAST_UPSERT_AUDIT["sample"] = []
     with table_write_lock(os.path.normpath(path)):
         sk = stage(
             _sketch(

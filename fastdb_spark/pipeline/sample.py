@@ -158,7 +158,11 @@ def epoch_mix_oracle_sql(
     select_cols: str = "*",
 ) -> str:
     """duckdb twin of :func:`epoch_mix_materialize` — identical CASE
-    epoch table, md5 uniform, and copy-index enumeration."""
+    epoch table, md5 uniform, and copy-index enumeration.  The internal
+    ``_em_ep`` helper column is projected away in every branch, so the
+    output columns are exactly ``select_cols`` + ``epoch`` — matching the
+    materializer's schema under the default ``select_cols='*'`` too
+    (ADVICE r5: the previous shape leaked ``ep`` into ``SELECT *``)."""
     cases = " ".join(
         f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(epochs.items())
     )
@@ -166,14 +170,18 @@ def epoch_mix_oracle_sql(
         f"('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))"
         f"::BIGINT / {_DENOM!r}"
     )
+    star = select_cols.strip() == "*"
+    outer = "* EXCLUDE (_em_ep, n_copies)" if star else select_cols
+    inner = "*" if star else f"{select_cols}, _em_ep"
     return f"""
         WITH e AS (
-          SELECT {select_cols},
-                 CAST(floor(ep) AS BIGINT)
-                 + CASE WHEN {u} < ep - floor(ep) THEN 1 ELSE 0 END AS n_copies
-          FROM (SELECT *, CASE {stratum_col} {cases} ELSE 0.0 END AS ep
+          SELECT {inner},
+                 CAST(floor(_em_ep) AS BIGINT)
+                 + CASE WHEN {u} < _em_ep - floor(_em_ep) THEN 1 ELSE 0 END
+                   AS n_copies
+          FROM (SELECT *, CASE {stratum_col} {cases} ELSE 0.0 END AS _em_ep
                 FROM {table}))
-        SELECT * EXCLUDE (n_copies),
+        SELECT {outer},
                unnest(generate_series(0, n_copies - 1)) AS epoch
         FROM e WHERE n_copies > 0
     """

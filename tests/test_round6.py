@@ -1,0 +1,248 @@
+"""Round-6 additions: epoch-mix materializer verification (the one piece
+of round-5 code that shipped unverified — VERDICT r5 "what's wrong" #1),
+plus regression tests for the four ADVICE r5 fixes (oracle ``ep`` leak,
+paginate auto narrowness guard, incdedup audit reset, gate scratch-dir
+scoping).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fastdb_spark.pipeline.sample import (
+    epoch_mix_materialize,
+    epoch_mix_oracle_sql,
+)
+
+# ---------------------------------------------------------------------------
+# epoch_mix_materialize
+
+
+def _docs(spark):
+    rows = [
+        (i, ["wiki", "web", "code"][i % 3], f"payload-{i}") for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, dom string, body string")
+
+
+def test_epoch_mix_integer_epochs_exact_copies(spark):
+    """e=2.0 -> exactly two copies of every row, epoch indices {0,1};
+    e=1.0 is the identity leg (one copy, epoch 0)."""
+    out = epoch_mix_materialize(
+        _docs(spark), "dom", {"wiki": 2.0, "web": 1.0}, "doc_id"
+    )
+    per = {
+        (r["dom"], r["epoch"]): r["n"]
+        for r in out.groupBy("dom", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per[("wiki", 0)] == 100 and per[("wiki", 1)] == 100
+    assert per[("web", 0)] == 100
+    assert ("web", 1) not in per and ("wiki", 2) not in per
+
+
+def test_epoch_mix_fractional_epoch_is_floor_plus_bernoulli(spark):
+    """e=1.4: every row appears at least once, the epoch-1 extras are the
+    rows whose deterministic uniform < 0.4, and the total lands near
+    100*1.4 (deterministic, so the count is reproducible)."""
+    from fastdb_spark.pipeline.sample import hash_uniform
+
+    out = epoch_mix_materialize(
+        _docs(spark), "dom", {"wiki": 1.4}, "doc_id", salt="s6"
+    )
+    base = out.filter("epoch = 0").count()
+    extra = {r["doc_id"] for r in out.filter("epoch = 1").collect()}
+    assert base == 100
+    expected_extra = {
+        r["doc_id"]
+        for r in _docs(spark)
+        .filter("dom = 'wiki'")
+        .withColumn("u", hash_uniform(F.col("doc_id"), "s6"))
+        .filter("u < 0.4")
+        .collect()
+    }
+    assert extra == expected_extra
+    assert 20 <= len(extra) <= 60  # Bernoulli(0.4) over 100 ids
+
+
+def test_epoch_mix_absent_stratum_emits_nothing(spark):
+    out = epoch_mix_materialize(_docs(spark), "dom", {"wiki": 1.0}, "doc_id")
+    assert out.filter("dom != 'wiki'").count() == 0
+
+
+def test_epoch_mix_negative_epoch_raises(spark):
+    with pytest.raises(ValueError, match="must be >= 0"):
+        epoch_mix_materialize(_docs(spark), "dom", {"wiki": -0.5}, "doc_id")
+
+
+def test_epoch_mix_zero_epoch_drops_stratum(spark):
+    out = epoch_mix_materialize(
+        _docs(spark), "dom", {"wiki": 0.0, "web": 1.0}, "doc_id"
+    )
+    assert out.filter("dom = 'wiki'").count() == 0
+    assert out.filter("dom = 'web'").count() == 100
+
+
+def test_epoch_mix_oracle_parity_default_star(spark, tmp_path):
+    """The duckdb oracle with the DEFAULT select_cols='*' must produce the
+    exact multiset of rows AND the exact schema of the materializer — in
+    particular NO internal ``ep``/``_em_ep`` column may leak (ADVICE r5)."""
+    pq = str(tmp_path / "docs.parquet")
+    _docs(spark).write.mode("overwrite").parquet(pq)
+    epochs = {"wiki": 2.4, "web": 0.9}
+    got = (
+        epoch_mix_materialize(
+            spark.read.parquet(pq), "dom", epochs, "doc_id", salt="p6"
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(
+        epoch_mix_oracle_sql("t", "dom", epochs, "doc_id", salt="p6")
+    ).df()
+    assert sorted(got.columns) == sorted(want.columns) == [
+        "body", "doc_id", "dom", "epoch",
+    ]
+    key = ["doc_id", "epoch"]
+    g = got.sort_values(key, ignore_index=True)[sorted(got.columns)]
+    w = want.sort_values(key, ignore_index=True)[sorted(got.columns)]
+    assert len(g) == len(w) > 100
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+
+def test_epoch_mix_oracle_parity_explicit_cols(spark, tmp_path):
+    pq = str(tmp_path / "docs2.parquet")
+    _docs(spark).write.mode("overwrite").parquet(pq)
+    got = (
+        epoch_mix_materialize(
+            spark.read.parquet(pq), "dom", {"code": 1.5}, "doc_id"
+        )
+        .select("doc_id", "dom", "epoch")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(
+        epoch_mix_oracle_sql(
+            "t", "dom", {"code": 1.5}, "doc_id", select_cols="doc_id, dom"
+        )
+    ).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got.sort_values(["doc_id", "epoch"], ignore_index=True)
+    w = want.sort_values(["doc_id", "epoch"], ignore_index=True)[got.columns]
+    assert (g.values == w.values).all()
+
+
+def test_epoch_mix_copies_spread_by_shards(spark):
+    """The (id, epoch) copy index composes with shuffle_to_shards: the two
+    copies of one doc land in (generally) different shards — the explicit
+    epoch column is what makes the repetition shardable."""
+    from fastdb_spark.pipeline.shards import shuffle_to_shards
+
+    out = epoch_mix_materialize(
+        _docs(spark), "dom", {"wiki": 2.0, "web": 2.0, "code": 2.0}, "doc_id"
+    )
+    sharded = shuffle_to_shards(
+        out.withColumn(
+            "copy_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+        ),
+        n_shards=16,
+        id_col="copy_key",
+    )
+    per_doc = (
+        sharded.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .filter("ns = 2")
+        .count()
+    )
+    # with 16 shards, ~15/16 of doc pairs split across two shards
+    assert per_doc > 200
+
+
+def test_epoch_mix_plan_is_shuffle_free(spark):
+    """Scale shape: the materializer adds NO Exchange — broadcast map
+    literal + explode stay in the scan stage."""
+    out = epoch_mix_materialize(
+        _docs(spark), "dom", {"wiki": 2.4}, "doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 regression: paginate auto narrowness guard
+
+
+def test_paginate_auto_rejects_wide_plans(spark, tmp_path):
+    """A self-join / explode over one small file must NOT take the
+    single-task window path: _single_small_file requires a narrow plan."""
+    from fastdb_spark.operators.paginate import _single_small_file
+
+    pq = str(tmp_path / "small.parquet")
+    spark.range(100).withColumnRenamed("id", "k").coalesce(1).write.parquet(pq)
+    plain = spark.read.parquet(pq)
+    assert _single_small_file(plain) is True
+    joined = plain.alias("a").join(plain.alias("b"), on="k")
+    assert _single_small_file(joined) is False
+    exploded = plain.withColumn(
+        "x", F.explode(F.sequence(F.lit(0), F.lit(99)))
+    )
+    assert _single_small_file(exploded) is False
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 regression: incdedup audit reset
+
+
+def test_incdedup_audit_resets_on_uncapped_run(spark, tmp_path):
+    """An uncapped upsert must zero LAST_UPSERT_AUDIT rather than leave a
+    previous capped call's truncation counts standing."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_r6")
+    incdedup.build_dedup_index(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    incdedup.LAST_UPSERT_AUDIT["truncated_docs"] = 7
+    incdedup.LAST_UPSERT_AUDIT["sample"] = [1, 2, 3]
+    incdedup.dedup_index_upsert(
+        spark,
+        spark.createDataFrame(
+            [(9, "one two three four five six seven")],
+            "doc_id long, text string",
+        ),
+        path,
+        max_bucket_size=None,
+    )
+    assert incdedup.LAST_UPSERT_AUDIT == {"truncated_docs": 0, "sample": []}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 regression: gate scratch dirs are per-process, not predictable
+
+
+def test_gate_scratch_root_is_private_and_reused():
+    import __spark_entry__ as em
+
+    a = em._scratch("x")
+    b = em._scratch("x")
+    assert a == b  # within-process reuse (bucketed-table cache depends on it)
+    root = em._SCRATCH_ROOT
+    assert os.path.isdir(root)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    import tempfile
+
+    assert root.startswith(tempfile.gettempdir())
+    assert os.path.basename(root) != "fastdb_gate_"  # mkdtemp suffix present
