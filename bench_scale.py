@@ -223,6 +223,32 @@ def bench_llm_ops(spark) -> dict:
     out["minhash_fast_docs_per_s"] = round(n_nd / dt)
     out["minhash_fast_pairs"] = n_pairs_f
 
+    # capped-vs-uncapped A/B for the bucket guard (VERDICT r5 #3): the
+    # uncapped leg skips the count-window guard entirely — its delta over
+    # the capped leg IS the guard's price on this (non-pathological) corpus
+    t0 = time.perf_counter()
+    n_pairs_u = minhash_lsh_pairs(
+        nd_docs, hash_impl="fast", max_bucket_size=None
+    ).count()
+    dt = time.perf_counter() - t0
+    release_staged()
+    out["minhash_fast_uncapped_1M_s"] = round(dt, 2)
+    out["minhash_fast_uncapped_pairs"] = n_pairs_u
+
+    from fastdb_spark.pipeline.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(nd_docs, hash_impl="fast").select("id_a", "id_b")
+    t0 = time.perf_counter()
+    n_comp = (
+        connected_components(pairs)
+        .agg(F.count_distinct("component").alias("n"))
+        .collect()[0]["n"]
+    )
+    dt = time.perf_counter() - t0
+    release_staged()
+    out["dup_clusters_1M_s"] = round(dt, 2)
+    out["dup_clusters_components"] = n_comp
+
     from fastdb_spark.pipeline.spans import chunk_documents
 
     t0 = time.perf_counter()

@@ -6,8 +6,12 @@
   derivation from the photflag bitmask.  The FITS *parsing* needs astropy
   (not in this image) and is gated; the transform itself is pure column
   code over any tabular source (parquet/pandas in tests).
-- ``load_survey_parquet`` — the DP1-style parquet loader
-  (``src/admin/load_dp1_parquet.py:119-188``): read, rename-map, append.
+- ``load_survey_parquet`` — flat survey-parquet loader: read, rename-map,
+  append.
+- ``load_dp1_nested`` — the DP1 nested-parquet loader
+  (``src/admin/load_dp1_parquet.py:119-188``): per-object struct arrays
+  flattened to the three catalog tables via JVM-side explodes, with the
+  DP1ColumnMapper rename/keep/drop policy as declarative projections.
 """
 
 from __future__ import annotations
@@ -154,3 +158,93 @@ def load_survey_parquet(
         for col, typ in cast_map.items():
             df = df.withColumn(col, F.col(col).cast(typ))
     return df
+
+
+# --- DP1 nested loader (S7) -------------------------------------------------
+# The reference's DP1 column policy (src/admin/load_dp1_parquet.py:20-75,
+# class DP1ColumnMapper): keep-list columns are renamed to lowercase,
+# explicit mapper entries are renamed, everything else is dropped.
+
+#: diaobject keep-list (reference load_dp1_parquet.py:38-42)
+DP1_OBJECT_KEEP = {"diaObjectId", "radecMjdTai", "ra", "dec"}
+
+#: diasource keep-list (reference load_dp1_parquet.py:50-61)
+DP1_SOURCE_KEEP = {
+    "diaObjectId", "ssObjectId", "visit", "detector",
+    "x", "y", "xErr", "yErr", "band", "midpointMjdTai",
+    "ra", "dec", "raErr", "decErr", "ra_dec_Cov",
+    "psfFlux", "psfFluxErr", "psfNdata", "snr",
+    "scienceFlux", "scienceFluxErr",
+    "extendedness", "reliability", "ixx", "iyy", "ixy",
+    "ixxPSF", "ixyPSF", "iyyPSF",
+}
+
+#: diaforcedsource rename map + keep-list (reference load_dp1_parquet.py:63-75)
+DP1_FORCED_MAP = {
+    "coord_ra": "ra",
+    "coord_dec": "dec",
+    "psfDiffFlux": "psfflux",
+    "psfDiffFluxErr": "psffluxerr",
+    "psfFlux": "scienceflux",
+    "psfFluxErr": "sciencefluxerr",
+}
+DP1_FORCED_KEEP = {"diaObjectId", "visit", "detector", "midpointMjdTai", "band"}
+
+
+def _dp1_project(df: DataFrame, mapper: dict[str, str], keep: set) -> DataFrame:
+    """Apply the DP1 column policy declaratively: one ``select`` of alias
+    expressions (mapper renames + keep-list lowercasing), dropping every
+    other column — Catalyst prunes the dropped columns at the scan."""
+    cols = []
+    for c in df.columns:
+        if c in mapper:
+            cols.append(F.col(c).alias(mapper[c]))
+        elif c in keep:
+            cols.append(F.col(c).alias(c.lower()))
+    return df.select(*cols)
+
+
+def load_dp1_nested(
+    spark: SparkSession,
+    path: str,
+    base_procver: str | None = None,
+) -> dict[str, DataFrame]:
+    """DP1 nested-parquet loader (S7): one input row per object carrying
+    ``diaSource`` / ``diaObjectForcedSource`` struct arrays, returned as
+    the three flat catalog frames ``{"diaobject", "diasource",
+    "diaforcedsource"}``.
+
+    The reference (``src/admin/load_dp1_parquet.py:119-188``) flattens the
+    nested pandas columns per file in a worker-process pool and bulk-
+    upserts each table; here the same flatten is a JVM-side
+    ``explode`` + child-field projection per table — fully distributed,
+    no Python in the path, and the scan reads ONLY the nested column each
+    frame needs (column pruning reaches the parquet footer).  The
+    ``DP1ColumnMapper`` rename/keep/drop policy (``load_dp1_parquet.py:
+    20-75``) is applied as one declarative projection per table, and
+    ``base_procver`` (when given) is stamped on every row the way the
+    loader stamps ``base_procver_id`` (``load_dp1_parquet.py:137-140``).
+    """
+    df = spark.read.parquet(path)
+    obj = _dp1_project(df, {}, DP1_OBJECT_KEEP)
+    src = _dp1_project(
+        df.select(
+            "diaObjectId", F.explode("diaSource").alias("_s")
+        ).select("diaObjectId", "_s.*"),
+        {},
+        DP1_SOURCE_KEEP,
+    )
+    frc = _dp1_project(
+        df.select(
+            "diaObjectId", F.explode("diaObjectForcedSource").alias("_f")
+        ).select("diaObjectId", "_f.*"),
+        DP1_FORCED_MAP,
+        DP1_FORCED_KEEP,
+    )
+    out = {"diaobject": obj, "diasource": src, "diaforcedsource": frc}
+    if base_procver is not None:
+        out = {
+            k: v.withColumn("base_procver_id", F.lit(base_procver))
+            for k, v in out.items()
+        }
+    return out

@@ -18,6 +18,8 @@ from fastdb_spark.pipeline.sample import (
     epoch_mix_oracle_sql,
 )
 
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
 # ---------------------------------------------------------------------------
 # epoch_mix_materialize
 
@@ -246,3 +248,91 @@ def test_gate_scratch_root_is_private_and_reused():
 
     assert root.startswith(tempfile.gettempdir())
     assert os.path.basename(root) != "fastdb_gate_"  # mkdtemp suffix present
+
+
+# ---------------------------------------------------------------------------
+# DP1 nested loader (S7)
+
+
+def _dp1_fixture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                10.0,
+                -5.0,
+                60000.0,
+                "junk",
+                [(100, "r", 60001.0, 7.0, "dropme")],
+                [(0.5, 8.0, 9.0, 100, 60001.0, "r")],
+            ),
+            (
+                2,
+                20.0,
+                -6.0,
+                60000.0,
+                "junk",
+                [
+                    (200, "g", 60002.0, 3.0, "dropme"),
+                    (201, "i", 60003.0, 4.0, "dropme"),
+                ],
+                [],
+            ),
+        ],
+        "diaObjectId long, ra double, dec double, radecMjdTai double, "
+        "junkObjCol string, "
+        "diaSource array<struct<visit:long, band:string, "
+        "midpointMjdTai:double, psfFlux:double, pixelJunk:string>>, "
+        "diaObjectForcedSource array<struct<coord_ra:double, "
+        "psfDiffFlux:double, psfFlux:double, visit:long, "
+        "midpointMjdTai:double, band:string>>",
+    )
+    path = str(tmp_path / "dp1")
+    df.write.parquet(path)
+    return path
+
+
+def test_dp1_nested_loader_flattens_and_applies_column_policy(spark, tmp_path):
+    from fastdb_spark.sources.loaders import load_dp1_nested
+
+    out = load_dp1_nested(spark, _dp1_fixture(spark, tmp_path), "bpv9")
+    obj, src, frc = (
+        out["diaobject"], out["diasource"], out["diaforcedsource"]
+    )
+    # keep-list -> lowercase; everything else dropped
+    assert set(obj.columns) == {
+        "diaobjectid", "ra", "dec", "radecmjdtai", "base_procver_id"
+    }
+    assert "pixeljunk" not in {c.lower() for c in src.columns}
+    # mapper renames: psfDiffFlux->psfflux, psfFlux->scienceflux,
+    # coord_ra->ra
+    assert {"ra", "psfflux", "scienceflux"} <= set(frc.columns)
+    assert src.count() == 3 and frc.count() == 1 and obj.count() == 2
+    row = frc.collect()[0]
+    assert row["ra"] == 0.5 and row["psfflux"] == 8.0
+    assert row["scienceflux"] == 9.0 and row["base_procver_id"] == "bpv9"
+    # empty nested array -> object contributes no child rows (explode)
+    assert frc.filter("diaobjectid = 2").count() == 0
+
+
+def test_dp1_loader_scan_prunes_unused_nested_column(spark, tmp_path):
+    """Reading only the diasource frame must NOT scan the forced-source
+    nested column: column pruning reaches the parquet schema."""
+    from fastdb_spark.sources.loaders import load_dp1_nested
+
+    out = load_dp1_nested(spark, _dp1_fixture(spark, tmp_path))
+    plan = out["diasource"]._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "diaObjectForcedSource" not in scan[0]
+
+
+def test_export_sinks_roundtrip_gate_formats_agree(spark):
+    """The jsonl and csv legs of the S9 gate must carry identical rows."""
+    import __spark_entry__ as em
+
+    df = em.queries()["export_sinks_roundtrip"](spark, SF_DIR)
+    j = sorted(map(tuple, df.filter("fmt='jsonl'").drop("fmt").collect()))
+    c = sorted(map(tuple, df.filter("fmt='csv'").drop("fmt").collect()))
+    assert j == c and len(j) > 0
