@@ -2001,6 +2001,36 @@ def _q_snana_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup index under the exact gate (it was the one
+    pipeline module with no driver row): build the index from the
+    even-id half of documents, ``dedup_index_upsert`` the odd-id half
+    with ``max_bucket_size=None`` (the uncapped curate-parity mode — the
+    cap is the one piece SQL cannot express), then read the persisted
+    fingerprints table back.  The oracle replays the full choreography —
+    batch-1 exact keep-min + greedy near-dup, batch-2 exact-vs-index,
+    near-vs-index, in-batch greedy — so one wrong drop anywhere in the
+    lockfile-serialized write path flips the hash.  (References:
+    incremental ingest vs PG MVCC upsert, src/db.py:1406-1515.)"""
+    import shutil
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        dedup_index_upsert,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incdedup_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    build_dedup_index(docs.filter("doc_id % 2 = 0"), path)
+    dedup_index_upsert(
+        spark, docs.filter("doc_id % 2 = 1"), path, max_bucket_size=None
+    )
+    idx = spark.read.parquet(os.path.join(path, "fingerprints"))
+    return idx.select("doc_id", "fingerprint")
+
+
 def _q_timescale_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3+F4 under the exact gate: sexagesimal parsing and the MJD/TAI
     time-scale conversions over a deterministic grid derived from events.
@@ -2305,17 +2335,18 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  ROUND-6 ROTATION (VERDICT r5 next-round #2): the
-    # window leads with the 5 NEW gates (epoch_mix — the round-5
+    # window leads with the 6 NEW gates (epoch_mix — the round-5
     # unverified operator, S7 dp1_load, S8/S9 export round-trips, F3/F4
-    # timescale_functions), then the 4 queries whose code was touched
-    # this round (paginate narrowness guard, gate scratch-dir rework),
-    # then the 38 r4-tail queries rotated back in so r4∪r6 — and with
-    # the r5 rows, r5∪r6 — again covers every registered gate, then 3
-    # r5-green oracle siblings of the new gates.  The 43 tail rows are
-    # all green in CORRECTNESS_r05 with untouched code; each still has
-    # an oracle and runs in tests/test_oracle_parity.py AND
-    # tools/stock_sweep.py every session.  Swap lists for rounds 5 and 6
-    # are recorded in ROUND_NOTES.md ("Adjudication-window rotation").
+    # timescale_functions, and the incremental dedup_index_roundtrip),
+    # then the 4 queries whose code was touched this round (paginate
+    # narrowness guard, gate scratch-dir rework), then the 38 r4-tail
+    # queries rotated back in so r4∪r6 — and with the r5 rows, r5∪r6 —
+    # again covers every registered gate, then 2 r5-green oracle
+    # siblings of the new gates.  The 44 tail rows are all green in
+    # CORRECTNESS_r05 with untouched code; each still has an oracle and
+    # runs in tests/test_oracle_parity.py AND tools/stock_sweep.py every
+    # session.  Swap lists for rounds 5 and 6 are recorded in
+    # ROUND_NOTES.md ("Adjudication-window rotation").
     return {
         # --- NEW round 6: S7 DP1 loader, S8/S9 export sinks, F3/F4
         # time-scale scalars, and the round-5 epoch-mix materializer — all
@@ -2325,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
         "export_sinks_roundtrip": _q_export_sinks,
         "timescale_functions": _q_timescale_functions,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         # --- code touched in round 6: paginate auto narrowness guard
         # (module also hosts pseudorandom_sample) + gate scratch-dir
         # rework for the write-path gates -------------------------------
@@ -2375,11 +2407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle siblings of the new gates (r5 green) ----------------
         "ltcv_patch": _q_ltcv_patch,
         "snana_load_roundtrip": _q_snana_load,
-        "doc_embed_pool": _q_doc_embed_pool,
         # --- adjudication tail (position >50): ALL green in
         # CORRECTNESS_r05 and untouched this round; each still has an
         # oracle and runs in tests/test_oracle_parity.py AND
         # tools/stock_sweep.py every session -----------------------------
+        "doc_embed_pool": _q_doc_embed_pool,
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
         "first_seen_dedup": _q_first_seen_dedup,
@@ -2690,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "timescale_functions": _timescale_oracle(),
+        "dedup_index_roundtrip": po.incdedup_oracle_sql(),
         "export_sinks_roundtrip": """
             WITH d AS (
               SELECT doc_id, lang,

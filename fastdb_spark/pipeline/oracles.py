@@ -339,3 +339,91 @@ def ann_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
         ORDER BY cos DESC, e.vec_id
         LIMIT {k}
     """
+
+
+def incdedup_oracle_sql(
+    shingle_k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """duckdb twin of the UNCAPPED incremental dedup-index choreography
+    (``incdedup.build_dedup_index`` on the even-id half of documents,
+    then ``dedup_index_upsert(max_bucket_size=None)`` with the odd-id
+    half): batch-1 exact keep-min + in-batch greedy near-dup, then for
+    batch 2 (a) exact-vs-index anti + in-batch exact keep-min, (b)
+    near-dup-vs-index drop, (c) in-batch greedy near-dup — the final
+    SELECT is the indexed (doc_id, fingerprint) set.  Shingle/minhash/
+    band arithmetic is identical to :func:`_minhash_pair_ctes` (already
+    hash-green vs the Spark sketches)."""
+    rows = n_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
+        for i in range(n_hashes)
+    )
+
+    def band_sel(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, md5('b{j}:' || array_to_string("
+            f"sig[{j * rows + 1}:{(j + 1) * rows}], ',')) AS band FROM {src}"
+            for j in range(bands)
+        )
+
+    jac = (
+        "round(len(list_intersect(x.sh, y.sh))"
+        " / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)"
+    )
+    return f"""
+        WITH fp AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fingerprint
+          FROM documents),
+        sig_all AS (
+          SELECT doc_id, fingerprint, sh, [{sig}] AS sig
+          FROM (SELECT doc_id, fingerprint,
+                       {_word_shingles(shingle_k)} AS sh FROM fp)),
+        b1 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 0),
+        b1canon AS (SELECT fingerprint, min(doc_id) AS doc_id
+                    FROM b1 GROUP BY fingerprint),
+        b1k AS (SELECT b1.* FROM b1 JOIN b1canon c
+                ON b1.doc_id = c.doc_id AND b1.fingerprint = c.fingerprint),
+        b1bands AS ({band_sel('b1k')}),
+        b1cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM b1bands a JOIN b1bands b
+                     ON a.band = b.band AND a.doc_id < b.doc_id),
+        b1drop AS (SELECT DISTINCT c.id_b AS doc_id
+                   FROM b1cand c JOIN b1k x ON x.doc_id = c.id_a
+                                 JOIN b1k y ON y.doc_id = c.id_b
+                   WHERE {jac} >= {threshold}),
+        idx1 AS (SELECT * FROM b1k
+                 WHERE doc_id NOT IN (SELECT doc_id FROM b1drop)),
+        b2 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 1),
+        b2f AS (SELECT * FROM b2 WHERE fingerprint NOT IN
+                  (SELECT fingerprint FROM idx1)),
+        b2canon AS (SELECT fingerprint, min(doc_id) AS doc_id
+                    FROM b2f GROUP BY fingerprint),
+        b2k AS (SELECT b2f.* FROM b2f JOIN b2canon c
+                ON b2f.doc_id = c.doc_id AND b2f.fingerprint = c.fingerprint),
+        b2bands AS ({band_sel('b2k')}),
+        idxbands AS ({band_sel('idx1')}),
+        xcand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+                  FROM b2bands n JOIN idxbands o ON n.band = o.band),
+        xdrop AS (SELECT DISTINCT c.id_new AS doc_id
+                  FROM xcand c JOIN b2k x ON x.doc_id = c.id_new
+                               JOIN idx1 y ON y.doc_id = c.id_old
+                  WHERE {jac} >= {threshold}),
+        b2r AS (SELECT * FROM b2k
+                WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)),
+        b2rbands AS ({band_sel('b2r')}),
+        b2rcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM b2rbands a JOIN b2rbands b
+                      ON a.band = b.band AND a.doc_id < b.doc_id),
+        b2drop AS (SELECT DISTINCT c.id_b AS doc_id
+                   FROM b2rcand c JOIN b2r x ON x.doc_id = c.id_a
+                                  JOIN b2r y ON y.doc_id = c.id_b
+                   WHERE {jac} >= {threshold})
+        SELECT doc_id, fingerprint FROM idx1
+        UNION ALL
+        SELECT doc_id, fingerprint FROM b2r
+        WHERE doc_id NOT IN (SELECT doc_id FROM b2drop)
+    """

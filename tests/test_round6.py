@@ -336,3 +336,15 @@ def test_export_sinks_roundtrip_gate_formats_agree(spark):
     j = sorted(map(tuple, df.filter("fmt='jsonl'").drop("fmt").collect()))
     c = sorted(map(tuple, df.filter("fmt='csv'").drop("fmt").collect()))
     assert j == c and len(j) > 0
+
+
+def test_dedup_index_gate_is_replay_stable(spark):
+    """The incremental-index gate rebuilds from scratch each call; two
+    runs must produce the identical indexed set (every phase of the
+    build+upsert choreography is deterministic)."""
+    import __spark_entry__ as em
+
+    q = em.queries()["dedup_index_roundtrip"]
+    a = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 100
