@@ -61,18 +61,37 @@ def _sketch(
     shingle_k: int,
     n_hashes: int,
     bands: int,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """(id, fingerprint, sh, sig) for a batch — computed once, reused by
-    every phase (cachereg-staged by callers)."""
+    every phase (cachereg-staged by callers).
+
+    ``hash_impl`` mirrors :func:`~fastdb_spark.pipeline.dedup.
+    minhash_lsh_pairs`: ``"md5"`` (cross-engine oracle parity) or
+    ``"fast"`` (one xxhash64 per shingle + integer permutations, ~3x
+    cheaper signatures — the sketch dominates index build/upsert cost,
+    so this is the production path at scale).  The Jaccard refine is
+    over raw shingles either way, so final dedup decisions are
+    identical in expectation; exact duplicates collide in every band
+    under both."""
+    from fastdb_spark.functions.sketches import (
+        lsh_band_hashes_fast,
+        minhash_signature_fast,
+    )
+
+    if hash_impl not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
+    mk_sig = minhash_signature if hash_impl == "md5" else minhash_signature_fast
+    mk_bands = lsh_band_hashes if hash_impl == "md5" else lsh_band_hashes_fast
     rows = n_hashes // bands
     return df.select(
         F.col(id_col),
         doc_fingerprint(F.col(text_col)).alias("fingerprint"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn(
-        "sig", minhash_signature(F.col("sh"), n_hashes)
+        "sig", mk_sig(F.col("sh"), n_hashes)
     ).withColumn(
-        "bands", lsh_band_hashes(F.col("sig"), bands, rows)
+        "bands", mk_bands(F.col("sig"), bands, rows)
     )
 
 
@@ -86,6 +105,7 @@ def build_dedup_index(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    hash_impl: str = "md5",
 ) -> int:
     """Curate ``docs`` (exact + in-batch near-dup, the ``curate_corpus``
     dedup semantics) and persist the survivors' dedup artifacts.
@@ -94,10 +114,20 @@ def build_dedup_index(
     ``max_bucket_size=None`` (the default) matches ``curate_corpus``
     exactly: the exact-dedup pre-pass has already collapsed identical
     boilerplate, so the LSH bucket cap is dead weight here; pass a cap
-    explicitly for corpora with huge *near*-identical families."""
+    explicitly for corpora with huge *near*-identical families.
+
+    ``hash_impl`` is RECORDED IN THE INDEX METADATA: every later
+    ``dedup_index_upsert`` sketches its batch with the same
+    implementation automatically (mixing implementations would put new
+    docs in different band buckets than the stored ones and silently
+    miss near-dups).  ``"fast"`` is ~3x cheaper on the sketch — the
+    dominant cost — and is the production choice; ``"md5"`` (default)
+    keeps cross-engine oracle parity."""
     from fastdb_spark.cachereg import release_staged, stage
 
-    sk = stage(_sketch(docs, id_col, text_col, shingle_k, n_hashes, bands))
+    sk = stage(
+        _sketch(docs, id_col, text_col, shingle_k, n_hashes, bands, hash_impl)
+    )
     try:
         canon = sk.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
         kept = sk.join(canon, on=[id_col, "fingerprint"], how="left_semi")
@@ -116,6 +146,7 @@ def build_dedup_index(
                 "n_hashes": n_hashes,
                 "bands": bands,
                 "threshold": threshold,
+                "hash_impl": hash_impl,
             },
             f,
         )
@@ -248,6 +279,8 @@ def dedup_index_upsert(
             _sketch(
                 new_docs, id_col, text_col,
                 p["shingle_k"], p["n_hashes"], p["bands"],
+                # pre-hash_impl indexes carry no key: they were md5
+                hash_impl=p.get("hash_impl", "md5"),
             )
         )
         try:

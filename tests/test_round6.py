@@ -348,3 +348,77 @@ def test_dedup_index_gate_is_replay_stable(spark):
     a = sorted(map(tuple, q(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert a == b and len(a) > 100
+
+
+# ---------------------------------------------------------------------------
+# incdedup fast-hash production path
+
+
+def test_incdedup_fast_hash_impl_inherited_and_equivalent(spark, tmp_path):
+    """hash_impl='fast' is recorded in the index metadata, upserts sketch
+    with it automatically, and the dedup decisions on exact + clear
+    near-dups match the md5 path."""
+    import json
+
+    from fastdb_spark.pipeline import incdedup
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine"),
+    ]
+    batch = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (11, "one two three four five six seven eight ten"),  # near dup
+        (12, "lorem ipsum dolor sit amet consectetur adipiscing"),  # new
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = {}
+    for impl in ("md5", "fast"):
+        path = str(tmp_path / f"didx_{impl}")
+        incdedup.build_dedup_index(mk(base), path, hash_impl=impl)
+        meta = json.load(open(path + "/_meta.json"))
+        assert meta["hash_impl"] == impl
+        survivors[impl] = incdedup.dedup_index_upsert(spark, mk(batch), path)
+    assert survivors["md5"] == survivors["fast"] == [12]
+
+
+def test_incdedup_pre_hash_impl_index_defaults_to_md5(spark, tmp_path):
+    """Indexes written before the hash_impl key existed must upsert with
+    md5 sketches (metadata back-compat)."""
+    import json
+
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_old")
+    incdedup.build_dedup_index(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    meta = json.load(open(path + "/_meta.json"))
+    del meta["hash_impl"]  # simulate a pre-upgrade index
+    json.dump(meta, open(path + "/_meta.json", "w"))
+    got = incdedup.dedup_index_upsert(
+        spark,
+        spark.createDataFrame(
+            [(5, "alpha beta gamma delta epsilon zeta")],  # exact dup
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    assert got == []
+
+
+def test_incdedup_unknown_hash_impl_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from fastdb_spark.pipeline import incdedup
+
+    with _pytest.raises(ValueError, match="unknown hash_impl"):
+        incdedup.build_dedup_index(
+            spark.createDataFrame([(0, "a b c")], "doc_id long, text string"),
+            str(tmp_path / "didx_bad"),
+            hash_impl="sha512",
+        )
