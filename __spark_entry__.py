@@ -2001,6 +2001,75 @@ def _q_snana_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: avro schema for the S1 codec gate: long/double/string plus the branchy
+#: shapes (nullable union, array, bytes) that distinguish a real Avro
+#: binary codec from a happy-path one
+_AVRO_GATE_SCHEMA = """{
+  "type": "record", "name": "GateAlert", "fields": [
+    {"name": "diaSourceId", "type": "long"},
+    {"name": "band", "type": "string"},
+    {"name": "midpointMjdTai", "type": "double"},
+    {"name": "psfFlux", "type": "double"},
+    {"name": "prvIds", "type": ["null", {"type": "array", "items": "long"}]},
+    {"name": "reason", "type": ["null", "string"]},
+    {"name": "cutout", "type": ["null", "bytes"]}
+  ]}"""
+
+
+def _q_avro_alert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 codec leg under the exact gate: a deterministic nested alert
+    frame derived from events goes through ``encode_alert_frame`` (one
+    binary Avro datum per row — the Kafka message shape, reference
+    ``src/services/brokerconsumer.py``) and back through
+    ``decode_alert_frame``, both as distributed Arrow ``mapInPandas``
+    stages over the dependency-free spec codec (the JVM from_avro/to_avro
+    path is auto-selected when the spark-avro jar exists; this image has
+    none, so the gate adjudicates the pure-spec implementation).  The
+    schema exercises unions, arrays, and bytes; every decoded value must
+    hash-equal the oracle's direct derivation from events — a single
+    zig-zag/varint/branch-index bug anywhere in the codec flips it."""
+    from fastdb_spark.sources.kafka import decode_alert_frame, encode_alert_frame
+
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") <= 100)
+    nested = ev.select(
+        F.col("event_id").alias("diaSourceId"),
+        F.col("event_type").alias("band"),
+        (F.lit(60000.0) + (F.col("event_id") % 1000) * F.lit(0.25)).alias(
+            "midpointMjdTai"
+        ),
+        F.floor("value").cast("double").alias("psfFlux"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(None).cast("array<long>")
+        ).otherwise(
+            F.array(F.col("event_id") - 1, F.col("event_id") - 2)
+        ).alias("prvIds"),
+        F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("r-"), "event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("reason"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.lit(None).cast("binary")
+        ).otherwise(
+            F.encode(F.concat(F.lit("px"), F.col("event_id").cast("string")),
+                     "UTF-8")
+        ).alias("cutout"),
+    )
+    back = decode_alert_frame(
+        encode_alert_frame(nested, _AVRO_GATE_SCHEMA), _AVRO_GATE_SCHEMA
+    )
+    return back.select(
+        "diaSourceId",
+        "band",
+        "midpointMjdTai",
+        "psfFlux",
+        F.coalesce(F.element_at("prvIds", 1), F.lit(-1)).alias("prv0"),
+        F.coalesce(F.size("prvIds"), F.lit(-1)).cast("long").alias("nprv"),
+        F.coalesce(F.col("reason"), F.lit("<null>")).alias("reason"),
+        F.coalesce(F.decode(F.col("cutout"), "UTF-8"), F.lit("<null>")).alias(
+            "cutout_s"
+        ),
+    )
+
+
 def _q_dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental dedup index under the exact gate (it was the one
     pipeline module with no driver row): build the index from the
@@ -2335,14 +2404,15 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  ROUND-6 ROTATION (VERDICT r5 next-round #2): the
-    # window leads with the 6 NEW gates (epoch_mix — the round-5
+    # window leads with the 7 NEW gates (epoch_mix — the round-5
     # unverified operator, S7 dp1_load, S8/S9 export round-trips, F3/F4
-    # timescale_functions, and the incremental dedup_index_roundtrip),
-    # then the 4 queries whose code was touched this round (paginate
-    # narrowness guard, gate scratch-dir rework), then the 38 r4-tail
-    # queries rotated back in so r4∪r6 — and with the r5 rows, r5∪r6 —
-    # again covers every registered gate, then 2 r5-green oracle
-    # siblings of the new gates.  The 44 tail rows are all green in
+    # timescale_functions, the incremental dedup_index_roundtrip, and
+    # the S1 avro_alert_roundtrip codec leg), then the 4 queries whose
+    # code was touched this round (paginate narrowness guard, gate
+    # scratch-dir rework), then the 38 r4-tail queries rotated back in
+    # so r4∪r6 — and with the r5 rows, r5∪r6 — again covers every
+    # registered gate, then 1 r5-green oracle sibling of the new gates
+    # (ltcv_patch).  The 45 tail rows are all green in
     # CORRECTNESS_r05 with untouched code; each still has an oracle and
     # runs in tests/test_oracle_parity.py AND tools/stock_sweep.py every
     # session.  Swap lists for rounds 5 and 6 are recorded in
@@ -2357,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_sinks_roundtrip": _q_export_sinks,
         "timescale_functions": _q_timescale_functions,
         "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
         # --- code touched in round 6: paginate auto narrowness guard
         # (module also hosts pseudorandom_sample) + gate scratch-dir
         # rework for the write-path gates -------------------------------
@@ -2404,13 +2475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "alert_reconstruct": _q_alert_reconstruct,
-        # --- oracle siblings of the new gates (r5 green) ----------------
+        # --- oracle sibling of the new gates (r5 green) -----------------
         "ltcv_patch": _q_ltcv_patch,
-        "snana_load_roundtrip": _q_snana_load,
         # --- adjudication tail (position >50): ALL green in
         # CORRECTNESS_r05 and untouched this round; each still has an
         # oracle and runs in tests/test_oracle_parity.py AND
         # tools/stock_sweep.py every session -----------------------------
+        "snana_load_roundtrip": _q_snana_load,
         "doc_embed_pool": _q_doc_embed_pool,
         "priority_dedup": _q_priority_dedup,
         "versioned_dedup": _q_versioned_dedup,
@@ -2723,6 +2794,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "timescale_functions": _timescale_oracle(),
         "dedup_index_roundtrip": po.incdedup_oracle_sql(),
+        "avro_alert_roundtrip": """
+            SELECT event_id AS diaSourceId,
+                   event_type AS band,
+                   60000.0 + (event_id % 1000) * 0.25 AS midpointMjdTai,
+                   CAST(floor("value") AS DOUBLE) AS psfFlux,
+                   CASE WHEN event_id % 3 = 0 THEN -1
+                        ELSE event_id - 1 END AS prv0,
+                   CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 2 END
+                        AS BIGINT) AS nprv,
+                   CASE WHEN event_id % 2 = 0 THEN 'r-' || event_type
+                        ELSE '<null>' END AS reason,
+                   CASE WHEN event_id % 5 = 0 THEN '<null>'
+                        ELSE 'px' || CAST(event_id AS VARCHAR) END AS cutout_s
+            FROM events WHERE user_id <= 100
+        """,
         "export_sinks_roundtrip": """
             WITH d AS (
               SELECT doc_id, lang,
