@@ -2001,6 +2001,28 @@ def _q_snana_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_uuid_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/W1 under the exact gate: deterministic uuid-shaped root-id
+    minting (md5-derived, ``streaming/ingest._det_uuid`` — the
+    replay-stable replacement for the reference's row_number uuid
+    pairing, ``src/services/source_importer.py``).  Each distinct user
+    mints one stable root uuid, paired back onto every event row; the
+    oracle reproduces the exact md5 slice-and-hyphenate arithmetic, so
+    the ids are adjudicated verbatim (not just their shape), proving
+    replay determinism by construction."""
+    from fastdb_spark.streaming.ingest import _det_uuid
+
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") <= 150)
+    minted = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("rootid", _det_uuid(F.col("user_id")))
+    )
+    return ev.join(F.broadcast(minted), "user_id").select(
+        "event_id", "user_id", "rootid"
+    )
+
+
 #: avro schema for the S1 codec gate: long/double/string plus the branchy
 #: shapes (nullable union, array, bytes) that distinguish a real Avro
 #: binary codec from a happy-path one
@@ -2404,15 +2426,15 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  ROUND-6 ROTATION (VERDICT r5 next-round #2): the
-    # window leads with the 7 NEW gates (epoch_mix — the round-5
+    # window leads with the 8 NEW gates (epoch_mix — the round-5
     # unverified operator, S7 dp1_load, S8/S9 export round-trips, F3/F4
-    # timescale_functions, the incremental dedup_index_roundtrip, and
-    # the S1 avro_alert_roundtrip codec leg), then the 4 queries whose
-    # code was touched this round (paginate narrowness guard, gate
-    # scratch-dir rework), then the 38 r4-tail queries rotated back in
-    # so r4∪r6 — and with the r5 rows, r5∪r6 — again covers every
-    # registered gate, then 1 r5-green oracle sibling of the new gates
-    # (ltcv_patch).  The 45 tail rows are all green in
+    # timescale_functions, the incremental dedup_index_roundtrip, the
+    # S1 avro_alert_roundtrip codec leg, and F8/W1 uuid_minting), then
+    # the 4 queries whose code was touched this round (paginate
+    # narrowness guard, gate scratch-dir rework), then the 38 r4-tail
+    # queries rotated back in so r4∪r6 — and with the r5 rows, r5∪r6 —
+    # again covers every registered gate.  The 46 tail rows are all
+    # green in
     # CORRECTNESS_r05 with untouched code; each still has an oracle and
     # runs in tests/test_oracle_parity.py AND tools/stock_sweep.py every
     # session.  Swap lists for rounds 5 and 6 are recorded in
@@ -2428,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timescale_functions": _q_timescale_functions,
         "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         "avro_alert_roundtrip": _q_avro_alert_roundtrip,
+        "uuid_minting": _q_uuid_minting,
         # --- code touched in round 6: paginate auto narrowness guard
         # (module also hosts pseudorandom_sample) + gate scratch-dir
         # rework for the write-path gates -------------------------------
@@ -2475,12 +2498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "alert_reconstruct": _q_alert_reconstruct,
-        # --- oracle sibling of the new gates (r5 green) -----------------
-        "ltcv_patch": _q_ltcv_patch,
         # --- adjudication tail (position >50): ALL green in
         # CORRECTNESS_r05 and untouched this round; each still has an
         # oracle and runs in tests/test_oracle_parity.py AND
         # tools/stock_sweep.py every session -----------------------------
+        "ltcv_patch": _q_ltcv_patch,
         "snana_load_roundtrip": _q_snana_load,
         "doc_embed_pool": _q_doc_embed_pool,
         "priority_dedup": _q_priority_dedup,
@@ -2794,6 +2816,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "timescale_functions": _timescale_oracle(),
         "dedup_index_roundtrip": po.incdedup_oracle_sql(),
+        "uuid_minting": """
+            WITH m AS (
+              SELECT user_id,
+                     md5('root:' || CAST(user_id AS VARCHAR)) AS h
+              FROM (SELECT DISTINCT user_id FROM events WHERE user_id <= 150))
+            SELECT e.event_id, e.user_id,
+                   substr(m.h, 1, 8) || '-' || substr(m.h, 9, 4) || '-'
+                   || substr(m.h, 13, 4) || '-' || substr(m.h, 17, 4) || '-'
+                   || substr(m.h, 21, 12) AS rootid
+            FROM events e JOIN m USING (user_id)
+            WHERE e.user_id <= 150
+        """,
         "avro_alert_roundtrip": """
             SELECT event_id AS diaSourceId,
                    event_type AS band,
