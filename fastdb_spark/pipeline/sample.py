@@ -215,6 +215,54 @@ def temperature_mix_shares(
     return {k: w / z for k, w in sorted(weights.items())}
 
 
+def epochs_from_shares(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    total_epochs: float = 1.0,
+    max_epochs: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum EPOCH counts realizing ``target_shares`` of the output
+    mixture at an overall budget of ``total_epochs`` corpus passes — the
+    bridge from a target mixture (hand-written, or
+    :func:`temperature_mix_shares`) to :func:`epoch_mix_materialize`.
+
+    With natural share ``p_s`` and target share ``t_s``, stratum ``s``
+    needs ``e_s = total_epochs * t_s / p_s`` epochs: the materialized
+    output then contains ``total_epochs * t_s * N`` rows of ``s`` —
+    exactly the target proportion.  Rare strata get ``e_s > 1``
+    (repetition), bulk strata ``e_s < 1`` (subsampling), in ONE
+    consistent recipe::
+
+        shares = temperature_mix_shares(docs, "lang", alpha=0.3)
+        epochs = epochs_from_shares(docs, "lang", shares, total_epochs=1.0)
+        mixed  = epoch_mix_materialize(docs, "lang", epochs, "doc_id")
+
+    ``max_epochs`` caps repetition (public data-constrained-scaling
+    guidance: value decays after ~4 reuses); capped strata emit fewer
+    rows than their target share, which the caller can renormalize or
+    accept.  One count aggregate (map-side combined); the returned dict
+    is bounded by stratum cardinality.  Strata absent from
+    ``target_shares`` get 0.0 epochs (dropped by the materializer);
+    target strata absent from the corpus are ignored."""
+    if total_epochs < 0:
+        raise ValueError(f"total_epochs must be >= 0 (got {total_epochs!r})")
+    rows = df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+    total = float(sum(r["n"] for r in rows))
+    out: dict[str, float] = {}
+    for r in rows:
+        k = r[stratum_col]
+        if k not in target_shares:
+            out[k] = 0.0
+            continue
+        p = r["n"] / total
+        e = total_epochs * float(target_shares[k]) / p
+        if max_epochs is not None:
+            e = min(e, float(max_epochs))
+        out[k] = e
+    return dict(sorted(out.items()))
+
+
 def leakage_safe_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -422,3 +422,55 @@ def test_incdedup_unknown_hash_impl_raises(spark, tmp_path):
             str(tmp_path / "didx_bad"),
             hash_impl="sha512",
         )
+
+
+# ---------------------------------------------------------------------------
+# epochs_from_shares (mixture -> epochs bridge)
+
+
+def test_epochs_from_shares_realizes_target_mixture(spark):
+    """e_s = E * t_s / p_s: materializing the derived epochs yields the
+    target proportions in expectation; integer-friendly inputs make it
+    exact here."""
+    from fastdb_spark.pipeline.sample import (
+        epoch_mix_materialize,
+        epochs_from_shares,
+    )
+
+    # 200 wiki / 600 web -> natural shares 0.25 / 0.75
+    rows = [(i, "wiki" if i < 200 else "web") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    eps = epochs_from_shares(
+        df, "dom", {"wiki": 0.5, "web": 0.5}, total_epochs=1.0
+    )
+    assert eps == {"web": pytest.approx(2 / 3), "wiki": pytest.approx(2.0)}
+    out = epoch_mix_materialize(df, "dom", eps, "doc_id")
+    n_wiki = out.filter("dom = 'wiki'").count()
+    n_web = out.filter("dom = 'web'").count()
+    # wiki: exactly 2 epochs = 400 rows; web: Bernoulli(2/3) of 600
+    assert n_wiki == 400
+    assert 340 <= n_web <= 460
+
+
+def test_epochs_from_shares_cap_and_missing_strata(spark):
+    from fastdb_spark.pipeline.sample import epochs_from_shares
+
+    # 90 'a' docs (i < 90), 10 'b' docs (90 <= i < 100)
+    rows = [(i, "a" if i < 90 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    eps = epochs_from_shares(
+        df, "dom", {"b": 0.9, "a": 0.1}, total_epochs=1.0, max_epochs=4.0
+    )
+    # b natural share 0.1, target 0.9 -> 9 epochs, capped at 4
+    assert eps["b"] == 4.0
+    assert eps["a"] == pytest.approx(1.0 / 9.0)
+    # strata absent from target_shares -> 0.0
+    assert all(v == 0.0 for k, v in eps.items() if k not in ("a", "b"))
+
+
+def test_epochs_from_shares_negative_budget_raises(spark):
+    from fastdb_spark.pipeline.sample import epochs_from_shares
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, dom string")
+    with pytest.raises(ValueError, match="total_epochs"):
+        epochs_from_shares(df, "dom", {"a": 1.0}, total_epochs=-1)
