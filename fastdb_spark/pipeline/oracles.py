@@ -92,24 +92,49 @@ def exact_dedup_sql() -> str:
     """
 
 
+def _md5x_sig_elems(n_hashes: int) -> str:
+    """duckdb twin of sketches.minhash_signature (the md5x scheme): xs =
+    one md5-seeded 32-bit int per shingle (must be provided by an ``xs``
+    column), element i = min of the integer permutation, with the
+    MD5X_EMPTY sentinel for empty shingle sets."""
+    from fastdb_spark.functions.sketches import MD5X_EMPTY, MD5X_MOD, md5x_offsets
+
+    offs = md5x_offsets(n_hashes)
+    return ", ".join(
+        f"coalesce(list_min(list_transform(xs,"
+        f" x -> (x * {2 * i + 1} + {offs[i]}) % {MD5X_MOD})), {MD5X_EMPTY})"
+        for i in range(n_hashes)
+    )
+
+
+_MD5X_XS = (
+    "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+)
+
+
+def _md5x_band_selects(src: str, bands: int, rows: int) -> str:
+    """duckdb twin of sketches.lsh_band_hashes: 'b{j}:' + comma-joined
+    signature slice (sig is BIGINT[]; elements cast to VARCHAR)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, 'b{j}:' || array_to_string(list_transform("
+        f"sig[{j * rows + 1}:{(j + 1) * rows}],"
+        f" x -> CAST(x AS VARCHAR)), ',') AS band FROM {src}"
+        for j in range(bands)
+    )
+
+
 def _minhash_pair_ctes(
     src: str, shingle_k: int, n_hashes: int, bands: int, threshold: float
 ) -> str:
     """CTE chain computing minhash-LSH near-dup pairs over CTE ``src``
     (must expose doc_id, text); terminal CTE is ``mh_pairs``."""
     rows = n_hashes // bands
-    sig_elems = ", ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
-        for i in range(n_hashes)
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, md5('b{j}:' || array_to_string("
-        f"sig[{j * rows + 1}:{(j + 1) * rows}], ',')) AS band FROM sig"
-        for j in range(bands)
-    )
+    sig_elems = _md5x_sig_elems(n_hashes)
+    band_selects = _md5x_band_selects("sig", bands, rows)
     return f"""
         sh AS (SELECT doc_id, {_word_shingles(shingle_k)} AS sh FROM {src}),
-        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
+        xsrc AS (SELECT doc_id, sh, {_MD5X_XS} AS xs FROM sh),
+        sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM xsrc),
         bands AS ({band_selects}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
@@ -357,17 +382,10 @@ def incdedup_oracle_sql(
     band arithmetic is identical to :func:`_minhash_pair_ctes` (already
     hash-green vs the Spark sketches)."""
     rows = n_hashes // bands
-    sig = ", ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
-        for i in range(n_hashes)
-    )
+    sig = _md5x_sig_elems(n_hashes)
 
     def band_sel(src: str) -> str:
-        return " UNION ALL ".join(
-            f"SELECT doc_id, md5('b{j}:' || array_to_string("
-            f"sig[{j * rows + 1}:{(j + 1) * rows}], ',')) AS band FROM {src}"
-            for j in range(bands)
-        )
+        return _md5x_band_selects(src, bands, rows)
 
     jac = (
         "round(len(list_intersect(x.sh, y.sh))"
@@ -380,8 +398,9 @@ def incdedup_oracle_sql(
           FROM documents),
         sig_all AS (
           SELECT doc_id, fingerprint, sh, [{sig}] AS sig
-          FROM (SELECT doc_id, fingerprint,
-                       {_word_shingles(shingle_k)} AS sh FROM fp)),
+          FROM (SELECT doc_id, fingerprint, sh, {_MD5X_XS} AS xs
+                FROM (SELECT doc_id, fingerprint,
+                             {_word_shingles(shingle_k)} AS sh FROM fp))),
         b1 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 0),
         b1canon AS (SELECT fingerprint, min(doc_id) AS doc_id
                     FROM b1 GROUP BY fingerprint),
