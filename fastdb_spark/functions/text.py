@@ -66,20 +66,30 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     toks = tokens(text)
     n = F.size(toks)
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)), F.lit(1)),
+        F.sequence(F.lit(1), n - (k - 1), F.lit(1)),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return F.array_distinct(sh)
+    # documents shorter than k tokens have NO shingles: Spark's
+    # sequence(1, n-k+1, 1) throws on an empty range (unlike duckdb's
+    # generate_series, which returns []), so guard with a CASE — the
+    # sequence only evaluates when n >= k.  Real corpora DO contain
+    # sub-k-token documents; this was a latent crash.
+    return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def char_shingles(text: Column, k: int = 8) -> Column:
     """Distinct character k-grams."""
     n = F.length(text)
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)), F.lit(1)),
+        F.sequence(F.lit(1), n - (k - 1), F.lit(1)),
         lambda i: F.substring(text, i, k),
     )
-    return F.array_distinct(sh)
+    # same empty-range guard as word_shingles (sub-k-char documents)
+    return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def punct_ratio(text: Column) -> Column:

@@ -474,3 +474,125 @@ def test_epochs_from_shares_negative_budget_raises(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, dom string")
     with pytest.raises(ValueError, match="total_epochs"):
         epochs_from_shares(df, "dom", {"a": 1.0}, total_epochs=-1)
+
+
+# ---------------------------------------------------------------------------
+# md5x minhash scheme: cross-implementation property test
+
+
+def _md5x_sig_py(shingles: list[str], n_hashes: int = 12) -> list[int]:
+    """Pure-python reimplementation of the md5x signature (the arithmetic
+    contract shared by functions/sketches.minhash_signature and the
+    duckdb oracle builders): one md5 per shingle -> 32-bit int, element
+    i = min over shingles of (x*(2i+1) + b_i) mod 2^32, sentinel 2^32
+    for empty sets."""
+    import hashlib
+
+    from fastdb_spark.functions.sketches import (
+        MD5X_EMPTY,
+        MD5X_MOD,
+        md5x_offsets,
+    )
+
+    offs = md5x_offsets(n_hashes)
+    xs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
+    ]
+    return [
+        min(
+            ((x * (2 * i + 1) + offs[i]) % MD5X_MOD for x in xs),
+            default=MD5X_EMPTY,
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def test_md5x_signature_matches_reference_python(spark):
+    """Spark's fold-based signature equals the straightforward python
+    computation on hand-built shingle sets, including the empty set."""
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.functions.sketches import minhash_signature
+
+    cases = [
+        ["alpha beta gamma", "beta gamma delta"],
+        ["x"],
+        [],
+        ["héllo wörld ünïcode", "a b c", "a b c"],  # dup shingle is a no-op
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, sh array<string>")
+    got = {
+        r["i"]: list(r["sig"])
+        for r in df.select("i", minhash_signature(F.col("sh"), 8).alias("sig"))
+        .collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _md5x_sig_py(c, 8), (i, c)
+
+
+def test_md5x_signature_matches_duckdb_oracle_arithmetic(spark, tmp_path):
+    """The duckdb twin (_md5x_sig_elems over the _MD5X_XS base) produces
+    byte-identical signatures to the Spark expression for real shingled
+    text — the parity contract every minhash oracle rests on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.functions.text import word_shingles
+    from fastdb_spark.functions.sketches import minhash_signature
+    from fastdb_spark.pipeline.oracles import _MD5X_XS, _md5x_sig_elems
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, ""),
+        (3, "one two"),  # shorter than the shingle width -> empty set
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"), 3), 12).alias("sig"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        row[0]: list(row[1])
+        for row in con.execute(f"""
+            WITH t AS (SELECT * FROM read_parquet('{pq}/*.parquet')),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+                          AS sh FROM t),
+            x AS (SELECT doc_id, {_MD5X_XS} AS xs FROM sh)
+            SELECT doc_id, [{_md5x_sig_elems(12)}] AS sig FROM x
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_minhash_pipeline_survives_short_documents(spark):
+    """Documents with fewer than k tokens produced an illegal-sequence
+    crash before the round-6 shingle guard; they must now flow through
+    the near-dup pipeline as shingle-less documents (never near-dup,
+    still exact-dedup-able)."""
+    from fastdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "one two"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs == {(3, 4)}  # only the real near-dups; short docs inert
