@@ -2001,6 +2001,28 @@ def _q_snana_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit (the data-card row a mixing run publishes): per-lang
+    row counts and achieved output share after epoch-mix
+    materialization under the _EPOCH_MIX recipe.  The share divides two
+    exact counts, so the oracle reproduces it bit-for-bit; the
+    total-share window runs over the ALREADY-AGGREGATED frame (one row
+    per stratum — bounded by domain cardinality, not corpus size)."""
+    from pyspark.sql import Window
+
+    from fastdb_spark.pipeline.sample import epoch_mix_materialize
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    out = epoch_mix_materialize(docs, "lang", _EPOCH_MIX, "doc_id", salt="em6")
+    per = out.groupBy("lang").agg(F.count("*").alias("rows_out"))
+    total = F.sum("rows_out").over(Window.partitionBy())
+    return per.select(
+        "lang",
+        "rows_out",
+        F.round(F.col("rows_out") / total, 6).alias("share"),
+    )
+
+
 def _q_uuid_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/W1 under the exact gate: deterministic uuid-shaped root-id
     minting (md5-derived, ``streaming/ingest._det_uuid`` — the
@@ -2548,6 +2570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "exact_dedup": _q_exact_dedup,
         "embedding_neardup": _q_embedding_neardup,
+        # --- NEW in round 6, tail position (no driver row this round;
+        # rotates into the round-7 window with a parity history from
+        # tests/test_oracle_parity.py + tools/stock_sweep.py) ---------
+        "mix_report": _q_mix_report,
     }
 
 
@@ -3400,6 +3426,17 @@ def oracle_sql() -> dict[str, str]:
             "doc_id",
             salt="mix2",
             select_cols="d.doc_id, d.lang, d.source",
+        ),
+        "mix_report": (
+            "WITH m AS (" + epoch_mix_oracle_sql(
+                "documents", "lang", _EPOCH_MIX, "doc_id", salt="em6",
+                select_cols="doc_id, lang, source",
+            ) + """)
+            SELECT lang, CAST(count(*) AS BIGINT) AS rows_out,
+                   round(1.0 * count(*) / (SELECT count(*) FROM m), 6)
+                     AS share
+            FROM m GROUP BY lang
+            """
         ),
         "epoch_mix": epoch_mix_oracle_sql(
             "documents",
