@@ -192,13 +192,24 @@ def _append_survivors(
     """Write the survivors' index entries; returns ``(ids, count)``.
 
     The survivor plan reads the index tables this function is about to
-    modify, so it must be materialized BEFORE the append (read-after-
-    write).  Small batches persist + collect their ids; batches above
-    ``id_ceiling`` are staged to a scratch parquet instead — the append
-    then reads the scratch copy, no unbounded driver collect — and
-    ``ids`` comes back ``None``."""
+    modify, so it must be materialized with its LINEAGE SEVERED before
+    the append (read-after-write).  ``persist()`` is NOT enough: each
+    parquet append calls ``refreshByPath`` on its output dir, which
+    invalidates any cached plan reading that dir — so after the
+    fingerprints append, the bands/shingles writes would silently
+    RECOMPUTE the survivor plan against the already-updated index, the
+    exact-dedup anti-join would drop every just-appended doc, and the
+    bands/shingles tables would receive EMPTY batches: later near-dups
+    of upserted documents were never caught (a real shipped bug, caught
+    by the write-timing profile and regression-tested in
+    test_round6.py).  ``localCheckpoint`` stores the materialized
+    partitions and cuts the plan back to an RDD scan, so no write can
+    trigger recomputation.  Small batches then collect their ids;
+    batches above ``id_ceiling`` are staged to a scratch parquet
+    instead — the append reads the scratch copy, no unbounded driver
+    collect — and ``ids`` comes back ``None``."""
     mode = "overwrite" if overwrite else "append"
-    surv = surv.persist()
+    surv = surv.localCheckpoint(eager=True)
     scratch = None
     try:
         n = surv.count()

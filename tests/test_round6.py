@@ -596,3 +596,35 @@ def test_minhash_pipeline_survives_short_documents(spark):
         (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
     }
     assert pairs == {(3, 4)}  # only the real near-dups; short docs inert
+
+
+def test_incdedup_upserted_docs_get_band_and_shingle_coverage(spark, tmp_path):
+    """REGRESSION (shipped bug): the parquet appends invalidate the
+    cached survivor plan (refreshByPath), and before the localCheckpoint
+    fix the bands/shingles writes recomputed against the already-updated
+    fingerprints — appending EMPTY batches, so near-dups of upserted
+    documents were silently missed forever after."""
+    from fastdb_spark.pipeline import incdedup
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "didx_cov")
+    incdedup.build_dedup_index(
+        mk([(0, "alpha beta gamma delta epsilon zeta")]), path
+    )
+    assert incdedup.dedup_index_upsert(
+        spark, mk([(10, "one two three four five six seven eight")]), path
+    ) == [10]
+    # the upserted doc must be present in ALL THREE index tables
+    for t in ("fingerprints", "bands", "shingles"):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "didx_cov" / t))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert ids == {0, 10}, (t, ids)
+    # and a third batch near-dupping the UPSERTED doc must be dropped
+    assert incdedup.dedup_index_upsert(
+        spark, mk([(20, "one two three four five six seven nine")]), path
+    ) == []
