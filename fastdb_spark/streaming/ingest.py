@@ -214,10 +214,20 @@ def ingest_batch(
         )
     else:
         new_objs = batch["diaobject"]
-    new_objs = new_objs.cache()
+    # new_objs/assoc read the silver tables the merges below APPEND to,
+    # and each append's refreshByPath invalidates any cached plan reading
+    # that path — a cache() here would silently RECOMPUTE against the
+    # already-updated tables after the first merge (the anti-join then
+    # drops every just-inserted object, so the position merge and the
+    # new_objects stat saw EMPTY sets — a real shipped bug, regression-
+    # tested in test_round6.py).  localCheckpoint severs the lineage so
+    # later merges cannot recompute.  (batch[...] frames derive only
+    # from the wrangled input — no silver reads — so plain cache is
+    # safe for them.)
+    new_objs = new_objs.localCheckpoint(eager=True)
 
     roots = roots_t.read() if roots_t.exists() else None
-    assoc = associate_roots(new_objs, roots).cache()
+    assoc = associate_roots(new_objs, roots).localCheckpoint(eager=True)
 
     # new roots = minted ids not already present
     minted_roots = (

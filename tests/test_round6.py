@@ -628,3 +628,47 @@ def test_incdedup_upserted_docs_get_band_and_shingle_coverage(spark, tmp_path):
     assert incdedup.dedup_index_upsert(
         spark, mk([(20, "one two three four five six seven nine")]), path
     ) == []
+
+
+def test_ingest_second_batch_keeps_positions_and_stats(spark, tmp_path):
+    """REGRESSION (shipped bug, same refreshByPath class as the dedup
+    index): the silver merges append to tables that new_objs/assoc READ,
+    so with cache() the position merge and the new_objects stat
+    recomputed AFTER the diaobject append and saw empty sets — batch-2+
+    objects silently lost their diaobject_position rows.  With the
+    lineage severed, every new object must land in BOTH diaobject and
+    diaobject_position, and the stat must count it."""
+    import datetime as dt
+
+    from tests import test_ingest as ti
+    from fastdb_spark.sources.alerts import reject_solar_system, wrangle_alerts
+    from fastdb_spark.streaming.ingest import SilverCatalog, ingest_batch
+
+    silver = SilverCatalog(spark, str(tmp_path / "silver"))
+    b1 = spark.createDataFrame(
+        [ti._alert(1, 50001, 1001, 100, 60000.0, 10.0, -5.0)], ti.ALERT_SCHEMA
+    )
+    ingest_batch(
+        silver,
+        reject_solar_system(wrangle_alerts(b1, ti.BPV, savetime=F.lit(ti.T0))),
+    )
+    b2 = spark.createDataFrame(
+        [ti._alert(2, 50002, 3001, 101, 60001.0, 50.0, 20.0)], ti.ALERT_SCHEMA
+    )
+    stats = ingest_batch(
+        silver,
+        reject_solar_system(
+            wrangle_alerts(
+                b2, ti.BPV,
+                savetime=F.lit(ti.T0 + dt.timedelta(hours=1)),
+            )
+        ),
+    )
+    assert stats["new_objects"] == 1
+    objs = {r["diaobjectid"] for r in silver.table("diaobject").read().collect()}
+    pos = {
+        r["diaobjectid"]
+        for r in silver.table("diaobject_position").read().collect()
+    }
+    assert objs == {1001, 3001}
+    assert pos == {1001, 3001}, "batch-2 object lost its position row"
