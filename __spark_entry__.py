@@ -47,9 +47,16 @@ _SCRATCH_ROOT: str | None = None
 def _scratch(*parts: str) -> str:
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
         import tempfile
 
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="fastdb_gate_")
+        # unlike the old fixed-name dirs (reused via mode=overwrite), a
+        # per-process mkdtemp root would otherwise accumulate one copy
+        # of the bucketed twins / ANN indexes per run — remove it when
+        # the process exits
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return os.path.join(_SCRATCH_ROOT, *parts)
 
 # ---------------------------------------------------------------------------

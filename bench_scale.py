@@ -237,7 +237,15 @@ def bench_llm_ops(spark) -> dict:
 
     from fastdb_spark.pipeline.cluster import connected_components
 
-    pairs = minhash_lsh_pairs(nd_docs, hash_impl="fast").select("id_a", "id_b")
+    # materialize the pair set BEFORE the clock starts: pairs is lazy,
+    # so timing CC over the unmaterialized plan would re-run the whole
+    # LSH pipeline inside the clustering measurement
+    pairs = (
+        minhash_lsh_pairs(nd_docs, hash_impl="fast")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    release_staged()
     t0 = time.perf_counter()
     n_comp = (
         connected_components(pairs)
@@ -245,7 +253,6 @@ def bench_llm_ops(spark) -> dict:
         .collect()[0]["n"]
     )
     dt = time.perf_counter() - t0
-    release_staged()
     out["dup_clusters_1M_s"] = round(dt, 2)
     out["dup_clusters_components"] = n_comp
 

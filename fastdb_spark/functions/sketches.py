@@ -87,8 +87,15 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
 def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Array of ``bands`` band keys: ``'b{j}:'`` + the comma-joined
     signature slice (equality is all a band key needs — no hash of the
-    hash).  Documents sharing any band key are near-dup candidates."""
-    return F.array(
+    hash).  Documents sharing any band key are near-dup candidates.
+
+    Sentinel (all-``MD5X_EMPTY``) signatures — shingle-less documents —
+    get an EMPTY band array: banding them would put every shingle-less
+    document in ONE shared bucket whose self-join is quadratic in their
+    count (all pairs later rejected by the Jaccard refine anyway, since
+    two empty shingle sets score 0).  They remain exact-dedup-able via
+    their fingerprints."""
+    keys = F.array(
         *[
             F.concat(
                 F.lit(f"b{j}:"),
@@ -103,6 +110,10 @@ def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column
             for j in range(bands)
         ]
     )
+    return F.when(
+        F.element_at(signature, 1) == F.lit(MD5X_EMPTY),
+        F.array().cast("array<string>"),
+    ).otherwise(keys)
 
 
 def simhash60(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:

@@ -147,6 +147,12 @@ def build_dedup_index(
                 "bands": bands,
                 "threshold": threshold,
                 "hash_impl": hash_impl,
+                # scheme marker: the md5x rewrite changed band-key and
+                # signature formats IN PLACE, so an index persisted by
+                # pre-md5x code would band-join zero rows against new
+                # sketches (silently disabling near-dup detection).
+                # Upserts refuse indexes without this marker.
+                "sketch_scheme": "md5x",
             },
             f,
         )
@@ -279,6 +285,13 @@ def dedup_index_upsert(
     the ``max_bucket_size`` cap are flagged in ``LAST_UPSERT_AUDIT``
     (floor capped at 101 — see the audit docstring)."""
     p = _load_params(path)
+    if p.get("sketch_scheme") != "md5x":
+        raise ValueError(
+            f"dedup index at {path!r} was built with a pre-md5x sketch "
+            "scheme; its stored band keys cannot match new sketches "
+            "(near-dup detection would be silently disabled) — rebuild "
+            "the index with build_dedup_index"
+        )
     from fastdb_spark.cachereg import release_staged, stage
 
     # reset BEFORE the cap branch: an uncapped (max_bucket_size=None) run

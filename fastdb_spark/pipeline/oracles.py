@@ -114,11 +114,17 @@ _MD5X_XS = (
 
 def _md5x_band_selects(src: str, bands: int, rows: int) -> str:
     """duckdb twin of sketches.lsh_band_hashes: 'b{j}:' + comma-joined
-    signature slice (sig is BIGINT[]; elements cast to VARCHAR)."""
+    signature slice (sig is BIGINT[]; elements cast to VARCHAR).
+    Sentinel (shingle-less) signatures emit no bands — same guard as the
+    Spark side (one shared bucket would be quadratic in the count of
+    shingle-less docs)."""
+    from fastdb_spark.functions.sketches import MD5X_EMPTY
+
     return " UNION ALL ".join(
         f"SELECT doc_id, 'b{j}:' || array_to_string(list_transform("
         f"sig[{j * rows + 1}:{(j + 1) * rows}],"
         f" x -> CAST(x AS VARCHAR)), ',') AS band FROM {src}"
+        f" WHERE sig[1] <> {MD5X_EMPTY}"
         for j in range(bands)
     )
 

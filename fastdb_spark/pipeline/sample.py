@@ -260,7 +260,10 @@ def epochs_from_shares(
         if max_epochs is not None:
             e = min(e, float(max_epochs))
         out[k] = e
-    return dict(sorted(out.items()))
+    # NULL stratum values arrive as a None key from the groupBy — sort
+    # None-safe (they get 0.0 epochs unless explicitly targeted, and a
+    # None key cannot be a map key in epoch_mix_materialize anyway)
+    return dict(sorted(out.items(), key=lambda kv: (kv[0] is None, kv[0])))
 
 
 def leakage_safe_split(

@@ -672,3 +672,82 @@ def test_ingest_second_batch_keeps_positions_and_stats(spark, tmp_path):
     }
     assert objs == {1001, 3001}
     assert pos == {1001, 3001}, "batch-2 object lost its position row"
+
+
+def test_incdedup_pre_md5x_index_is_refused(spark, tmp_path):
+    """An index persisted before the md5x scheme change has band keys the
+    new sketches can never match — upserting into it would silently
+    disable near-dup detection, so it must be REFUSED with a rebuild
+    message (review finding)."""
+    import json
+
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_legacy")
+    incdedup.build_dedup_index(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    meta = json.load(open(path + "/_meta.json"))
+    del meta["sketch_scheme"]  # simulate a pre-md5x index
+    json.dump(meta, open(path + "/_meta.json", "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        incdedup.dedup_index_upsert(
+            spark,
+            spark.createDataFrame([(5, "x y z")], "doc_id long, text string"),
+            path,
+        )
+
+
+def test_sentinel_signatures_emit_no_bands(spark):
+    """Shingle-less documents must NOT band together (one shared sentinel
+    bucket is quadratic in their count); they emit an empty band array on
+    the Spark side and no band rows in the duckdb twin."""
+    import duckdb
+
+    from fastdb_spark.functions.sketches import (
+        MD5X_EMPTY,
+        lsh_band_hashes,
+        minhash_signature,
+    )
+    from fastdb_spark.pipeline.oracles import _md5x_band_selects
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a b c", "b c d"])], "doc_id long, sh array<string>"
+    )
+    out = {
+        r["doc_id"]: list(r["bands"])
+        for r in df.select(
+            "doc_id",
+            lsh_band_hashes(minhash_signature(F.col("sh"), 12), 4, 3).alias(
+                "bands"
+            ),
+        ).collect()
+    }
+    assert out[0] == []  # sentinel -> no bands
+    assert len(out[1]) == 4 and all(b.startswith("b") for b in out[1])
+    # duckdb twin drops sentinel rows the same way
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH sig AS (
+          SELECT 0 AS doc_id, [{", ".join([str(MD5X_EMPTY)] * 12)}] AS sig
+          UNION ALL SELECT 1, [{", ".join(["7"] * 12)}])
+        SELECT doc_id FROM ({_md5x_band_selects("sig", 4, 3)})
+    """).fetchall()
+    assert {r[0] for r in rows} == {1}
+
+
+def test_epochs_from_shares_null_stratum_is_safe(spark):
+    """NULL stratum values arrive as a None groupBy key; the helper must
+    not crash sorting None against strings (review finding) and must give
+    them zero epochs."""
+    from fastdb_spark.pipeline.sample import epochs_from_shares
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, dom string"
+    )
+    eps = epochs_from_shares(df, "dom", {"a": 1.0}, total_epochs=1.0)
+    assert eps[None] == 0.0 and eps["a"] > 0
