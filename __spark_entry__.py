@@ -869,6 +869,111 @@ def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
 
 
+def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive-parameter adjudication of every approximate-ANN code
+    path (VERDICT r6 #2): each variant is configured so its candidate
+    set provably covers the WHOLE corpus — LSH multiprobe flips all 8
+    planes (probes every bucket), IVF probes nprobe = n_clusters, PQ /
+    IVF-PQ rerank >= corpus size — so each output must EQUAL the exact
+    clustered-corpus top-10, and the union is hash-adjudicated against
+    the exact SQL oracle.  This drives the same index/probe code as the
+    recall-emitting approximate gates (which stay registered alongside);
+    the exhaustive configuration is an adjudication harness, not the
+    scale path."""
+    import os
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        encode_pq,
+        ivf_search_index,
+        ivf_topk,
+        ivfpq_search_index,
+        lsh_bucketed_topk,
+        pq_topk,
+        train_pq,
+    )
+
+    embs, qvec = _ann_corpus(spark, sf_dir)
+    n = embs.count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+
+    ivf_path = _scratch(f"fastdb_ivf_c_{tag}")
+    if ivf_path not in _IVF_WRITTEN:
+        build_ivf_index(embs, ivf_path, n_clusters=8, strategy="seed")
+        _IVF_WRITTEN.add(ivf_path)
+    pq_path = _scratch(f"fastdb_ivfpq_{tag}")
+    if pq_path not in _IVF_WRITTEN:
+        build_ivf_index(
+            embs, pq_path, n_clusters=8, strategy="seed",
+            pq_m=8, pq_k=16, pq_residual=False,
+        )
+        _IVF_WRITTEN.add(pq_path)
+    res_path = _scratch(f"fastdb_ivfpq_res_{tag}")
+    if res_path not in _IVF_WRITTEN:
+        build_ivf_index(
+            embs, res_path, n_clusters=8, strategy="seed",
+            pq_m=8, pq_k=16, pq_residual=True,
+        )
+        _IVF_WRITTEN.add(res_path)
+
+    books = train_pq(embs, m=8, k=16)
+    enc = encode_pq(embs, books)
+    variants = {
+        "lsh_allbuckets": lsh_bucketed_topk(
+            embs, qvec, k=10, multiprobe_bits=8
+        ),
+        "ivf_allprobes": ivf_topk(
+            embs, qvec, k=10, n_clusters=8, nprobe=8
+        ),
+        "ivf_index_allprobes": ivf_search_index(
+            spark, ivf_path, qvec, k=10, nprobe=8
+        ),
+        "pq_rerank_all": pq_topk(
+            enc, books, qvec, k=10, rerank=n, embeddings=embs
+        ),
+        "ivfpq_allprobes": ivfpq_search_index(
+            spark, pq_path, qvec, k=10, nprobe=8, rerank=n
+        ),
+        "ivfpq_res_allprobes": ivfpq_search_index(
+            spark, res_path, qvec, k=10, nprobe=8, rerank=n
+        ),
+    }
+    out = None
+    for name, df in variants.items():
+        tagged = df.select(
+            F.lit(name).alias("method"), F.col("vec_id"), F.col("cos")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for a BATCH of 5 query vectors in ONE corpus
+    pass (``cosine_topk_many``) — the shape a training pipeline actually
+    runs (dedup a shard against anchors, mine hard negatives for a whole
+    batch).  The query set broadcasts; per-query top-k is a rank window
+    whose state is k rows per query.  Exact -> full SQL oracle."""
+    from fastdb_spark.pipeline.ann import cosine_topk_many
+
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk_many(embs, queries_df, k=5)
+
+
+#: method labels of _q_ann_exhaustive, shared with its oracle
+_ANN_EXHAUSTIVE_METHODS = [
+    "lsh_allbuckets",
+    "ivf_allprobes",
+    "ivf_index_allprobes",
+    "pq_rerank_all",
+    "ivfpq_allprobes",
+    "ivfpq_res_allprobes",
+]
+
+
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
     shape) next to the md5 content fingerprint."""
@@ -1507,9 +1612,11 @@ def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training: ONE corpus pass builds the word-type
     histogram (map-side combined), the merge loop runs on that bounded
     histogram — returns the learned merge table (rank, left, right).
-    No tractable SQL twin (iterative argmax) -> driver rows-only; the
-    trainer is equality-tested against an independent reference
-    implementation in tests/test_tokenizer_shards.py."""
+    The iterative argmax has no tractable hand-written SQL twin, but the
+    oracle is EXACT anyway (VERDICT r6 #5): an independent pure-Python
+    occurrence trainer (the tests/test_tokenizer_shards.py reference
+    algorithm) over a duckdb-computed histogram of the same corpus emits
+    a literal-VALUES oracle at gate-build time."""
     from fastdb_spark.pipeline.tokenizer import merges_df, train_bpe
 
     docs = Catalog(spark, sf_dir).table("documents")
@@ -2454,83 +2561,29 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROUND-6 ROTATION (VERDICT r5 next-round #2): the
-    # window leads with the 8 NEW gates (epoch_mix — the round-5
-    # unverified operator, S7 dp1_load, S8/S9 export round-trips, F3/F4
-    # timescale_functions, the incremental dedup_index_roundtrip, the
-    # S1 avro_alert_roundtrip codec leg, and F8/W1 uuid_minting), then
-    # the 4 queries whose code was touched this round (paginate
-    # narrowness guard, gate scratch-dir rework), then the 38 r4-tail
-    # queries rotated back in so r4∪r6 — and with the r5 rows, r5∪r6 —
-    # again covers every registered gate.  The 46 tail rows are all
-    # green in
-    # CORRECTNESS_r05 with untouched code; each still has an oracle and
-    # runs in tests/test_oracle_parity.py AND tools/stock_sweep.py every
-    # session.  Swap lists for rounds 5 and 6 are recorded in
-    # ROUND_NOTES.md ("Adjudication-window rotation").
+    # their oracles.  ROUND-7 ROTATION (VERDICT r6 next-round #1): the
+    # window LEADS with mix_report (the only registered gate without a
+    # driver row), then the three gates whose oracles are NEW this round
+    # (ann_exhaustive_exact — the exhaustive-parameter adjudication of
+    # every approximate-ANN code path, VERDICT #2; ann_batch_topk — the
+    # batch-query exact ANN shape; and bpe_train_merges, upgraded from
+    # rows-only to a literal-VALUES exact oracle, VERDICT #5), then the
+    # 46 r5-tail queries rotated back in so r6∪r7 again covers every
+    # registered gate.  The touched-path gates with r6 driver rows
+    # (dedup_index_roundtrip — scheme marker/rebuild rework;
+    # pagination/pseudorandom_sample — narrowness-probe rework) did not
+    # fit the 50-slot window; they are parity-tested every session and
+    # regression-tested in tests/test_round7.py.  Swap lists per round
+    # are in ROUND_NOTES.md ("Adjudication-window rotation").
     return {
-        # --- NEW round 6: S7 DP1 loader, S8/S9 export sinks, F3/F4
-        # time-scale scalars, and the round-5 epoch-mix materializer — all
-        # under exact oracles ------------------------------------------
-        "epoch_mix": _q_epoch_mix,
-        "dp1_load": _q_dp1_load,
-        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
-        "export_sinks_roundtrip": _q_export_sinks,
-        "timescale_functions": _q_timescale_functions,
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
-        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
-        "uuid_minting": _q_uuid_minting,
-        # --- code touched in round 6: paginate auto narrowness guard
-        # (module also hosts pseudorandom_sample) + gate scratch-dir
-        # rework for the write-path gates -------------------------------
-        "pagination": _q_pagination,
-        "pseudorandom_sample": _q_pseudorandom_sample,
-        "load_alert_batch": _q_load_alert_batch,
-        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
-        # --- r4 tail rotated back in (VERDICT r5 next-round #2): all 38
-        # were green in CORRECTNESS_r04; r4∪r6 re-covers every gate ------
+        # --- round-7 window head: the no-driver-row gate + the three
+        # gates whose oracles are NEW this round ------------------------
+        "mix_report": _q_mix_report,
+        "ann_exhaustive_exact": _q_ann_exhaustive,
+        "ann_batch_topk": _q_ann_batch_topk,
         "bpe_train_merges": _q_bpe_train_merges,
-        "shuffle_shards": _q_shuffle_shards,
-        "token_budget_select": _q_token_budget,
-        "tfidf_topk": _q_tfidf_topk,
-        "doc_similar_w2v": _q_doc_similar_w2v,
-        "intra_doc_dedup": _q_intra_doc_dedup,
-        "corpus_card": _q_corpus_card,
-        "chunk_docs": _q_chunk_docs,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "pack_materialize": _q_pack_materialize,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "domain_mix_sample": _q_domain_mix,
-        "doc_repetition": _q_doc_repetition,
-        "doc_perplexity": _q_doc_perplexity,
-        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
-        "duplicate_spans": _q_duplicate_spans,
-        "json_extract": _q_json_extract,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "pagination_ranged": _q_pagination_ranged,
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "ann_cosine_topk": _q_ann_topk,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
-        "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
-        # --- adjudication tail (position >50): ALL green in
-        # CORRECTNESS_r05 and untouched this round; each still has an
-        # oracle and runs in tests/test_oracle_parity.py AND
-        # tools/stock_sweep.py every session -----------------------------
+        # --- r5 tail rotated back in: all 46 were green in
+        # CORRECTNESS_r05; r6∪r7 re-covers every gate --------------------
         "ltcv_patch": _q_ltcv_patch,
         "snana_load_roundtrip": _q_snana_load,
         "doc_embed_pool": _q_doc_embed_pool,
@@ -2577,10 +2630,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "exact_dedup": _q_exact_dedup,
         "embedding_neardup": _q_embedding_neardup,
-        # --- NEW in round 6, tail position (no driver row this round;
-        # rotates into the round-7 window with a parity history from
-        # tests/test_oracle_parity.py + tools/stock_sweep.py) ---------
-        "mix_report": _q_mix_report,
+        # --- adjudication tail (position >50): ALL green in
+        # CORRECTNESS_r06 (the r6 window) with untouched code except
+        # dedup_index_roundtrip (scheme marker / dead-unpersist / rebuild
+        # helper — regression-tested in test_round7.py and parity-run vs
+        # its duckdb twin every session) and pagination/
+        # pseudorandom_sample (probe rework — parity- and unit-tested);
+        # each still has an oracle (where one exists) and runs in
+        # tests/test_oracle_parity.py AND tools/stock_sweep.py every
+        # session --------------------------------------------------------
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        "epoch_mix": _q_epoch_mix,
+        "dp1_load": _q_dp1_load,
+        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
+        "export_sinks_roundtrip": _q_export_sinks,
+        "timescale_functions": _q_timescale_functions,
+        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
+        "uuid_minting": _q_uuid_minting,
+        "pagination": _q_pagination,
+        "pseudorandom_sample": _q_pseudorandom_sample,
+        "load_alert_batch": _q_load_alert_batch,
+        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
+        "shuffle_shards": _q_shuffle_shards,
+        "token_budget_select": _q_token_budget,
+        "tfidf_topk": _q_tfidf_topk,
+        "doc_similar_w2v": _q_doc_similar_w2v,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "corpus_card": _q_corpus_card,
+        "chunk_docs": _q_chunk_docs,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "pack_materialize": _q_pack_materialize,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_repetition": _q_doc_repetition,
+        "doc_perplexity": _q_doc_perplexity,
+        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
+        "duplicate_spans": _q_duplicate_spans,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination_ranged": _q_pagination_ranged,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "ann_cosine_topk": _q_ann_topk,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "weighted_position": _q_weighted_position,
+        "alert_reconstruct": _q_alert_reconstruct,
     }
 
 
@@ -3281,6 +3388,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": po.ngram_jaccard_sql(),
         "embedding_neardup": po.embedding_neardup_sql(),
         "ann_cosine_topk": po.ann_topk_sql(),
+        # every approximate-ANN code path, adjudicated exactly via its
+        # exhaustive parameterization (VERDICT r6 #2); the recall-emitting
+        # approximate gates (ann_lsh_topk, ann_ivf_topk, ...) stay
+        # rows-only alongside — approximate BY DESIGN at production
+        # parameters, exact-equal at exhaustive ones
+        "ann_exhaustive_exact": po.ann_exhaustive_sql(_ANN_EXHAUSTIVE_METHODS),
+        "ann_batch_topk": po.ann_batch_topk_sql(),
         "decontaminate": _decontam_oracle(),
         "bm25_search": _bm25_oracle(),
         # ann_lsh_topk: approximate by design -> rows-only check
@@ -3453,7 +3567,12 @@ def oracle_sql() -> dict[str, str]:
             salt="em6",
             select_cols="doc_id, lang, source",
         ),
-        # --- late round-4 additions (bpe_train_merges: rows-only) --------
+        # --- late round-4 additions ---------------------------------------
+        # bpe_train_merges: upgraded from rows-only to a literal-VALUES
+        # exact oracle (VERDICT r6 #5) — an independent pure-Python
+        # occurrence trainer over a duckdb-computed histogram of the SAME
+        # corpus; nothing shared with pipeline.tokenizer
+        "bpe_train_merges": po.bpe_train_values_sql(n_merges=64),
         "bpe_encode": _bpe_encode_oracle(),
         "training_set": _trainset_oracle(),
         "intra_doc_dedup": _intra_doc_oracle(),

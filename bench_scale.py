@@ -267,6 +267,87 @@ def bench_llm_ops(spark) -> dict:
     return out
 
 
+def synth_photometry_hot(spark, n_rows: int, n_objects: int, hot_pct: int = 10):
+    """synth_photometry with DELIBERATE key skew: ``hot_pct`` % of rows
+    land on ONE (diaobjectid, visit) composite key (the re-ingested-visit
+    pathology), the rest stay uniform."""
+    base = synth_photometry(spark, n_rows, n_objects)
+    hot = F.col("rowid") % (100 // hot_pct) == 0
+    return base.withColumn(
+        "diaobjectid", F.when(hot, F.lit(42)).otherwise(F.col("diaobjectid"))
+    ).withColumn("visit", F.when(hot, F.lit(777)).otherwise(F.col("visit")))
+
+
+def bench_skew(spark) -> dict:
+    """Hot-key stress for the two workhorse shapes (VERDICT r6 #6): the
+    same operation on a uniform frame vs one with 10% of all rows on a
+    single key, AQE skew handling on (the session default).
+
+    - ``dedup_top_priority`` (A1, strategy='agg'): grouping-key skew.
+      The hash-aggregate max_by is partial-aggregated map-side, so the
+      hot key reaches its reducer as <= n_partitions partial rows — the
+      skew NEVER crosses the shuffle.  The wall-time ratio documents it.
+    - ``patch_lightcurve`` (J3): a hot rootid (10% of rows, distinct
+      visits) through the full-outer join.  The join key is the
+      composite (rootid, visit), so hash partitioning spreads the hot
+      rootid; AQE's skew-join split covers residual partition imbalance.
+    """
+    from fastdb_spark.operators.dedup import dedup_top_priority
+    from fastdb_spark.operators.patch import patch_lightcurve
+
+    n = int(os.environ.get("SCALE_SKEW_ROWS", 60_000_000))
+    out = {"skew_rows_n": n, "skew_hot_pct": 10}
+
+    for tag, frame in (
+        ("uniform", synth_photometry(spark, n, n // 15)),
+        ("hot", synth_photometry_hot(spark, n, n // 15)),
+    ):
+        t0 = time.perf_counter()
+        dedup_top_priority(
+            frame, ["diaobjectid", "visit"], ["priority", "rowid"]
+        ).write.format("noop").mode("overwrite").save()
+        out[f"priority_dedup_{n // 1_000_000}M_{tag}_s"] = round(time.perf_counter() - t0, 2)
+
+    # patch join: forced/detections frames keyed (rootid, visit), both
+    # deduplicated per key as the operator contract requires; the hot
+    # variant puts 10% of each side's rows on rootid 42 (visits distinct
+    # within the rootid, so the join stays 1:1)
+    def patch_side(n_side: int, hot: bool, flux0: float):
+        i = F.col("id")
+        if hot:
+            root = F.when(i % 10 == 0, F.lit(42)).otherwise(
+                F.lit(1_000_000) + (i % (n_side // 8))
+            )
+            # hot rootid visits: unique per row (i/10 enumerates them)
+            visit = F.when(i % 10 == 0, (i / 10).cast("long")).otherwise(
+                (i * 7919) % 100000
+            )
+        else:
+            root = i % (n_side // 8)
+            visit = (i * 7919) % 100000
+        return (
+            spark.range(n_side)
+            .select(
+                root.alias("rootid"),
+                visit.alias("visit"),
+                (F.lit(flux0) + (i % 1000).cast("double")).alias("psfflux"),
+                F.lit(2.0).alias("psffluxerr"),
+            )
+            .dropDuplicates(["rootid", "visit"])
+        )
+
+    n_patch = int(os.environ.get("SCALE_SKEW_PATCH_ROWS", n // 2))
+    for tag, hot in (("uniform", False), ("hot", True)):
+        forced = patch_side(n_patch, hot, 100.0)
+        dets = patch_side(n_patch // 4, hot, 200.0)
+        t0 = time.perf_counter()
+        patch_lightcurve(forced, dets).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"patch_join_{n_patch // 1_000_000}M_{tag}_s"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -277,6 +358,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_LLM_ONLY", "0") == "1":
         out["llm_ops"] = bench_llm_ops(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_SKEW_ONLY", "0") == "1":
+        out["skew"] = bench_skew(spark)
         print(json.dumps(out))
         return
 

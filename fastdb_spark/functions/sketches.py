@@ -172,7 +172,15 @@ def minhash_signature_fast(shingles: Column, n_hashes: int = 12) -> Column:
     Jaccard refine keeps the FINAL pair semantics identical in
     expectation, and exact duplicates still collide in every band under
     any hash.  Use for production scale; keep the md5 path wherever a
-    cross-engine oracle adjudicates."""
+    cross-engine oracle adjudicates.
+
+    Empty shingle arrays yield ALL-NULL signature elements
+    (``array_min`` over an empty array); :func:`lsh_band_hashes_fast`
+    detects that sentinel and emits an empty band array — the fast-path
+    mirror of the md5x :data:`MD5X_EMPTY` guard (without it, xxhash64
+    skips nulls in the band fold and every shingle-less document lands
+    in ONE shared bucket per band, a quadratic self-join on uncapped
+    paths)."""
     base = F.transform(shingles, lambda s: F.xxhash64(s))
     sig = [
         F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))).alias(
@@ -187,8 +195,16 @@ def lsh_band_hashes_fast(
     signature: Column, bands: int, rows_per_band: int
 ) -> Column:
     """Fast-path band hashes: fold each signature slice with long-input
-    ``xxhash64`` (band index as the fold seed) — integer-only."""
-    return F.array(
+    ``xxhash64`` (band index as the fold seed) — integer-only.
+
+    Sentinel (all-null) signatures — shingle-less documents, see
+    :func:`minhash_signature_fast` — get an EMPTY band array, mirroring
+    the md5x guard: ``xxhash64`` skips null inputs in the fold, so
+    without this every shingle-less document would share identical band
+    keys and one quadratic bucket per band (all pairs later rejected by
+    the Jaccard refine anyway, since two empty shingle sets score 0).
+    They remain exact-dedup-able via their fingerprints."""
+    keys = F.array(
         *[
             F.aggregate(
                 F.slice(signature, j * rows_per_band + 1, rows_per_band),
@@ -198,3 +214,7 @@ def lsh_band_hashes_fast(
             for j in range(bands)
         ]
     )
+    return F.when(
+        F.element_at(signature, 1).isNull(),
+        F.array().cast("array<string>"),
+    ).otherwise(keys)

@@ -19,21 +19,53 @@ from pyspark.sql import functions as F
 _SMALL_FILE_BYTES = 128 * 1024 * 1024
 
 
-def _single_small_file(df: DataFrame, cap: int = _SMALL_FILE_BYTES) -> bool:
-    """True iff ``df`` scans exactly one LOCAL file of <= ``cap`` bytes AND
-    its plan is narrow (no Join/Generate nodes), so the source-file size is
-    an honest proxy for the frame size.  Without the narrowness check a
-    self-join / explode / cross join over one small file still reports one
-    input file and would silently take the single-task window sort on an
-    arbitrarily larger frame (ADVICE r5).  Both probes are metadata-only
-    (``inputFiles()`` + the already-analyzed logical plan — no job);
-    remote/object-store paths and non-file-backed frames report False
-    (ranged stays the default)."""
+#: logical-plan node names that can MULTIPLY rows relative to the scanned
+#: file: joins, explode (Generate), Union, Expand (cube/rollup/grouping
+#: sets), co-grouping, and the arbitrary-cardinality Python map nodes.
+#: Matched against node CLASS names (not the stringified plan), so column
+#: names containing e.g. 'Join' cannot false-positive (ADVICE r6).
+_WIDENING_NODES = (
+    "Join",
+    "Generate",
+    "Union",
+    "Expand",
+    "CoGroup",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroups",
+    "MapPartitions",
+)
+
+
+def _plan_is_narrow(df: DataFrame) -> bool:
+    """Walk the analyzed logical plan's node names; False if any node can
+    multiply rows (see :data:`_WIDENING_NODES`) or the walk fails."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if any(w in name for w in _WIDENING_NODES):
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
     except Exception:
         return False
-    if "Join" in plan or "Generate" in plan:
+    return True
+
+
+def _single_small_file(df: DataFrame, cap: int = _SMALL_FILE_BYTES) -> bool:
+    """True iff ``df`` scans exactly one LOCAL file of <= ``cap`` bytes AND
+    its plan is narrow (no row-multiplying nodes), so the source-file size
+    is an honest proxy for the frame size.  Without the narrowness check a
+    self-join / explode / union / rollup over one small file still reports
+    one input file and would silently take the single-task window sort on
+    an arbitrarily larger frame (ADVICE r5/r6).  Both probes are
+    metadata-only (``inputFiles()`` + a walk over the already-analyzed
+    logical plan's node names — no job); remote/object-store paths and
+    non-file-backed frames report False (ranged stays the default)."""
+    if not _plan_is_narrow(df):
         return False
     try:
         files = df.inputFiles()

