@@ -2258,6 +2258,39 @@ def _q_dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("doc_id", "fingerprint")
 
 
+def _q_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown path under the exact gate: build the index from the
+    even-id half of documents, ``dedup_index_remove`` every indexed doc
+    with ``doc_id % 10 == 0`` (the tmp+swap three-table rewrite), then
+    ``dedup_index_upsert`` the odd-id half uncapped and read the
+    persisted fingerprints back.  The oracle replays build -> remove ->
+    upsert (``incdedup_oracle_sql(remove_pred=...)``), so a removal that
+    left band/shingle rows behind — or dropped too much — flips the
+    hash: batch-2 near-dups of removed docs MUST be accepted."""
+    import shutil
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        dedup_index_remove,
+        dedup_index_upsert,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incdedup_takedown", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    build_dedup_index(docs.filter("doc_id % 2 = 0"), path)
+    rm = spark.read.parquet(os.path.join(path, "fingerprints")).filter(
+        "doc_id % 10 = 0"
+    ).select("doc_id")
+    dedup_index_remove(spark, rm, path)
+    dedup_index_upsert(
+        spark, docs.filter("doc_id % 2 = 1"), path, max_bucket_size=None
+    )
+    idx = spark.read.parquet(os.path.join(path, "fingerprints"))
+    return idx.select("doc_id", "fingerprint")
+
+
 def _q_timescale_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3+F4 under the exact gate: sexagesimal parsing and the MJD/TAI
     time-scale conversions over a deterministic grid derived from events.
@@ -2640,6 +2673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_parity.py AND tools/stock_sweep.py every
         # session --------------------------------------------------------
         "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        # NEW in round 7, tail position (parity-run + unit-tested every
+        # session; rotates into the round-8 window): takedown/removal
+        # support for the persisted dedup index
+        "dedup_index_takedown": _q_dedup_index_takedown,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -2956,6 +2993,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "timescale_functions": _timescale_oracle(),
         "dedup_index_roundtrip": po.incdedup_oracle_sql(),
+        "dedup_index_takedown": po.incdedup_oracle_sql(
+            remove_pred="doc_id % 10 = 0"
+        ),
         "uuid_minting": """
             WITH m AS (
               SELECT user_id,

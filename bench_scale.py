@@ -298,15 +298,22 @@ def bench_skew(spark) -> dict:
     n = int(os.environ.get("SCALE_SKEW_ROWS", 60_000_000))
     out = {"skew_rows_n": n, "skew_hot_pct": 10}
 
+    # min-of-2 per variant: the first action in a fresh session pays
+    # whole-stage-codegen + shuffle-service spin-up, which would bias
+    # whichever variant runs first
     for tag, frame in (
         ("uniform", synth_photometry(spark, n, n // 15)),
         ("hot", synth_photometry_hot(spark, n, n // 15)),
     ):
-        t0 = time.perf_counter()
-        dedup_top_priority(
-            frame, ["diaobjectid", "visit"], ["priority", "rowid"]
-        ).write.format("noop").mode("overwrite").save()
-        out[f"priority_dedup_{n // 1_000_000}M_{tag}_s"] = round(time.perf_counter() - t0, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dedup_top_priority(
+                frame, ["diaobjectid", "visit"], ["priority", "rowid"]
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"priority_dedup_{n // 1_000_000}M_{tag}_s"] = round(best, 2)
 
     # patch join: forced/detections frames keyed (rootid, visit), both
     # deduplicated per key as the operator contract requires; the hot
@@ -340,11 +347,15 @@ def bench_skew(spark) -> dict:
     for tag, hot in (("uniform", False), ("hot", True)):
         forced = patch_side(n_patch, hot, 100.0)
         dets = patch_side(n_patch // 4, hot, 200.0)
-        t0 = time.perf_counter()
-        patch_lightcurve(forced, dets).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[f"patch_join_{n_patch // 1_000_000}M_{tag}_s"] = round(time.perf_counter() - t0, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            patch_lightcurve(forced, dets).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"patch_join_{n_patch // 1_000_000}M_{tag}_s"] = round(best, 2)
     return out
 
 

@@ -346,6 +346,78 @@ def rebuild_dedup_index(
     return n
 
 
+def dedup_index_remove(
+    spark: SparkSession,
+    ids,
+    path: str,
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents from a persisted dedup index — the takedown path
+    (DMCA/GDPR/licensing removals are routine against a long-lived
+    production corpus index).  ``ids`` is a Python sequence (broadcast
+    as an ``isin`` literal; fine up to ~10^5 ids) or a single-column
+    DataFrame (broadcast anti-join; the backfill-scale form).  Returns
+    the number of index documents actually removed.
+
+    Each of the three tables is rewritten WITHOUT the removed ids via a
+    tmp-dir + atomic-swap (the same tmp+swap discipline as storage.py:
+    writing over a directory a live plan reads is the refreshByPath
+    recomputation hazard the round-6 bug hunt established; the tmp write
+    reads the OLD directory and the swap is a rename).  Serializes on
+    the table write lock.
+
+    Semantics stated precisely (tested): removal is NOT retroactive —
+    documents that were dropped in earlier batches because they
+    duplicated a now-removed doc stay dropped (their content was a dup
+    at ingest time; the index holds no record of them to resurrect).
+    Future batches simply stop matching the removed doc's fingerprint /
+    bands / shingles, so its re-ingest (or a near-dup of it) would be
+    accepted again."""
+    import shutil
+
+    with table_write_lock(os.path.normpath(path)):
+        if isinstance(ids, DataFrame):
+            # sever lineage BEFORE the rewrites: a caller naturally derives
+            # the removal set from the index's own tables (filter on
+            # fingerprints), and the broadcast below is re-evaluated once
+            # per rewritten table — after the fingerprints swap the old
+            # part-files are gone and a lazy plan over them throws
+            # FILE_NOT_EXIST (the round-6 refreshByPath hazard, caught
+            # here by test_no_cartesian_product[dedup_index_takedown])
+            rm = ids.select(
+                F.col(ids.columns[0]).alias(id_col)
+            ).localCheckpoint(eager=True)
+
+            def drop(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(rm), on=id_col, how="left_anti")
+
+        else:
+            idlist = list(ids)
+
+            def drop(df: DataFrame) -> DataFrame:
+                return df.filter(~F.col(id_col).isin(idlist))
+
+        fps = spark.read.parquet(os.path.join(path, "fingerprints"))
+        n_before = fps.count()
+        for table, cols in (
+            ("fingerprints", ["fingerprint", id_col]),
+            ("bands", ["band", id_col]),
+            ("shingles", [id_col, "sh"]),
+        ):
+            tdir = os.path.join(path, table)
+            tmp = tdir + "_tmp"
+            drop(spark.read.parquet(tdir).select(*cols)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            old = tdir + "_old"
+            os.rename(tdir, old)
+            os.rename(tmp, tdir)
+            shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+        n_after = spark.read.parquet(os.path.join(path, "fingerprints")).count()
+    return n_before - n_after
+
+
 #: audit of the most recent upsert's candidate-cap truncation: docs whose
 #: vs-index candidate set was cut at ``max_bucket_size`` MIGHT have had
 #: their one true near-dup dropped.  ``truncated_docs`` is a FLOOR capped

@@ -397,6 +397,7 @@ def incdedup_oracle_sql(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    remove_pred: str | None = None,
 ) -> str:
     """duckdb twin of the UNCAPPED incremental dedup-index choreography
     (``incdedup.build_dedup_index`` on the even-id half of documents,
@@ -406,8 +407,14 @@ def incdedup_oracle_sql(
     near-dup-vs-index drop, (c) in-batch greedy near-dup — the final
     SELECT is the indexed (doc_id, fingerprint) set.  Shingle/minhash/
     band arithmetic is identical to :func:`_minhash_pair_ctes` (already
-    hash-green vs the Spark sketches)."""
+    hash-green vs the Spark sketches).
+
+    ``remove_pred`` (a SQL predicate over ``doc_id``) replays a
+    ``dedup_index_remove`` BETWEEN the build and the upsert: matching
+    batch-1 index entries vanish from the index batch 2 is checked
+    against — the takedown-gate choreography."""
     rows = n_hashes // bands
+    keep = f"NOT ({remove_pred})" if remove_pred else "TRUE"
     sig = _md5x_sig_elems(n_hashes)
 
     def band_sel(src: str) -> str:
@@ -440,8 +447,9 @@ def incdedup_oracle_sql(
                    FROM b1cand c JOIN b1k x ON x.doc_id = c.id_a
                                  JOIN b1k y ON y.doc_id = c.id_b
                    WHERE {jac} >= {threshold}),
-        idx1 AS (SELECT * FROM b1k
+        idx0 AS (SELECT * FROM b1k
                  WHERE doc_id NOT IN (SELECT doc_id FROM b1drop)),
+        idx1 AS (SELECT * FROM idx0 WHERE {keep}),
         b2 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 1),
         b2f AS (SELECT * FROM b2 WHERE fingerprint NOT IN
                   (SELECT fingerprint FROM idx1)),

@@ -338,3 +338,30 @@ def test_tfidf_reuses_staged_tf(spark):
         assert out.count() > 0
     finally:
         cachereg.release_staged()
+
+
+def test_ann_batch_topk_broadcasts_queries_one_pass(spark):
+    """The batch-ANN gate must plan ONE corpus scan with the query set
+    broadcast against it (the whole point: k queries ride one pass), and
+    the per-query top-k must be a rank window, not a global sort."""
+    df = entrymod.queries()["ann_batch_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    n_corpus_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "embeddings" in ln
+    )
+    assert n_corpus_scans <= 2, plan  # corpus + the 5-row query slice
+    assert "row_number" in plan, plan
+
+
+def test_ann_exhaustive_rerank_joins_broadcast(spark):
+    """Every exact-rerank leg of the exhaustive-ANN gate joins the
+    candidate id set back to the vectors; the candidate side is <= the
+    corpus (k/rerank rows) and must broadcast — a shuffled join here
+    would dominate the probe at scale."""
+    df = entrymod.queries()["ann_exhaustive_exact"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -198,3 +198,83 @@ def test_rebuild_switches_md5_index_to_fast(spark, tmp_path):
         path,
     )
     assert ids == [11]
+
+
+# ---------------------------------------------------------------------------
+# takedown path: dedup_index_remove
+
+
+def test_index_remove_list_and_frame(spark, tmp_path):
+    """Removal drops the doc from all three tables (list and DataFrame
+    forms) and a re-ingest of the removed content is accepted again;
+    earlier drops are NOT resurrected (stated semantics)."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_rm")
+    incdedup.build_dedup_index(
+        _mk_docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text about spark partitions"),
+                (3, "a third unrelated document body here"),
+            ],
+        ),
+        path,
+    )
+    n = incdedup.dedup_index_remove(spark, [2], path)
+    assert n == 1
+    fps = spark.read.parquet(path + "/fingerprints")
+    sh = spark.read.parquet(path + "/shingles")
+    bands = spark.read.parquet(path + "/bands")
+    for t in (fps, sh, bands):
+        assert t.filter(t.doc_id == 2).count() == 0
+    assert fps.count() == 2
+
+    # re-ingest of the removed content is accepted as a fresh doc
+    ids = incdedup.dedup_index_upsert(
+        spark,
+        _mk_docs(
+            spark, [(20, "completely different text about spark partitions")]
+        ),
+        path,
+    )
+    assert ids == [20]
+
+    # DataFrame form — derived from the index's OWN fingerprints table,
+    # the natural caller shape and the lineage-recompute regression: the
+    # broadcast removal plan must not re-read the fingerprints directory
+    # after its tmp+swap rewrite deleted the old part-files
+    rm = (
+        spark.read.parquet(path + "/fingerprints")
+        .filter(F.col("doc_id") == 20)
+        .select("doc_id")
+    )
+    assert incdedup.dedup_index_remove(spark, rm, path) == 1
+    assert (
+        spark.read.parquet(path + "/fingerprints")
+        .filter(F.col("doc_id") == 20)
+        .count()
+        == 0
+    )
+
+
+def test_index_remove_unblocks_near_dups(spark, tmp_path):
+    """A near-dup that the index would have dropped is accepted after the
+    indexed twin is removed — the band/shingle rows really are gone, not
+    just the fingerprint."""
+    from fastdb_spark.pipeline import incdedup
+
+    path = str(tmp_path / "didx_rm_nd")
+    incdedup.build_dedup_index(
+        _mk_docs(
+            spark, [(1, "the quick brown fox jumps over the lazy dog")]
+        ),
+        path,
+    )
+    near = _mk_docs(
+        spark, [(10, "the quick brown fox jumps over the lazy cat")]
+    )
+    assert incdedup.dedup_index_upsert(spark, near, path) == []
+    incdedup.dedup_index_remove(spark, [1], path)
+    assert incdedup.dedup_index_upsert(spark, near, path) == [10]
