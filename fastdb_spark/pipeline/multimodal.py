@@ -3,10 +3,13 @@
 Media payloads are opaque ``binary`` columns with a typed metadata struct;
 all per-item compute (decode, resize, feature extraction, frame sampling)
 runs as Arrow-batched ``mapInPandas`` over partition iterators.  The codec
-step is REAL for PNG and FITS images (spec-derived, dependency-free —
-``sources.imagecodec``; pass ``decoder=imagecodec.real_decode_features`` /
-``resizer=imagecodec.real_resize``); other formats (JPEG, audio, video
-frames) remain PIL/codec-gated with a deterministic fake for plumbing
+step is REAL for PNG, FITS, and baseline JPEG images (spec-derived,
+dependency-free — ``sources.imagecodec`` / ``sources.jpegcodec``; pass
+``decoder=imagecodec.real_decode_features`` /
+``resizer=imagecodec.real_resize``), for PCM WAV audio, and for
+MJPEG/raw-DIB AVI video frames (``sources.avicodec`` +
+``sample_frames_decoded``); other formats (GIF/TIFF/WebP images, H.26x
+video) remain PIL/codec-gated with a deterministic fake for plumbing
 tests.
 """
 
@@ -42,9 +45,9 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> "object":
     """Real decode path.
 
-    PNG and FITS image HDUs decode WITHOUT any imaging library via the
-    spec-derived codecs in ``sources.imagecodec`` (the two formats the
-    reference cutout pipeline emits); other formats (JPEG, ...) fall
+    PNG, FITS image HDUs, and baseline JPEG decode WITHOUT any imaging
+    library via the spec-derived codecs in ``sources.imagecodec`` /
+    ``sources.jpegcodec``; other formats (GIF, TIFF, WebP, ...) fall
     back to PIL when present, else raise with the format named.
     """
     from fastdb_spark.sources import imagecodec as ic
@@ -59,9 +62,9 @@ def decode_image(payload: bytes) -> "object":
         return Image.open(io.BytesIO(payload))
     except ImportError as e:  # pragma: no cover - no PIL in test image
         raise NotImplementedError(
-            "payload is neither PNG nor FITS (decoded natively); other "
-            "formats need an imaging library (e.g. Pillow), which this "
-            "container ships without"
+            "payload is none of PNG / FITS / baseline JPEG (decoded "
+            "natively); other formats need an imaging library (e.g. "
+            "Pillow), which this container ships without"
         ) from e
 
 
@@ -151,7 +154,7 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (the decode itself is the stub above).  Pure column ops:
+    timestamp (metadata-driven; no payload decode).  Pure column ops:
     sequence + explode — demonstrates the fan-out shape."""
     frames = media.filter(F.col("modality") == "video").select(
         "media_id",
@@ -164,3 +167,68 @@ def sample_frames(
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_ts_ms int, frame_index int, height int, "
+    "width int, channels int, pix_mean double, pix_std double"
+)
+
+
+def sample_frames_decoded(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """REAL frame sampling over video payloads: one output row per
+    sampled timestamp with the decoded frame's statistics.
+
+    Payloads are AVI containers (MJPEG or raw-DIB frames —
+    ``sources.avicodec``); the container header gives fps/frame count,
+    sampled timestamps map to frame indices, and ONLY those frames are
+    decoded (``decode_avi_frame`` seeks past unsampled chunks) — the
+    shape that matters when a corpus row holds minutes of video but the
+    pipeline wants one frame a second.  Runs Arrow-batched
+    ``mapInPandas``; the modality filter stays Spark-side so only video
+    rows cross the Arrow boundary."""
+    from fastdb_spark.sources import avicodec as av
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                info = av.avi_info(payload)
+                n, fps = info["n_frames"], info["fps"]
+                duration_ms = int(n * 1000 / fps)
+                seen: set[int] = set()
+                for ts in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(int(ts * fps / 1000), n - 1)
+                    if idx in seen:
+                        continue
+                    seen.add(idx)
+                    frame = av.decode_avi_frame(payload, idx)
+                    a = frame.astype("float64")
+                    rows.append(
+                        (
+                            int(media_id),
+                            ts,
+                            idx,
+                            frame.shape[0],
+                            frame.shape[1],
+                            1 if frame.ndim == 2 else frame.shape[2],
+                            float(a.mean()),
+                            float(a.std()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "frame_index", "height",
+                    "width", "channels", "pix_mean", "pix_std",
+                ],
+            )
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
+    )

@@ -1,7 +1,9 @@
-"""Dependency-free image codecs: PNG (stdlib zlib) and FITS image HDUs
-(struct + numpy) — the two formats the reference's cutout path actually
+"""Dependency-free image codecs: PNG (stdlib zlib), FITS image HDUs
+(struct + numpy), and baseline JPEG (``jpegcodec``, dispatched here) —
+PNG/FITS are the two formats the reference's cutout path actually
 produces (FITS science cutouts, PNG previews; reference
-``src/services/projectsim.py:362-421``).
+``src/services/projectsim.py:362-421``); JPEG covers user-supplied
+corpus media.
 
 The runtime image ships no imaging library, but neither format needs
 one: PNG is zlib-compressed filtered scanlines over a chunked container
@@ -14,8 +16,10 @@ both from the specs un-gates the ``pipeline.multimodal`` decode path:
 Scope (stated plainly): PNG bit depth 8, color types 0/2/4/6 (grey,
 RGB, grey+alpha, RGBA), no interlacing — the formats cutout previews
 use; all five scanline filters implemented.  FITS: primary HDU, BITPIX
-8/16/32/-32/-64, NAXIS=2.  Anything else raises ``ValueError`` with the
-offending feature named (reject-row cascade upstream catches it).
+8/16/32/-32/-64, NAXIS=2.  JPEG: baseline sequential (see
+``jpegcodec`` for the precise envelope).  Anything else raises
+``ValueError`` with the offending feature named (reject-row cascade
+upstream catches it).
 """
 
 from __future__ import annotations
@@ -255,11 +259,13 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def sniff(payload: bytes) -> str:
-    """'png' | 'fits' | 'unknown' by magic bytes."""
+    """'png' | 'fits' | 'jpeg' | 'unknown' by magic bytes."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:6] == b"SIMPLE":
         return "fits"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -270,13 +276,17 @@ def decode_any(payload: bytes) -> np.ndarray:
             return decode_png(payload)
         if kind == "fits":
             return decode_fits_image(payload)
+        if kind == "jpeg":
+            from fastdb_spark.sources.jpegcodec import decode_jpeg
+
+            return decode_jpeg(payload)
     except (struct.error, zlib.error, IndexError, KeyError) as e:
         # documented contract: malformed payloads raise ValueError (the
         # reject-row cascade catches that, not parser internals).
         # KeyError covers a FITS header carrying END but missing a
         # mandatory card (BITPIX/NAXIS1/NAXIS2).
         raise ValueError(f"malformed {kind} payload: {e}") from e
-    raise ValueError("unrecognized image payload (not PNG or FITS)")
+    raise ValueError("unrecognized image payload (not PNG, FITS, or JPEG)")
 
 
 def real_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
@@ -303,13 +313,17 @@ def real_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
 
 def real_resize(payload: bytes, width: int, height: int) -> bytes:
     """REAL decode -> nearest resize -> re-encode for ``resize_images``.
-    PNG round-trips as PNG; FITS as FITS."""
+    PNG round-trips as PNG, FITS as FITS, JPEG as JPEG."""
     # decode through decode_any so parser internals (struct/zlib/Key/
     # IndexError) surface as the documented ValueError contract
     arr = decode_any(payload)
     kind = sniff(payload)
     if kind == "png":
         return encode_png(resize_nearest(arr, width, height))
+    if kind == "jpeg":
+        from fastdb_spark.sources.jpegcodec import encode_jpeg
+
+        return encode_jpeg(resize_nearest(arr, width, height))
     return encode_fits_image(resize_nearest(arr, width, height))
 
 
