@@ -1703,18 +1703,27 @@ def _boilerplate_oracle() -> str:
 
 
 def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image codec under the exact gate: per document a deterministic
-    8x8 grey image (pixel k = (doc_id*31 + k) % 256) is encoded to actual
-    PNG bytes and decoded back through the spec-derived codec inside
-    mapInPandas; the INTEGER pixel statistics of the decoded array are
-    adjudicated against an oracle that computes them arithmetically —
-    any pixel the codec corrupts flips the sums."""
+    """REAL media codecs under the exact gate: per document, deterministic
+    pixel content is pushed through every dependency-free codec inside
+    mapInPandas and the INTEGER pixel statistics of the decoded arrays
+    are adjudicated against an oracle that computes them arithmetically —
+    any pixel any codec corrupts flips the sums.
+
+    Legs: PNG (8x8 grey, lossless), FITS (signed 16-bit HDU, lossless),
+    JPEG (16x16 grey of four per-block constants at quality=100 — the
+    all-ones-quant regime where constant DCT blocks round-trip
+    bit-exactly; exercises Huffman DC categories incl. negatives, DC
+    prediction across blocks, byte stuffing), raw-DIB AVI (3 arbitrary
+    RGB frames, lossless container round-trip), and MJPEG AVI (2
+    constant grey frames at quality=100, bit-exact)."""
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
 
+    from fastdb_spark.sources import avicodec as av
     from fastdb_spark.sources import imagecodec as ic
+    from fastdb_spark.sources import jpegcodec as jc
 
     docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
 
@@ -1722,19 +1731,49 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
                 k = np.arange(64, dtype=np.int64)
-                arr = ((int(doc_id) * 31 + k) % 256).astype(np.uint8)
+                arr = ((did * 31 + k) % 256).astype(np.uint8)
                 arr = arr.reshape(8, 8)
                 dec = ic.decode_any(ic.encode_png(arr))[:, :, 0]
                 d = dec.astype(np.int64)
                 # FITS leg: signed 16-bit values through the FITS codec
-                fv = ((int(doc_id) * 17 + k) % 1000 - 500).astype(np.int16)
+                fv = ((did * 17 + k) % 1000 - 500).astype(np.int16)
                 fdec = ic.decode_fits_image(
                     ic.encode_fits_image(fv.reshape(8, 8))
                 ).astype(np.int64)
+                # JPEG leg: 16x16 of four 8x8 constant blocks, q100
+                bvals = np.array(
+                    [(did * 13 + 2 * i + 5 * j) % 256 for i in (0, 1) for j in (0, 1)],
+                    dtype=np.int64,
+                )
+                jimg = (
+                    bvals.reshape(2, 2).repeat(8, 0).repeat(8, 1).astype(np.uint8)
+                )
+                jdec = ic.decode_any(jc.encode_jpeg(jimg, quality=100)).astype(
+                    np.int64
+                )
+                # raw-DIB AVI leg: 3 arbitrary 8x8 RGB frames, lossless
+                f = np.arange(3, dtype=np.int64).reshape(3, 1, 1)
+                c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+                pix = k.reshape(1, 64, 1)
+                vid = ((did * 7 + f * 3 + pix + c) % 256).astype(np.uint8)
+                vid = vid.reshape(3, 8, 8, 3)
+                vdec, _fps = av.decode_avi(av.encode_avi(vid, codec="rgb"))
+                # MJPEG AVI leg: 2 constant grey frames, q100 bit-exact
+                mv = np.array([(did * 11) % 256, (did * 11 + 29) % 256], dtype=np.int64)
+                mframes = (
+                    mv.reshape(2, 1, 1)
+                    .repeat(8, 1)
+                    .repeat(8, 2)
+                    .astype(np.uint8)
+                )
+                mdec, _ = av.decode_avi(
+                    av.encode_avi(mframes, codec="mjpg", quality=100)
+                )
                 rows.append(
                     (
-                        int(doc_id),
+                        did,
                         dec.shape[0],
                         dec.shape[1],
                         int(d.sum()),
@@ -1744,6 +1783,13 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(fdec.sum()),
                         int(fdec.min()),
                         int(fdec.max()),
+                        int(jdec.sum()),
+                        int(jdec.min()),
+                        int(jdec.max()),
+                        int(vdec.astype(np.int64).sum()),
+                        int(mdec.astype(np.int64).sum()),
+                        int(mdec.min()),
+                        int(mdec.max()),
                     )
                 )
             yield pd.DataFrame(
@@ -1752,6 +1798,8 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "height", "width",
                     "pix_sum", "pix_sq_sum", "pix_min", "pix_max",
                     "fits_sum", "fits_min", "fits_max",
+                    "jpg_sum", "jpg_min", "jpg_max",
+                    "avi_sum", "mjpg_sum", "mjpg_min", "mjpg_max",
                 ],
             )
 
@@ -1759,25 +1807,67 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         "doc_id long, height int, width int, pix_sum long, "
         "pix_sq_sum long, pix_min int, pix_max int, "
-        "fits_sum long, fits_min int, fits_max int",
+        "fits_sum long, fits_min int, fits_max int, "
+        "jpg_sum long, jpg_min int, jpg_max int, "
+        "avi_sum long, mjpg_sum long, mjpg_min int, mjpg_max int",
     )
 
 
 _MM_CODEC_ORACLE = """
-    SELECT doc_id,
+    WITH png_fits AS (
+        SELECT doc_id,
+               CAST(sum(v) AS BIGINT) AS pix_sum,
+               CAST(sum(v*v) AS BIGINT) AS pix_sq_sum,
+               CAST(min(v) AS INTEGER) AS pix_min,
+               CAST(max(v) AS INTEGER) AS pix_max,
+               CAST(sum(f) AS BIGINT) AS fits_sum,
+               CAST(min(f) AS INTEGER) AS fits_min,
+               CAST(max(f) AS INTEGER) AS fits_max
+        FROM (SELECT doc_id,
+                     (doc_id*31 + k.k) % 256 AS v,
+                     (doc_id*17 + k.k) % 1000 - 500 AS f
+              FROM documents, (SELECT unnest(range(0, 64)) AS k) k)
+        GROUP BY doc_id
+    ),
+    jpg AS (
+        SELECT doc_id,
+               CAST(64 * sum(b) AS BIGINT) AS jpg_sum,
+               CAST(min(b) AS INTEGER) AS jpg_min,
+               CAST(max(b) AS INTEGER) AS jpg_max
+        FROM (SELECT doc_id, (doc_id*13 + 2*i.i + 5*jj.j) % 256 AS b
+              FROM documents,
+                   (SELECT unnest(range(0, 2)) AS i) i,
+                   (SELECT unnest(range(0, 2)) AS j) jj)
+        GROUP BY doc_id
+    ),
+    avi AS (
+        SELECT doc_id, CAST(sum(p) AS BIGINT) AS avi_sum
+        FROM (SELECT doc_id, (doc_id*7 + 3*f.f + k.k + c.c) % 256 AS p
+              FROM documents,
+                   (SELECT unnest(range(0, 3)) AS f) f,
+                   (SELECT unnest(range(0, 64)) AS k) k,
+                   (SELECT unnest(range(0, 3)) AS c) c)
+        GROUP BY doc_id
+    ),
+    mjpg AS (
+        SELECT doc_id,
+               CAST(64 * sum(v) AS BIGINT) AS mjpg_sum,
+               CAST(min(v) AS INTEGER) AS mjpg_min,
+               CAST(max(v) AS INTEGER) AS mjpg_max
+        FROM (SELECT doc_id, (doc_id*11 + 29*f.f) % 256 AS v
+              FROM documents, (SELECT unnest(range(0, 2)) AS f) f)
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id,
            8 AS height, 8 AS width,
-           CAST(sum(v) AS BIGINT) AS pix_sum,
-           CAST(sum(v*v) AS BIGINT) AS pix_sq_sum,
-           CAST(min(v) AS INTEGER) AS pix_min,
-           CAST(max(v) AS INTEGER) AS pix_max,
-           CAST(sum(f) AS BIGINT) AS fits_sum,
-           CAST(min(f) AS INTEGER) AS fits_min,
-           CAST(max(f) AS INTEGER) AS fits_max
-    FROM (SELECT doc_id,
-                 (doc_id*31 + k.k) % 256 AS v,
-                 (doc_id*17 + k.k) % 1000 - 500 AS f
-          FROM documents, (SELECT unnest(range(0, 64)) AS k) k)
-    GROUP BY doc_id
+           p.pix_sum, p.pix_sq_sum, p.pix_min, p.pix_max,
+           p.fits_sum, p.fits_min, p.fits_max,
+           j.jpg_sum, j.jpg_min, j.jpg_max,
+           a.avi_sum, m.mjpg_sum, m.mjpg_min, m.mjpg_max
+    FROM png_fits p
+    JOIN jpg j USING (doc_id)
+    JOIN avi a USING (doc_id)
+    JOIN mjpg m USING (doc_id)
 """
 
 
@@ -2291,6 +2381,84 @@ def _q_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("doc_id", "fingerprint")
 
 
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the exact gate: every fifth
+    document becomes an 8-frame raw-DIB AVI (pixel values derived from
+    doc_id), ``sample_frames_decoded`` decodes ONLY the sampled frames
+    (fps=4, every 500 ms -> frame indices 0/2/4/6), and the per-frame
+    pixel sums (reconstructed exactly from the emitted float mean) are
+    adjudicated against an oracle that computes them arithmetically —
+    wrong frame indexing, container parsing, or pixel decode all flip
+    the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.multimodal import sample_frames_decoded
+    from fastdb_spark.sources import avicodec as av
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .filter("doc_id % 5 = 0")
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                f = np.arange(8, dtype=np.int64).reshape(8, 1, 1)
+                k = np.arange(64, dtype=np.int64).reshape(1, 64, 1)
+                c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+                frames = ((did * 19 + 5 * f + 2 * k + 3 * c) % 256).astype(
+                    np.uint8
+                ).reshape(8, 8, 8, 3)
+                rows.append(
+                    (
+                        did,
+                        "video",
+                        bytearray(av.encode_avi(frames, fps=4, codec="rgb")),
+                        "video/avi",
+                        8,
+                        8,
+                        2000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "modality", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = docs.mapInPandas(
+        mk,
+        "media_id long, modality string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    sampled = sample_frames_decoded(media, every_ms=500)
+    return sampled.select(
+        "media_id",
+        "frame_ts_ms",
+        "frame_index",
+        "height",
+        "width",
+        "channels",
+        F.round(
+            F.col("pix_mean")
+            * F.col("height")
+            * F.col("width")
+            * F.col("channels")
+        )
+        .cast("long")
+        .alias("pix_sum"),
+    )
+
+
 def _q_timescale_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3+F4 under the exact gate: sexagesimal parsing and the MJD/TAI
     time-scale conversions over a deterministic grid derived from events.
@@ -2675,8 +2843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         # NEW in round 7, tail position (parity-run + unit-tested every
         # session; rotates into the round-8 window): takedown/removal
-        # support for the persisted dedup index
+        # support for the persisted dedup index, and the real video
+        # frame-sampling decode leg
         "dedup_index_takedown": _q_dedup_index_takedown,
+        "video_frame_sample": _q_video_frame_sample,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -2996,6 +3166,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_takedown": po.incdedup_oracle_sql(
             remove_pred="doc_id % 10 = 0"
         ),
+        "video_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(ts.ts AS INTEGER) AS frame_ts_ms,
+                   CAST(ts.ts / 250 AS INTEGER) AS frame_index,
+                   8 AS height, 8 AS width, 3 AS channels,
+                   CAST(sum((doc_id*19 + 5*(ts.ts/250) + 2*k.k + 3*c.c) % 256)
+                        AS BIGINT) AS pix_sum
+            FROM documents,
+                 (SELECT unnest([0, 500, 1000, 1500]) AS ts) ts,
+                 (SELECT unnest(range(0, 64)) AS k) k,
+                 (SELECT unnest(range(0, 3)) AS c) c
+            WHERE doc_id % 5 = 0
+            GROUP BY doc_id, ts.ts
+        """,
         "uuid_minting": """
             WITH m AS (
               SELECT user_id,
