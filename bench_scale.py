@@ -359,6 +359,112 @@ def bench_skew(spark) -> dict:
     return out
 
 
+def bench_media(spark) -> dict:
+    """Distributed media-codec throughput: the multimodal path's scale
+    story.  JPEG thumbnails and AVI clips are synthesized AND consumed
+    through the real Arrow mapInPandas operators (spec-derived codecs,
+    no imaging library); payloads are materialized to scratch parquet
+    first so the decode rows time decode, not synthesis."""
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames_decoded,
+    )
+    from fastdb_spark.sources import avicodec as av
+    from fastdb_spark.sources import imagecodec as ic
+    from fastdb_spark.sources import jpegcodec as jc
+
+    n_img = int(os.environ.get("SCALE_MEDIA_IMAGES", 100_000))
+    n_vid = int(os.environ.get("SCALE_MEDIA_VIDEOS", 10_000))
+    out = {"media_images_n": n_img, "media_videos_n": n_vid}
+    scratch = tempfile.mkdtemp(prefix="fastdb_media_bench_")
+    try:
+        media_schema = (
+            "media_id long, modality string, payload binary, mime string, "
+            "width int, height int, duration_ms int"
+        )
+
+        def mk_jpegs(batches):
+            for pdf in batches:
+                rows = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    k = np.arange(32 * 32, dtype=np.int64)
+                    img = ((mid * 31 + k) % 256).astype(np.uint8).reshape(32, 32)
+                    rows.append(
+                        (mid, "image", bytearray(jc.encode_jpeg(img, quality=85)),
+                         "image/jpeg", 32, 32, None)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "modality", "payload", "mime",
+                                   "width", "height", "duration_ms"]
+                )
+
+        t0 = time.perf_counter()
+        spark.range(n_img).repartition(64).mapInPandas(
+            mk_jpegs, media_schema
+        ).write.mode("overwrite").parquet(os.path.join(scratch, "jpegs"))
+        dt = time.perf_counter() - t0
+        out["jpeg_encode_32px_s"] = round(dt, 2)
+        out["jpeg_encode_imgs_per_s"] = round(n_img / dt)
+
+        imgs = spark.read.parquet(os.path.join(scratch, "jpegs"))
+        t0 = time.perf_counter()
+        extract_features(imgs, decoder=ic.real_decode_features).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out["jpeg_featurize_s"] = round(dt, 2)
+        out["jpeg_featurize_imgs_per_s"] = round(n_img / dt)
+
+        t0 = time.perf_counter()
+        resize_images(imgs, 16, 16, resizer=ic.real_resize).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out["jpeg_resize_s"] = round(dt, 2)
+        out["jpeg_resize_imgs_per_s"] = round(n_img / dt)
+
+        def mk_avis(batches):
+            for pdf in batches:
+                rows = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    f = np.arange(16, dtype=np.int64).reshape(16, 1, 1, 1)
+                    k = np.arange(16 * 16, dtype=np.int64).reshape(1, 16, 16, 1)
+                    c = np.arange(3, dtype=np.int64).reshape(1, 1, 1, 3)
+                    frames = ((mid * 7 + 5 * f + k + c) % 256).astype(np.uint8)
+                    rows.append(
+                        (mid, "video", bytearray(av.encode_avi(frames, fps=8,
+                                                               codec="rgb")),
+                         "video/avi", 16, 16, 2000)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "modality", "payload", "mime",
+                                   "width", "height", "duration_ms"]
+                )
+
+        spark.range(n_vid).repartition(32).mapInPandas(
+            mk_avis, media_schema
+        ).write.mode("overwrite").parquet(os.path.join(scratch, "avis"))
+        vids = spark.read.parquet(os.path.join(scratch, "avis"))
+        # fps=8 over 16 frames = 2 s of video; every 500 ms -> 4 sampled
+        # frames decoded per clip, 12 skipped by the chunk seek
+        t0 = time.perf_counter()
+        sample_frames_decoded(vids, every_ms=500).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        out["avi_sample_decode_s"] = round(dt, 2)
+        out["avi_sampled_frames_per_s"] = round(n_vid * 4 / dt)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -374,6 +480,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_SKEW_ONLY", "0") == "1":
         out["skew"] = bench_skew(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_MEDIA_ONLY", "0") == "1":
+        out["media_ops"] = bench_media(spark)
         print(json.dumps(out))
         return
 

@@ -202,6 +202,22 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
     return codes
 
 
+_STD_CODES = None
+
+
+def _std_codes():
+    """The four standard encode tables, built once per process."""
+    global _STD_CODES
+    if _STD_CODES is None:
+        _STD_CODES = (
+            _build_codes(*HUFF_DC_LUMA),
+            _build_codes(*HUFF_AC_LUMA),
+            _build_codes(*HUFF_DC_CHROMA),
+            _build_codes(*HUFF_AC_CHROMA),
+        )
+    return _STD_CODES
+
+
 class _HuffDecoder:
     """Canonical Huffman decode tables (T.81 F.2.2.3: MINCODE/MAXCODE/VALPTR)."""
 
@@ -457,10 +473,7 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    dc_l = _build_codes(*HUFF_DC_LUMA)
-    ac_l = _build_codes(*HUFF_AC_LUMA)
-    dc_c = _build_codes(*HUFF_DC_CHROMA)
-    ac_c = _build_codes(*HUFF_AC_CHROMA)
+    dc_l, ac_l, dc_c, ac_c = _std_codes()
 
     # with 1x1 sampling for every component, an MCU is one block per
     # component; encode interleaved in MCU raster order

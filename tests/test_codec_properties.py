@@ -99,3 +99,67 @@ def test_fits_bintable_roundtrip(tmp_path_factory, n, seed, width):
             assert np.array_equal(back[k], v, equal_nan=True), k
         else:
             assert np.array_equal(back[k], v), k
+
+
+# ---------------------------------------------------------------------------
+# JPEG / AVI properties
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    by=st.integers(min_value=1, max_value=4),
+    bx=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_blockconstant_q100_bit_exact(seed, by, bx):
+    """Per-block-constant images are a fixed point of the q100 pipeline:
+    FDCT of a constant block is a lone integer DC coefficient, quant 1
+    preserves it, IDCT restores the constant exactly."""
+    from fastdb_spark.sources import jpegcodec as jc
+
+    rng = np.random.default_rng(seed)
+    img = (
+        rng.integers(0, 256, (by, bx)).repeat(8, 0).repeat(8, 1).astype(np.uint8)
+    )
+    assert np.array_equal(jc.decode_jpeg(jc.encode_jpeg(img, quality=100)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+)
+def test_jpeg_q100_arbitrary_content_bounded_error(seed, h, w):
+    """At quant 1 the only loss is coefficient rounding (<=0.5 per
+    coefficient); the reconstruction error stays within a few levels for
+    ANY content and ANY (cropped) dimensions."""
+    from fastdb_spark.sources import jpegcodec as jc
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    dec = jc.decode_jpeg(jc.encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4
+    assert err.mean() <= 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    fps=st.integers(min_value=1, max_value=60),
+)
+def test_avi_rgb_roundtrip_property(seed, n, h, w, fps):
+    """decode(encode(x)) == x for every raw-DIB clip shape, including
+    widths whose 3-byte stride needs row padding."""
+    from fastdb_spark.sources import avicodec as av
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+    dec, got_fps = av.decode_avi(av.encode_avi(frames, fps=fps, codec="rgb"))
+    assert got_fps == fps
+    assert np.array_equal(dec, frames)
