@@ -346,6 +346,64 @@ def rebuild_dedup_index(
     return n
 
 
+def stream_dedup_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming corpus ingest into the persisted dedup index:
+    ``readStream`` over a parquet file source, ``foreachBatch`` applying
+    :func:`dedup_index_upsert` per micro-batch under the table write
+    lock.  The checkpoint gives exactly-once over the transport, and the
+    upsert itself absorbs re-delivery — a replayed document matches its
+    own fingerprint already in the index and is dropped — so even
+    at-least-once delivery (a torn checkpoint, a second pipeline fed the
+    same files) leaves the index contents unchanged.  Returns the
+    started ``StreamingQuery``.
+
+    The index must already exist (``build_dedup_index`` on the seed
+    corpus); sketch parameters come from the index metadata, never this
+    caller, so every micro-batch is banded identically."""
+    _check_scheme(_load_params(index_path), index_path)
+
+    # micro-batches are batch-sized, not table-sized (same rationale as
+    # streaming/ingest.py): don't let 200 default shuffle partitions turn
+    # each upsert into confetti tasks
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        dedup_index_upsert(
+            spark,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            max_bucket_size=max_bucket_size,
+        )
+
+    reader = spark.readStream.schema(f"{id_col} long, {text_col} string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(docs_path)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
+
+
 def dedup_index_remove(
     spark: SparkSession,
     ids,

@@ -278,3 +278,85 @@ def test_index_remove_unblocks_near_dups(spark, tmp_path):
     assert incdedup.dedup_index_upsert(spark, near, path) == []
     incdedup.dedup_index_remove(spark, [1], path)
     assert incdedup.dedup_index_upsert(spark, near, path) == [10]
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest into the dedup index
+
+
+def test_stream_dedup_index_end_to_end(spark, tmp_path):
+    """readStream -> foreachBatch -> dedup_index_upsert: exact and near
+    dups of seed docs are dropped across micro-batches, fresh docs
+    append; a full re-delivery (same files, FRESH checkpoint — the
+    at-least-once worst case) leaves the index contents unchanged
+    because every replayed survivor matches its own fingerprint."""
+    from fastdb_spark.pipeline import incdedup
+
+    idx = str(tmp_path / "sidx")
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    incdedup.build_dedup_index(
+        _mk_docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text about spark partitions"),
+            ],
+        ),
+        idx,
+    )
+    # two stream files: an exact dup + fresh doc, then a near dup + fresh
+    _mk_docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (11, "a wholly new document body with its own words"),
+        ],
+    ).coalesce(1).write.parquet(str(stream_dir / "a"))
+    _mk_docs(
+        spark,
+        [
+            (12, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+            (13, "another genuinely novel document arrives here now"),
+        ],
+    ).coalesce(1).write.parquet(str(stream_dir / "b"))
+
+    # parquet file source needs a flat dir of files; point at the dir glob
+    q = incdedup.stream_dedup_index(
+        spark,
+        str(stream_dir / "*"),
+        idx,
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx + "/fingerprints").collect()
+    )
+    assert ids == [1, 2, 11, 13]
+
+    # re-delivery: same files, fresh checkpoint -> upsert absorbs all
+    q = incdedup.stream_dedup_index(
+        spark,
+        str(stream_dir / "*"),
+        idx,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx + "/fingerprints").collect()
+    )
+    assert ids2 == [1, 2, 11, 13]
+
+
+def test_stream_dedup_index_requires_built_index(spark, tmp_path):
+    from fastdb_spark.pipeline import incdedup
+
+    with pytest.raises(FileNotFoundError):
+        incdedup.stream_dedup_index(
+            spark,
+            str(tmp_path / "nope"),
+            str(tmp_path / "no_index"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
