@@ -17,11 +17,13 @@ Scope (stated plainly):
   per segment.  Progressive (SOF2), arithmetic coding, 12-bit, and
   hierarchical modes raise ``ValueError`` naming the feature (the
   reject-row cascade upstream catches that).
-- **Encode**: baseline sequential, grayscale or YCbCr 4:4:4, standard
+- **Encode**: baseline sequential, grayscale or YCbCr at 4:4:4 or
+  4:2:0 (box-averaged chroma, the interchange default), standard
   Annex K quantization tables scaled by the IJG quality formula
   (quality=100 -> all-ones tables, which makes per-block-constant
   images round-trip bit-exactly — the property the exact-correctness
-  gate leans on), standard Annex K Huffman tables.
+  gate leans on), standard Annex K Huffman tables, optional restart
+  intervals.
 
 The DCT is the spec's type-II/III pair computed as an exact matrix
 product over numpy float64 (vectorized across every block of the image
@@ -347,58 +349,42 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # encoder
 
 
-def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad a 2-D plane to 8x8 multiples (edge replicate) and return the
-    block stack (by, bx, 8, 8) plus block-grid dims."""
-    h, w = plane.shape
-    ph = (-h) % 8
-    pw = (-w) % 8
-    if ph or pw:
-        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    by = plane.shape[0] // 8
-    bx = plane.shape[1] // 8
-    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-    return blocks, by, bx
-
-
-def _encode_plane(
+def _encode_block(
     writer: _BitWriter,
-    zz: np.ndarray,
+    row: np.ndarray,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
     pred: int,
 ) -> int:
-    """Entropy-encode one component's blocks (``zz``: (n, 64) zigzagged,
-    quantized int coefficients) in raster order; returns the new DC
+    """Entropy-encode one zigzagged quantized block; returns the new DC
     predictor."""
-    for row in zz:
-        diff = int(row[0]) - pred
-        pred = int(row[0])
-        s = _category(diff)
-        code, ln = dc_codes[s]
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
         writer.write(code, ln)
-        if s:
-            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
         run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                writer.write(code, ln)
-                run -= 16
-            s = _category(v)
-            code, ln = ac_codes[(run << 4) | s]
-            writer.write(code, ln)
-            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            writer.write(code, ln)
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
     return pred
 
 
@@ -413,15 +399,29 @@ def _dqt_segment(tid: int, table_raster: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+def _pad_edge(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D float plane to exactly (H, W)."""
+    h, w = plane.shape
+    if h == H and w == W:
+        return plane
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """uint8 array (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
 
-    4:4:4 (no chroma subsampling), standard Annex K quantization scaled
-    by ``quality`` (100 -> all-ones tables), standard Annex K Huffman
-    tables.  Dimensions are padded to 8x8 multiples internally; the SOF0
-    header records the true size so decoders crop back.
+    ``subsampling`` is ``'4:4:4'`` (every component full resolution) or
+    ``'4:2:0'`` (chroma box-averaged 2x2 — the interchange default,
+    roughly halving color payloads; ignored for grayscale).  Standard
+    Annex K quantization scaled by ``quality`` (100 -> all-ones tables),
+    standard Annex K Huffman tables.  Dimensions are padded to MCU
+    multiples internally; the SOF0 header records the true size so
+    decoders crop back.
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     that many MCUs (DC predictors reset at each) — the error-resilience
@@ -443,9 +443,22 @@ def encode_jpeg(
     if h == 0 or w == 0:
         raise ValueError("cannot JPEG-encode an empty image")
 
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(
+            f"unsupported subsampling {subsampling!r} (4:4:4 or 4:2:0)"
+        )
     qluma = quality_scale_table(QUANT_LUMA, quality)
     qchroma = quality_scale_table(QUANT_CHROMA, quality)
     ncomp = len(planes)
+    # per-component (h_sampling, v_sampling)
+    if ncomp == 3 and subsampling == "4:2:0":
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        hv = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in hv)
+    vmax = max(s[1] for s in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF 1.01, no density, no thumbnail
@@ -454,10 +467,11 @@ def encode_jpeg(
     out += _dqt_segment(0, qluma)
     if ncomp == 3:
         out += _dqt_segment(1, qchroma)
-    # SOF0: precision 8, size, components (id, sampling 1x1, qtable)
+    # SOF0: precision 8, size, components (id, sampling, qtable)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hs, vs = hv[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, HUFF_DC_LUMA)
     out += _dht_segment(1, 0, HUFF_AC_LUMA)
@@ -475,35 +489,49 @@ def encode_jpeg(
 
     dc_l, ac_l, dc_c, ac_c = _std_codes()
 
-    # with 1x1 sampling for every component, an MCU is one block per
-    # component; encode interleaved in MCU raster order
+    # quantized zigzag block grids per component: (blocks_y, blocks_x, 64)
     zz_planes = []
-    nby = nbx = 0
     for ci, plane in enumerate(planes):
-        blocks, nby, nbx = _blockify(plane)
+        hs, vs = hv[ci]
+        full = _pad_edge(plane, mcuy * 8 * vmax, mcux * 8 * hmax)
+        if (hs, vs) != (hmax, vmax):
+            # box-average downsample to this component's grid (JFIF
+            # centered-average convention for 2x2)
+            ry, rx = vmax // vs, hmax // hs
+            H, W = full.shape
+            full = full.reshape(H // ry, ry, W // rx, rx).mean(axis=(1, 3))
+        nby, nbx = full.shape[0] // 8, full.shape[1] // 8
+        blocks = full.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
         coefs = fdct2(blocks - 128.0)
         q = qluma if ci == 0 else qchroma
         qz = np.round(coefs / q.reshape(8, 8)).astype(np.int64)
-        zz_planes.append(qz.reshape(nby * nbx, 64)[:, ZIGZAG])
+        zz_planes.append(qz.reshape(nby, nbx, 64)[:, :, ZIGZAG])
 
     writer = _BitWriter()
     preds = [0] * ncomp
     tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
-    # with 1x1 sampling, MCU = one block per component
+    # interleaved MCU raster order: each MCU carries hs*vs blocks per
+    # component (T.81 A.2.3)
     rst = 0
-    for m in range(nby * nbx):
-        if restart_interval and m and m % restart_interval == 0:
-            writer.marker(0xD0 + rst)
-            rst = (rst + 1) % 8
-            preds = [0] * ncomp
-        for ci in range(ncomp):
-            preds[ci] = _encode_plane(
-                writer,
-                zz_planes[ci][m : m + 1],
-                tables[ci][0],
-                tables[ci][1],
-                preds[ci],
-            )
+    m = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = hv[ci]
+                for v in range(vs):
+                    for hb in range(hs):
+                        preds[ci] = _encode_block(
+                            writer,
+                            zz_planes[ci][my * vs + v, mx * hs + hb],
+                            tables[ci][0],
+                            tables[ci][1],
+                            preds[ci],
+                        )
+            m += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -603,3 +603,67 @@ def test_avi_error_paths():
         )
     assert av.sniff_avi(av.encode_avi(np.zeros((1, 8, 8), dtype=np.uint8), codec="rgb"))
     assert not av.sniff_avi(b"RIFFxxxxWAVE")
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 encoder
+
+
+def test_encode_420_roundtrip_and_size_win():
+    """The 4:2:0 encoder output decodes through the (independently
+    pinned) decoder within chroma-averaging error, and its scan is
+    materially smaller than 4:4:4 on the same content."""
+    y, x = np.mgrid[0:96, 0:96]
+    smooth = np.stack(
+        [
+            ((np.sin(x / 9.0) + 1) * 127).astype(np.uint8),
+            ((np.cos(y / 7.0) + 1) * 127).astype(np.uint8),
+            ((np.sin((x + y) / 11.0) + 1) * 127).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    enc420 = jc.encode_jpeg(smooth, quality=90, subsampling="4:2:0")
+    enc444 = jc.encode_jpeg(smooth, quality=90, subsampling="4:4:4")
+    dec = jc.decode_jpeg(enc420)
+    assert dec.shape == smooth.shape
+    mse = ((dec.astype(float) - smooth) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr >= 30.0, psnr
+    assert len(enc420) < 0.8 * len(enc444), (len(enc420), len(enc444))
+
+
+def test_encode_420_gray_content_matches_444():
+    """Gray content (R=G=B) has constant chroma, so 4:2:0 subsampling
+    loses nothing: both modes reconstruct the same pixels at q100."""
+    rng = np.random.default_rng(30)
+    g = rng.integers(0, 256, (2, 2)).repeat(8, 0).repeat(8, 1).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    d420 = jc.decode_jpeg(jc.encode_jpeg(img, quality=100, subsampling="4:2:0"))
+    d444 = jc.decode_jpeg(jc.encode_jpeg(img, quality=100, subsampling="4:4:4"))
+    assert np.array_equal(d420, d444)
+    assert np.abs(d420.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_encode_420_odd_dims_and_restarts():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (19, 21, 3)).astype(np.uint8)
+    for ri in (0, 1):
+        dec = jc.decode_jpeg(
+            jc.encode_jpeg(img, quality=95, subsampling="4:2:0", restart_interval=ri)
+        )
+        assert dec.shape == img.shape
+    with pytest.raises(ValueError, match="subsampling"):
+        jc.encode_jpeg(img, subsampling="4:1:1")
+
+
+def test_encode_420_quadrants_match_hand_stream_semantics():
+    """The production 4:2:0 encoder on the same four-quadrant gray image
+    the hand-assembled stream test decodes: quadrant constants survive
+    the MCU interleave (Y 2x2 + Cb + Cr) bit-for-bit at q100."""
+    q = np.array([[118, 138], [98, 158]], dtype=np.uint8)
+    g = q.repeat(8, 0).repeat(8, 1)
+    img = np.stack([g, g, g], axis=-1)
+    dec = jc.decode_jpeg(jc.encode_jpeg(img, quality=100, subsampling="4:2:0"))
+    for (qy, qx), val in zip(((0, 0), (0, 1), (1, 0), (1, 1)), (118, 138, 98, 158)):
+        quad = dec[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        assert np.abs(quad.astype(int) - int(val)).max() <= 1, (qy, qx, val)
