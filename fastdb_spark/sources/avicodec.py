@@ -217,26 +217,34 @@ def avi_info(payload: bytes) -> dict:
     }
 
 
+def _decode_frame_chunk(chunk: bytes, comp: bytes, w: int, h: int) -> np.ndarray:
+    """Decode one frame chunk; parser internals (struct/IndexError from a
+    torn MJPEG frame) surface as the documented ValueError contract so
+    the reject-row cascade upstream catches them."""
+    try:
+        if comp in (b"MJPG", b"mjpg"):
+            return decode_jpeg(chunk)
+        return _dib_decode(chunk, w, h)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed AVI frame payload: {e}") from e
+
+
 def decode_avi_frame(payload: bytes, index: int) -> np.ndarray:
     """Decode ONE frame by index (0-based) — the sampled-decode path."""
     n, w, h, _fps, comp, _s, _e = _parse_header(payload)
     for i, chunk in enumerate(iter_avi_frames(payload)):
         if i == index:
-            if comp in (b"MJPG", b"mjpg"):
-                return decode_jpeg(chunk)
-            return _dib_decode(chunk, w, h)
+            return _decode_frame_chunk(chunk, comp, w, h)
     raise ValueError(f"AVI frame index {index} out of range")
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes -> (frames array (n, h, w, 3) or (n, h, w), fps)."""
     n, w, h, fps, comp, _s, _e = _parse_header(payload)
-    frames = []
-    for chunk in iter_avi_frames(payload):
-        if comp in (b"MJPG", b"mjpg"):
-            frames.append(decode_jpeg(chunk))
-        else:
-            frames.append(_dib_decode(chunk, w, h))
+    frames = [
+        _decode_frame_chunk(chunk, comp, w, h)
+        for chunk in iter_avi_frames(payload)
+    ]
     if not frames:
         raise ValueError("AVI contains no video frames")
     return np.stack(frames), fps

@@ -667,3 +667,26 @@ def test_encode_420_quadrants_match_hand_stream_semantics():
     for (qy, qx), val in zip(((0, 0), (0, 1), (1, 0), (1, 1)), (118, 138, 98, 158)):
         quad = dec[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
         assert np.abs(quad.astype(int) - int(val)).max() <= 1, (qy, qx, val)
+
+
+def test_avi_torn_mjpeg_frame_is_valueerror():
+    """A corrupted MJPEG frame chunk must surface as the documented
+    ValueError (reject-row cascade contract), not a raw struct/Index
+    error from the JPEG parser."""
+    frames = np.full((2, 8, 8), 99, dtype=np.uint8)
+    enc = bytearray(av.encode_avi(frames, codec="mjpg", quality=100))
+    # tear the second frame: find its JPEG SOI inside movi and truncate
+    # the chunk body to 4 bytes of garbage after SOI
+    soi_positions = []
+    i = 0
+    while True:
+        j = bytes(enc).find(b"\xff\xd8\xff", i)
+        if j < 0:
+            break
+        soi_positions.append(j)
+        i = j + 1
+    assert len(soi_positions) >= 2
+    j = soi_positions[-1]
+    enc[j + 2 : j + 8] = b"\xc0\x00\x02\x00\x00\x00"  # nonsense SOF stub
+    with pytest.raises(ValueError):
+        av.decode_avi(bytes(enc))
