@@ -1725,7 +1725,17 @@ def _q_multimodal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.sources import imagecodec as ic
     from fastdb_spark.sources import jpegcodec as jc
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    # the id column is all the codec legs need; repartition it so the
+    # per-doc Python codec work parallelizes even when the source table
+    # is one parquet file (one scan partition = one serial mapInPandas
+    # task otherwise — at corpus scale the input is many files, but the
+    # gate shape shouldn't depend on that)
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2403,6 +2413,9 @@ def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .table("documents")
         .select("doc_id")
         .filter("doc_id % 5 = 0")
+        # parallelize the per-doc AVI build/decode even off a one-file
+        # table (same rationale as the codec-roundtrip gate)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
