@@ -2391,6 +2391,44 @@ def _q_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("doc_id", "fingerprint")
 
 
+def _q_ann_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-index takedown under the exact gate: build the persisted index
+    from the even-id half of the clustered corpus, ``ivf_index_remove``
+    every indexed vector with ``vec_id % 10 == 0`` (removal set derived
+    from the index's OWN vectors table — the lineage-hazard caller
+    shape; partition-pruned per-cluster rewrites), ``ivf_index_upsert``
+    the odd half, then probe EXHAUSTIVELY (nprobe = n_clusters) so the
+    result must EQUAL the exact top-10 over the corpus minus the
+    removed ids.  A removal that left rows behind, dropped too much, or
+    corrupted a partition swap flips the hash."""
+    import shutil
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_remove,
+        ivf_index_upsert,
+        ivf_search_index,
+    )
+
+    embs, qvec = _ann_corpus(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_ivf_takedown", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    build_ivf_index(
+        embs.filter("vec_id % 2 = 0"), path, n_clusters=8, strategy="seed"
+    )
+    rm = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter("vec_id % 10 = 0")
+        .select("vec_id")
+    )
+    ivf_index_remove(spark, rm, path)
+    ivf_index_upsert(embs.filter("vec_id % 2 = 1"), path)
+    return ivf_search_index(spark, path, qvec, k=10, nprobe=8).select(
+        "vec_id", "cos"
+    )
+
+
 def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling under the exact gate: every fifth
     document becomes an 8-frame raw-DIB AVI (pixel values derived from
@@ -2860,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frame-sampling decode leg
         "dedup_index_takedown": _q_dedup_index_takedown,
         "video_frame_sample": _q_video_frame_sample,
+        "ann_index_takedown": _q_ann_index_takedown,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3179,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_takedown": po.incdedup_oracle_sql(
             remove_pred="doc_id % 10 = 0"
         ),
+        "ann_index_takedown": po.ann_takedown_sql(),
         "video_frame_sample": """
             SELECT doc_id AS media_id,
                    CAST(ts.ts AS INTEGER) AS frame_ts_ms,

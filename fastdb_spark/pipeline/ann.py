@@ -466,6 +466,90 @@ def ivf_index_upsert(
         return n
 
 
+def ivf_index_remove(
+    spark: SparkSession,
+    ids,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from a persisted IVF(-PQ) index — the takedown path
+    (the embedding twin of ``incdedup.dedup_index_remove``: DMCA/GDPR/
+    licensing removals are routine against a long-lived retrieval index).
+    ``ids`` is a Python sequence (``isin`` literal) or a single-column
+    DataFrame (broadcast anti-join, the backfill-scale form).  Returns
+    the number of vectors actually removed.
+
+    Partition-pruned by construction: only the cluster directories that
+    contain removed ids are rewritten (tmp outside the partitioned dir +
+    atomic rename; a fully-emptied cluster directory is deleted, which
+    the probe paths already tolerate — an empty cluster is just a probe
+    that returns no candidates).  Centroids and codebooks are untouched:
+    quantizers stay frozen between rebuilds, and removal never changes
+    what the remaining codes mean.  Serializes on the index write lock."""
+    import os
+    import shutil
+
+    from fastdb_spark.locks import table_write_lock
+
+    with table_write_lock(path):
+        vec_dir = os.path.join(path, "vectors")
+        if isinstance(ids, DataFrame):
+            # sever lineage BEFORE any rewrite: the natural caller derives
+            # the removal set from the index's own vectors table, and a
+            # lazy broadcast plan over a partition this loop has already
+            # swapped throws FILE_NOT_EXIST (the round-6 refreshByPath
+            # hazard class, same fix as dedup_index_remove)
+            rm = ids.select(
+                F.col(ids.columns[0]).alias(id_col)
+            ).localCheckpoint(eager=True)
+
+            def drop(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(rm), on=id_col, how="left_anti")
+
+            def hit(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(rm), on=id_col, how="left_semi")
+
+        else:
+            idlist = list(ids)
+
+            def drop(df: DataFrame) -> DataFrame:
+                return df.filter(~F.col(id_col).isin(idlist))
+
+            def hit(df: DataFrame) -> DataFrame:
+                return df.filter(F.col(id_col).isin(idlist))
+
+        # bounded by n_clusters (the KB-sized centroid table's row count)
+        affected = sorted(
+            r["cluster"]
+            for r in hit(spark.read.parquet(vec_dir))
+            .select("cluster")
+            .distinct()
+            .collect()
+        )
+        removed = 0
+        for cl in affected:
+            cdir = os.path.join(vec_dir, f"cluster={cl}")
+            part = spark.read.parquet(cdir)  # partition col lives in the path
+            n_before = part.count()
+            kept = drop(part).localCheckpoint(eager=True)
+            n_kept = kept.count()
+            removed += n_before - n_kept
+            if n_kept == 0:
+                shutil.rmtree(cdir, ignore_errors=True)
+                continue
+            # tmp AND old live OUTSIDE the partitioned tree: a transient
+            # "cluster=N_old" sibling would corrupt partition-column
+            # inference for any concurrent reader
+            tmp = os.path.join(path, f"_rm_tmp_cluster_{cl}")
+            kept.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(path, f"_rm_old_cluster_{cl}")
+            os.rename(cdir, old)
+            os.rename(tmp, cdir)
+            shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(vec_dir)
+    return removed
+
+
 def _adc_score(
     codebooks: list[list[list[float]]],
     q_norm: list[float],

@@ -534,6 +534,30 @@ def ann_exhaustive_sql(methods: list[str], k: int = 10, query_vec_id: int = 0) -
     """
 
 
+def ann_takedown_sql(
+    k: int = 10,
+    query_vec_id: int = 0,
+    keep_pred: str = "vec_id % 10 <> 0",
+) -> str:
+    """Oracle for the IVF-takedown gate: the index holds the whole
+    clustered corpus except the removed ids (build evens -> remove
+    multiples of 10 -> upsert odds, and every multiple of 10 is even),
+    and the probe is exhaustive, so the result must EQUAL the exact
+    top-k over ``ce`` filtered by ``keep_pred``.  The query vector stays
+    the full-corpus vec 0 — removal takes it out of the INDEX, not out
+    of the caller's hand."""
+    cos = _COS.format(a="ce.cemb", b="q.qv")
+    return f"""
+        WITH {_clustered_ctes()},
+        q AS (SELECT cemb AS qv FROM ce WHERE vec_id = {query_vec_id})
+        SELECT ce.vec_id, {cos} AS cos
+        FROM ce, q
+        WHERE {keep_pred}
+        ORDER BY cos DESC, ce.vec_id
+        LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # BPE trainer literal-VALUES oracle (VERDICT r6 #5)
 

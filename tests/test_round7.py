@@ -360,3 +360,126 @@ def test_stream_dedup_index_requires_built_index(spark, tmp_path):
             str(tmp_path / "no_index"),
             checkpoint=str(tmp_path / "ckpt"),
         )
+
+
+# ---------------------------------------------------------------------------
+# takedown path: ivf_index_remove (the embedding twin)
+
+
+def _mk_vecs(spark, ids, dim=8):
+    import numpy as np
+
+    rows = []
+    for i in ids:
+        rng = np.random.default_rng(1000 + i)
+        rows.append((i, [float(x) for x in rng.uniform(-1, 1, dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_index_remove_list_and_frame(spark, tmp_path):
+    """Removal rewrites ONLY affected cluster partitions, drops the ids
+    from search results, and the DataFrame form survives deriving the
+    removal set from the index's own vectors table (lineage hazard)."""
+    import os
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_remove,
+        ivf_search_index,
+    )
+
+    path = str(tmp_path / "ivf_rm")
+    vecs = _mk_vecs(spark, range(40))
+    build_ivf_index(vecs, path, n_clusters=4, strategy="seed")
+    before = {
+        c: os.path.getmtime(os.path.join(path, "vectors", f"cluster={c}"))
+        for c in range(4)
+        if os.path.exists(os.path.join(path, "vectors", f"cluster={c}"))
+    }
+    stored = spark.read.parquet(path + "/vectors")
+    victim = stored.select("vec_id", "cluster").head()
+    n = ivf_index_remove(spark, [victim["vec_id"]], path)
+    assert n == 1
+    after = spark.read.parquet(path + "/vectors")
+    assert after.filter(F.col("vec_id") == victim["vec_id"]).count() == 0
+    assert after.count() == 39
+    # untouched clusters keep their directory mtimes (partition-pruned
+    # rewrite: only the victim's cluster dir was swapped)
+    for c, mt in before.items():
+        d = os.path.join(path, "vectors", f"cluster={c}")
+        if c != victim["cluster"] and os.path.exists(d):
+            assert os.path.getmtime(d) == mt, c
+
+    # DataFrame form, derived from the index itself
+    rm = spark.read.parquet(path + "/vectors").filter(
+        "vec_id % 7 = 0"
+    ).select("vec_id")
+    expected = rm.count()
+    assert ivf_index_remove(spark, rm, path) == expected
+    remaining = spark.read.parquet(path + "/vectors")
+    assert remaining.filter("vec_id % 7 = 0").count() == 0
+
+    # search never returns removed ids
+    q = list(_mk_vecs(spark, [0]).head()["embedding"])
+    hits = ivf_search_index(spark, path, q, k=10, nprobe=4).collect()
+    assert all(h["vec_id"] % 7 != 0 for h in hits)
+
+
+def test_ivf_index_remove_empties_a_cluster(spark, tmp_path):
+    """Removing every vector of a cluster deletes its directory; probes
+    tolerate the hole (an empty cluster is a candidate-less probe)."""
+    import os
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_remove,
+        ivf_search_index,
+    )
+
+    path = str(tmp_path / "ivf_rm_empty")
+    vecs = _mk_vecs(spark, range(24))
+    build_ivf_index(vecs, path, n_clusters=3, strategy="seed")
+    stored = spark.read.parquet(path + "/vectors")
+    victim_cluster = stored.groupBy("cluster").count().head()["cluster"]
+    victims = [
+        r["vec_id"]
+        for r in stored.filter(F.col("cluster") == victim_cluster).collect()
+    ]
+    assert ivf_index_remove(spark, victims, path) == len(victims)
+    assert not os.path.exists(
+        os.path.join(path, "vectors", f"cluster={victim_cluster}")
+    )
+    q = list(_mk_vecs(spark, [5]).head()["embedding"])
+    hits = ivf_search_index(spark, path, q, k=5, nprobe=3).collect()
+    assert hits and all(h["vec_id"] not in set(victims) for h in hits)
+
+
+def test_ivf_index_remove_pq_layout(spark, tmp_path):
+    """Removal preserves the PQ columns of an IVF-PQ layout; codebooks
+    and centroids are untouched (quantizers frozen)."""
+    import os
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_remove
+
+    path = str(tmp_path / "ivfpq_rm")
+    build_ivf_index(
+        _mk_vecs(spark, range(30)), path, n_clusters=3, strategy="seed",
+        pq_m=4, pq_k=8, pq_residual=True,
+    )
+    books_before = sorted(
+        map(tuple, (
+            (r["subspace"], r["code"])
+            for r in spark.read.parquet(path + "/codebooks").collect()
+        ))
+    )
+    assert ivf_index_remove(spark, [3, 9, 27], path) == 3
+    after = spark.read.parquet(path + "/vectors")
+    assert "pq_code" in after.columns
+    assert after.count() == 27
+    books_after = sorted(
+        map(tuple, (
+            (r["subspace"], r["code"])
+            for r in spark.read.parquet(path + "/codebooks").collect()
+        ))
+    )
+    assert books_after == books_before
