@@ -2391,6 +2391,52 @@ def _q_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("doc_id", "fingerprint")
 
 
+def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup under the exact gate: per document a seeded
+    24x24 grayscale PNG; every fourth document also plants a
+    brightness-shifted twin (+3 on every pixel, headroom-capped at
+    encode time) under ``media_id = doc_id + 10_000_000``.  A uniform
+    shift moves ONLY the DCT's DC coefficient (linearity), so the
+    planted twin's pHash is EXACTLY equal and ``image_dup_pairs`` at
+    hamming 0 must return exactly the planted pairs — an arithmetic
+    oracle.  A decode bug, DCT bug, bit-packing bug, or join bug either
+    loses planted pairs or invents false ones; both flip the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.imagededup import image_dup_pairs
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rng = np.random.default_rng(did)
+                img = rng.integers(0, 248, (24, 24)).astype(np.uint8)
+                rows.append((did, bytearray(ic.encode_png(img))))
+                if did % 4 == 0:
+                    rows.append(
+                        (
+                            did + 10_000_000,
+                            bytearray(ic.encode_png(img + np.uint8(3))),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(mk, "media_id long, payload binary")
+    return image_dup_pairs(media, max_hamming=0)
+
+
 def _q_ann_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-index takedown under the exact gate: build the persisted index
     from the even-id half of the clustered corpus, ``ivf_index_remove``
@@ -2899,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_takedown": _q_dedup_index_takedown,
         "video_frame_sample": _q_video_frame_sample,
         "ann_index_takedown": _q_ann_index_takedown,
+        "image_phash_dedup": _q_image_phash_dedup,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3219,6 +3266,12 @@ def oracle_sql() -> dict[str, str]:
             remove_pred="doc_id % 10 = 0"
         ),
         "ann_index_takedown": po.ann_takedown_sql(),
+        "image_phash_dedup": """
+            SELECT doc_id AS id_a,
+                   doc_id + 10000000 AS id_b
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
         "video_frame_sample": """
             SELECT doc_id AS media_id,
                    CAST(ts.ts AS INTEGER) AS frame_ts_ms,

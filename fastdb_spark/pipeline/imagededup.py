@@ -1,0 +1,192 @@
+"""Perceptual image deduplication: pHash / dHash over binary payloads.
+
+Exact byte hashing misses the image near-dups a multimodal training
+corpus is full of — brightness/contrast tweaks, re-encodes, format
+conversions of the same picture.  Perceptual hashes collapse those to
+identical (or near-identical) 64-bit fingerprints:
+
+- **pHash**: decode -> grayscale -> 32x32 -> 2-D DCT -> the low-frequency
+  8x8 block (DC excluded) thresholded at its median -> 64 bits.  A
+  uniform brightness shift changes ONLY the DC coefficient (the DCT is
+  linear and the shift is a multiple of the constant basis), so the 64
+  AC sign bits — and therefore the hash — are EXACTLY invariant, which
+  is what the exact-correctness gate adjudicates.
+- **dHash**: grayscale -> 9x8 -> horizontal gradient signs -> 64 bits.
+  Cheaper, catches the same re-encode class, used as the second opinion.
+
+Hashing runs Arrow-batched ``mapInPandas`` (the codec is per-item Python
+by nature); everything after — exact-hash grouping, pair expansion,
+hamming-threshold refinement — is JVM-side DataFrame algebra.  At scale
+the pair step is a self-equi-join on the 64-bit hash (or its bands for
+hamming > 0), never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastdb_spark.sources import imagecodec as ic
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """32-point type-II DCT basis (same normalization as jpegcodec's
+    8-point matrix, generalized), built once per process."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        _DCT32 = np.array(
+            [
+                [
+                    (np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n))
+                    * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+                    for x in range(n)
+                ]
+                for u in range(n)
+            ]
+        )
+    return _DCT32
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr.astype(np.float64)
+    return arr.astype(np.float64).mean(axis=2)
+
+
+def phash_bytes(payload: bytes, hash_size: int = 8) -> int:
+    """payload -> 64-bit perceptual hash (as a signed int64-safe int)."""
+    gray = _to_gray(ic.decode_any(payload))
+    small = ic.resize_nearest(gray, 32, 32)
+    c = _dct32()
+    coefs = c @ small @ c.T
+    block = coefs[:hash_size, :hash_size].flatten()[1:]  # DC excluded
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # 63 bits here (DC dropped) — stable int64, no sign games needed
+    return h
+
+
+def dhash_bytes(payload: bytes, hash_size: int = 8) -> int:
+    """payload -> 64-bit difference hash (horizontal gradient signs)."""
+    gray = _to_gray(ic.decode_any(payload))
+    small = ic.resize_nearest(gray, hash_size + 1, hash_size)
+    bits = small[:, 1:] > small[:, :-1]
+    h = 0
+    for b in bits.flatten():
+        h = (h << 1) | int(b)
+    return h
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+) -> DataFrame:
+    """(id, payload) -> (id, phash bigint) via Arrow mapInPandas.
+
+    Undecodable payloads are SKIPPED (emitted to neither side) — the
+    caller's reject cascade sees them via the count difference; a dedup
+    pass must not die on one torn image in a billion."""
+    fn = {"phash": phash_bytes, "dhash": dhash_bytes}.get(method)
+    if fn is None:
+        raise ValueError(f"unknown perceptual hash method {method!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = fn(bytes(payload))
+                except ValueError:
+                    continue
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, phash long"
+    )
+
+
+def image_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    max_hamming: int = 0,
+    bands: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs ``(id_a < id_b)``.
+
+    ``max_hamming = 0`` (the exact-fingerprint regime the gate
+    adjudicates) is ONE self-equi-join on the hash — never all-pairs.
+    ``max_hamming > 0`` reuses the banded scheme the simhash text path
+    established: split the 64 bits into ``bands`` substrings, candidates
+    collide on at least one band (guaranteed complete for
+    ``max_hamming < bands``), then an exact popcount refine keeps pairs
+    within the threshold."""
+    hashes = perceptual_hashes(media, id_col, payload_col, method)
+    a = hashes.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    b = hashes.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    if max_hamming == 0:
+        pairs = a.join(b, F.col("ph_a") == F.col("ph_b")).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return pairs.select("id_a", "id_b")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs more than {bands} bands for "
+            "a complete banded search (pigeonhole: one band must be clean)"
+        )
+    width = 64 // bands
+    banded = hashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "phash", "bk.band", "bk.key")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+    ).select("id_a", "id_b")
