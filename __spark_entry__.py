@@ -2437,6 +2437,62 @@ def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(media, max_hamming=0)
 
 
+def _q_audio_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup under the exact gate: per document a seeded
+    sine-mix WAV (amplitudes sized so doubling never clips int16); every
+    fourth document plants a gain-doubled twin under ``media_id = doc_id
+    + 20_000_000``.  Power-of-two gain scaling is EXACTLY invariant for
+    the Haitsma-Kalker sign bits (IEEE scaling is exact through the
+    linear FFT), so ``audio_dup_pairs`` must return exactly the planted
+    pairs — an arithmetic oracle.  Decode, framing, FFT banding,
+    bit-packing, and join bugs all flip the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.audiodedup import audio_dup_pairs
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rng = np.random.default_rng(did)
+                t = np.arange(2048)
+                sig = (
+                    2000 * np.sin(t * 0.05 * (1 + did % 5))
+                    + 1500 * np.sin(t * 0.013 * (1 + did % 3))
+                    + rng.normal(0, 300, 2048)
+                ).astype(np.int16)
+                rows.append(
+                    (did, bytearray(ic.encode_wav(sig[:, None], rate=16000)))
+                )
+                if did % 4 == 0:
+                    rows.append(
+                        (
+                            did + 20_000_000,
+                            bytearray(
+                                ic.encode_wav(
+                                    (sig * np.int16(2))[:, None], rate=16000
+                                )
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(mk, "media_id long, payload binary")
+    return audio_dup_pairs(media)
+
+
 def _q_ann_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-index takedown under the exact gate: build the persisted index
     from the even-id half of the clustered corpus, ``ivf_index_remove``
@@ -2946,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frame_sample,
         "ann_index_takedown": _q_ann_index_takedown,
         "image_phash_dedup": _q_image_phash_dedup,
+        "audio_afp_dedup": _q_audio_afp_dedup,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3269,6 +3326,12 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": """
             SELECT doc_id AS id_a,
                    doc_id + 10000000 AS id_b
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
+        "audio_afp_dedup": """
+            SELECT doc_id AS id_a,
+                   doc_id + 20000000 AS id_b
             FROM documents
             WHERE doc_id % 4 = 0
         """,
