@@ -428,6 +428,14 @@ def bench_media(spark) -> dict:
         out["jpeg_resize_s"] = round(dt, 2)
         out["jpeg_resize_imgs_per_s"] = round(n_img / dt)
 
+        from fastdb_spark.pipeline.imagededup import perceptual_hashes
+
+        t0 = time.perf_counter()
+        perceptual_hashes(imgs).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out["jpeg_phash_s"] = round(dt, 2)
+        out["jpeg_phash_imgs_per_s"] = round(n_img / dt)
+
         def mk_avis(batches):
             for pdf in batches:
                 rows = []
