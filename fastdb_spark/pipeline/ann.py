@@ -518,25 +518,36 @@ def ivf_index_remove(
             def hit(df: DataFrame) -> DataFrame:
                 return df.filter(F.col(id_col).isin(idlist))
 
-        # bounded by n_clusters (the KB-sized centroid table's row count)
-        affected = sorted(
-            r["cluster"]
-            for r in hit(spark.read.parquet(vec_dir))
-            .select("cluster")
-            .distinct()
+        # two aggregate jobs up front (both bounded by n_clusters — the
+        # KB-sized centroid table's row count) instead of two count jobs
+        # per affected cluster inside the rewrite loop
+        vecs = spark.read.parquet(vec_dir)
+        hit_counts = {
+            r["cluster"]: r["n"]
+            for r in hit(vecs)
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"))
             .collect()
-        )
-        removed = 0
+        }
+        total_counts = {
+            r["cluster"]: r["n"]
+            for r in vecs.filter(
+                F.col("cluster").isin(list(hit_counts)) if hit_counts else F.lit(False)
+            )
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        affected = sorted(hit_counts)
+        removed = sum(hit_counts.values())
         for cl in affected:
             cdir = os.path.join(vec_dir, f"cluster={cl}")
-            part = spark.read.parquet(cdir)  # partition col lives in the path
-            n_before = part.count()
-            kept = drop(part).localCheckpoint(eager=True)
-            n_kept = kept.count()
-            removed += n_before - n_kept
-            if n_kept == 0:
+            if total_counts[cl] == hit_counts[cl]:
                 shutil.rmtree(cdir, ignore_errors=True)
                 continue
+            # partition col lives in the path; checkpoint severs the read
+            # from the directory the swap below replaces
+            kept = drop(spark.read.parquet(cdir)).localCheckpoint(eager=True)
             # tmp AND old live OUTSIDE the partitioned tree: a transient
             # "cluster=N_old" sibling would corrupt partition-column
             # inference for any concurrent reader
