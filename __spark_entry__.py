@@ -2493,6 +2493,57 @@ def _q_audio_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_pairs(media)
 
 
+def _q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup under the exact gate: per document a seeded
+    6-frame raw-DIB AVI (pixels in 0..247); every fourth document plants
+    a uniformly re-graded twin (+4 on every pixel of every frame) under
+    ``media_id = doc_id + 30_000_000``.  Per-frame pHash brightness
+    invariance lifts to the clip fingerprint (sampled-frame pHashes
+    md5-folded in order), so ``video_dup_pairs`` must return exactly the
+    planted pairs — an arithmetic oracle.  Container parsing, sampled
+    seek, frame decode, DCT, and fold bugs all flip the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.imagededup import video_dup_pairs
+    from fastdb_spark.sources import avicodec as av
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rng = np.random.default_rng(did)
+                frames = rng.integers(0, 248, (6, 16, 16, 3)).astype(np.uint8)
+                rows.append(
+                    (did, bytearray(av.encode_avi(frames, fps=4, codec="rgb")))
+                )
+                if did % 4 == 0:
+                    rows.append(
+                        (
+                            did + 30_000_000,
+                            bytearray(
+                                av.encode_avi(
+                                    frames + np.uint8(4), fps=4, codec="rgb"
+                                )
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(mk, "media_id long, payload binary")
+    return video_dup_pairs(media, every_ms=500)
+
+
 def _q_ann_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-index takedown under the exact gate: build the persisted index
     from the even-id half of the clustered corpus, ``ivf_index_remove``
@@ -3003,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_takedown": _q_ann_index_takedown,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
+        "video_phash_dedup": _q_video_phash_dedup,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3332,6 +3384,12 @@ def oracle_sql() -> dict[str, str]:
         "audio_afp_dedup": """
             SELECT doc_id AS id_a,
                    doc_id + 20000000 AS id_b
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
+        "video_phash_dedup": """
+            SELECT doc_id AS id_a,
+                   doc_id + 30000000 AS id_b
             FROM documents
             WHERE doc_id % 4 = 0
         """,

@@ -60,20 +60,23 @@ def _to_gray(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.float64).mean(axis=2)
 
 
-def phash_bytes(payload: bytes, hash_size: int = 8) -> int:
-    """payload -> 64-bit perceptual hash (as a signed int64-safe int)."""
-    gray = _to_gray(ic.decode_any(payload))
+def _phash_array(gray: np.ndarray, hash_size: int = 8) -> int:
+    """Grayscale float plane -> pHash int (63 sign bits; DC dropped, so
+    the value is int64-stable with no sign games)."""
     small = ic.resize_nearest(gray, 32, 32)
     c = _dct32()
     coefs = c @ small @ c.T
     block = coefs[:hash_size, :hash_size].flatten()[1:]  # DC excluded
     med = np.median(block)
-    bits = block > med
     h = 0
-    for b in bits:
+    for b in block > med:
         h = (h << 1) | int(b)
-    # 63 bits here (DC dropped) — stable int64, no sign games needed
     return h
+
+
+def phash_bytes(payload: bytes, hash_size: int = 8) -> int:
+    """payload -> 64-bit perceptual hash (as a signed int64-safe int)."""
+    return _phash_array(_to_gray(ic.decode_any(payload)), hash_size)
 
 
 def dhash_bytes(payload: bytes, hash_size: int = 8) -> int:
@@ -116,6 +119,78 @@ def perceptual_hashes(
 
     return media.select(id_col, payload_col).mapInPandas(
         op, schema=f"{id_col} long, phash long"
+    )
+
+
+def video_fingerprint_bytes(
+    payload: bytes, every_ms: int = 1000, hash_size: int = 8
+) -> int:
+    """AVI payload -> folded 64-bit perceptual clip fingerprint: the
+    pHash of each SAMPLED frame (``every_ms`` cadence, unsampled frames
+    seeked past — ``avicodec.iter_avi_frames``), md5-folded in order.
+    Per-frame pHash brightness invariance lifts to the clip: a uniformly
+    re-graded copy fingerprints identically."""
+    import hashlib
+
+    from fastdb_spark.sources import avicodec as av
+
+    info = av.avi_info(payload)
+    n, fps = info["n_frames"], info["fps"]
+    duration_ms = int(n * 1000 / fps)
+    comp = b"MJPG" if info["codec"] == "mjpg" else b"\x00\x00\x00\x00"
+    want: list[int] = []
+    seen: set[int] = set()
+    for ts in range(0, max(duration_ms, 1), every_ms):
+        idx = min(int(ts * fps / 1000), n - 1)
+        if idx not in seen:
+            seen.add(idx)
+            want.append(idx)
+    want_set = set(want)
+    hashes: dict[int, int] = {}
+    for i, chunk in enumerate(av.iter_avi_frames(payload)):
+        if i in want_set:
+            frame = av._decode_frame_chunk(
+                chunk, comp, info["width"], info["height"]
+            )
+            hashes[i] = _phash_array(_to_gray(frame), hash_size)
+    folded = hashlib.md5(
+        b"".join(hashes[i].to_bytes(8, "big") for i in want)
+    ).digest()
+    return int.from_bytes(folded[:8], "big", signed=True)
+
+
+def video_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Perceptual video duplicate pairs ``(id_a < id_b)`` — sampled-frame
+    pHash fingerprints folded per clip, then ONE self-equi-join.
+    Undecodable payloads are skipped (same contract as
+    ``perceptual_hashes``)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = video_fingerprint_bytes(bytes(payload), every_ms)
+                except ValueError:
+                    continue
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "vfp": hashes})
+
+    hashes = media.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, vfp long"
+    )
+    a = hashes.select(F.col(id_col).alias("id_a"), F.col("vfp").alias("h_a"))
+    b = hashes.select(F.col(id_col).alias("id_b"), F.col("vfp").alias("h_b"))
+    return (
+        a.join(b, F.col("h_a") == F.col("h_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
 
 

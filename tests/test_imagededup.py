@@ -99,3 +99,55 @@ def test_image_dup_pairs_exact_and_banded(spark):
 
     with pytest.raises(ValueError, match="bands"):
         idd.image_dup_pairs(media, max_hamming=8, bands=8).collect()
+
+
+# ---------------------------------------------------------------------------
+# video perceptual dedup (sampled-frame pHash fold)
+
+
+def _avi(seed: int, shift: int = 0, n_frames: int = 8) -> bytes:
+    from fastdb_spark.sources import avicodec as av
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 248, (n_frames, 16, 16, 3)).astype(np.uint8)
+    return av.encode_avi(frames + np.uint8(shift), fps=4, codec="rgb")
+
+
+def test_video_fingerprint_brightness_invariant_and_distinct():
+    base = idd.video_fingerprint_bytes(_avi(1), every_ms=500)
+    assert idd.video_fingerprint_bytes(_avi(1, shift=4), every_ms=500) == base
+    assert len(
+        {idd.video_fingerprint_bytes(_avi(s), every_ms=500) for s in range(10)}
+    ) == 10
+
+
+def test_video_fingerprint_samples_not_all_frames():
+    """Changing an UNSAMPLED frame must not change the fingerprint —
+    proof the sampled-decode path really skips frames."""
+    from fastdb_spark.sources import avicodec as av
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 248, (8, 16, 16, 3)).astype(np.uint8)
+    a = av.encode_avi(frames, fps=4, codec="rgb")
+    # fps=4, every 1000 ms over 2 s -> indices 0 and 4; frame 3 unsampled
+    frames2 = frames.copy()
+    frames2[3] = 255 - frames2[3]
+    b = av.encode_avi(frames2, fps=4, codec="rgb")
+    assert idd.video_fingerprint_bytes(a, 1000) == idd.video_fingerprint_bytes(b, 1000)
+    # but changing a SAMPLED frame does change it
+    frames3 = frames.copy()
+    frames3[4] = 255 - frames3[4]
+    c = av.encode_avi(frames3, fps=4, codec="rgb")
+    assert idd.video_fingerprint_bytes(a, 1000) != idd.video_fingerprint_bytes(c, 1000)
+
+
+def test_video_dup_pairs_end_to_end(spark):
+    rows = [(s, bytearray(_avi(s))) for s in range(4)]
+    rows.append((100, bytearray(_avi(2, shift=4))))  # regraded twin of 2
+    rows.append((300, bytearray(b"RIFF....AVI junk")))  # torn, skipped
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in idd.video_dup_pairs(media, every_ms=500).collect()
+    }
+    assert pairs == {(2, 100)}
