@@ -103,8 +103,13 @@ def audio_dup_pairs(
     **kw,
 ) -> DataFrame:
     """Exact-fingerprint duplicate pairs ``(id_a < id_b)`` — one
-    self-equi-join on the folded hash."""
-    hashes = audio_hashes(media, id_col, payload_col, **kw)
+    self-equi-join on the folded hash.  The hash frame is staged before
+    the self-join (both sides reference it; unstaged, each would re-run
+    the decode+FFT mapInPandas); ``cachereg.release_staged()`` frees
+    it."""
+    from fastdb_spark.cachereg import stage
+
+    hashes = stage(audio_hashes(media, id_col, payload_col, **kw))
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("afp").alias("h_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("afp").alias("h_b"))
     return (

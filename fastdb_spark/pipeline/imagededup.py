@@ -168,7 +168,9 @@ def video_dup_pairs(
     """Perceptual video duplicate pairs ``(id_a < id_b)`` — sampled-frame
     pHash fingerprints folded per clip, then ONE self-equi-join.
     Undecodable payloads are skipped (same contract as
-    ``perceptual_hashes``)."""
+    ``perceptual_hashes``).  The fingerprint frame is staged before the
+    self-join (see ``image_dup_pairs``); ``cachereg.release_staged()``
+    frees it."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,8 +184,12 @@ def video_dup_pairs(
                 hashes.append(h)
             yield pd.DataFrame({id_col: ids, "vfp": hashes})
 
-    hashes = media.select(id_col, payload_col).mapInPandas(
-        op, schema=f"{id_col} long, vfp long"
+    from fastdb_spark.cachereg import stage
+
+    hashes = stage(
+        media.select(id_col, payload_col).mapInPandas(
+            op, schema=f"{id_col} long, vfp long"
+        )
     )
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("vfp").alias("h_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("vfp").alias("h_b"))
@@ -210,8 +216,15 @@ def image_dup_pairs(
     established: split the 64 bits into ``bands`` substrings, candidates
     collide on at least one band (guaranteed complete for
     ``max_hamming < bands``), then an exact popcount refine keeps pairs
-    within the threshold."""
-    hashes = perceptual_hashes(media, id_col, payload_col, method)
+    within the threshold.
+
+    The hash frame is STAGED (cachereg persist) before the self-join:
+    both join sides reference it, and without the stage each side would
+    re-run the decode+DCT mapInPandas — a 2x decode bill at corpus
+    scale.  Call ``cachereg.release_staged()`` after consuming."""
+    from fastdb_spark.cachereg import stage
+
+    hashes = stage(perceptual_hashes(media, id_col, payload_col, method))
     a = hashes.select(
         F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
     )

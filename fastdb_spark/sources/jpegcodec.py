@@ -582,6 +582,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at byte {pos}")
+        # repeated 0xFF are legal fill bytes before a marker (T.81 B.1.1.2)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -660,6 +663,12 @@ def _decode_scan(
     fh, fw, comps = frame
     if len(scan) != len(comps):
         raise ValueError("JPEG multi-scan (non-interleaved) unsupported")
+    if len(comps) == 1:
+        # a single-component scan is NON-interleaved (T.81 A.2.2): the
+        # MCU is one data unit and the declared sampling factors do not
+        # apply — a grayscale file declaring 2x2 sampling still lays its
+        # blocks out on the plain 8x8 grid
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):

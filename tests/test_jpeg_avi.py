@@ -690,3 +690,34 @@ def test_avi_torn_mjpeg_frame_is_valueerror():
     enc[j + 2 : j + 8] = b"\xc0\x00\x02\x00\x00\x00"  # nonsense SOF stub
     with pytest.raises(ValueError):
         av.decode_avi(bytes(enc))
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved — declared
+    sampling factors do not apply.  A grayscale stream declaring 2x2
+    must decode on the plain 8x8 block grid."""
+    out = bytearray(b"\xff\xd8")
+    body = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x22, 0])  # 2x2!
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht(0, 0, jc.HUFF_DC_LUMA) + _dht(1, 0, jc.HUFF_AC_LUMA)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    # two blocks on the 8x8 grid: 128 then 129 (same bits as the
+    # DC-prediction golden)
+    bits = "00" + "1010" + "101" + "1000" + "1010"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big") + b"\xff\xd9"
+    dec = jc.decode_jpeg(bytes(out))
+    assert dec.shape == (8, 16)
+    assert (dec[:, :8] == 128).all() and (dec[:, 8:] == 129).all()
+
+
+def test_fill_bytes_before_marker_tolerated():
+    """Repeated 0xFF fill bytes before a marker are legal (B.1.1.2)."""
+    enc = jc.encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), quality=100)
+    # inject fill bytes before the DQT marker (right after SOI+APP0)
+    i = enc.index(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i + 1 :]  # FF FF FF DB...
+    assert (jc.decode_jpeg(padded) == 50).all()
