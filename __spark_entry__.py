@@ -2493,6 +2493,85 @@ def _q_audio_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_pairs(media)
 
 
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata validation under the exact gate: per document one media
+    payload of a rotating kind (PNG / WAV / AVI, dims and frame counts
+    derived from doc_id) with DECLARED width/height that LIES for every
+    fifth document.  ``probe_media`` reads only container headers (no
+    pixel/sample decode) and must reproduce the actual dims, counts, and
+    the lie verdict arithmetically."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.multimodal import probe_media
+    from fastdb_spark.sources import avicodec as av
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                lie = 1 if did % 5 == 0 else 0
+                if did % 3 == 0:
+                    w, h = 8 + did % 5, 6 + did % 7
+                    payload = ic.encode_png(
+                        np.zeros((h, w), dtype=np.uint8)
+                    )
+                    rows.append(
+                        (did, "image", bytearray(payload), w + lie, h)
+                    )
+                elif did % 3 == 1:
+                    ch = 1 + did % 2
+                    n = 300 + did % 100
+                    payload = ic.encode_wav(
+                        np.zeros((n, ch), dtype=np.int16), rate=8000
+                    )
+                    rows.append((did, "audio", bytearray(payload), None, None))
+                else:
+                    w, nf = 8 + 4 * (did % 2), 1 + did % 4
+                    payload = av.encode_avi(
+                        np.zeros((nf, 8, w, 3), dtype=np.uint8),
+                        fps=4,
+                        codec="rgb",
+                    )
+                    rows.append(
+                        (did, "video", bytearray(payload), w + lie, 8)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "modality", "payload", "width", "height"],
+            )
+
+    media = docs.mapInPandas(
+        mk,
+        "media_id long, modality string, payload binary, "
+        "width int, height int",
+    )
+    probed = probe_media(media)
+    # project the nullable boolean to a null-free verdict string: a
+    # bool column that is NULL for undeclared rows round-trips through
+    # pandas as None-vs-NaN depending on the engine, which the hash
+    # compare must not depend on
+    return probed.select(
+        "media_id", "kind", "actual_width", "actual_height",
+        "channels", "n_frames",
+        F.when(F.col("metadata_ok").isNull(), "n/a")
+        .when(F.col("metadata_ok"), "ok")
+        .otherwise("lie")
+        .alias("metadata_verdict"),
+    )
+
+
 def _q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO dedup under the exact gate: per document a seeded
     6-frame raw-DIB AVI (pixels in 0..247); every fourth document plants
@@ -3055,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
         "video_phash_dedup": _q_video_phash_dedup,
+        "media_probe": _q_media_probe,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3392,6 +3472,33 @@ def oracle_sql() -> dict[str, str]:
                    doc_id + 30000000 AS id_b
             FROM documents
             WHERE doc_id % 4 = 0
+        """,
+        "media_probe": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                                   WHEN 1 THEN 'wav'
+                                   ELSE 'avi' END AS kind,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 8 + doc_id % 5
+                        WHEN 1 THEN NULL
+                        ELSE 8 + 4 * (doc_id % 2) END AS INTEGER)
+                     AS actual_width,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 6 + doc_id % 7
+                        WHEN 1 THEN NULL
+                        ELSE 8 END AS INTEGER) AS actual_height,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN 1 + doc_id % 2
+                        ELSE NULL END AS INTEGER) AS channels,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN 300 + doc_id % 100
+                        ELSE 1 + doc_id % 4 END AS INTEGER) AS n_frames,
+                   CASE WHEN doc_id % 3 = 1 THEN 'n/a'
+                        WHEN doc_id % 5 <> 0 THEN 'ok'
+                        ELSE 'lie' END AS metadata_verdict
+            FROM documents
         """,
         "video_frame_sample": """
             SELECT doc_id AS media_id,

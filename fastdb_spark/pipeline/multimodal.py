@@ -16,6 +16,7 @@ tests.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -167,6 +168,78 @@ def sample_frames(
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+PROBE_SCHEMA = (
+    "media_id long, kind string, actual_width int, actual_height int, "
+    "channels int, n_frames int, metadata_ok boolean"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Metadata validation: HEADER-ONLY probes of every payload (PNG
+    IHDR, JPEG SOF, FITS cards, WAV fmt, AVI avih — no pixel/sample
+    decode anywhere), compared against the row's DECLARED width/height.
+    Declared metadata lies constantly in a real corpus; this is the op
+    that finds them without paying for a decode.  ``kind='unknown'``
+    and NULL dims for unrecognized/torn payloads (reject cascade
+    material); ``metadata_ok`` is NULL when nothing was declared."""
+    from fastdb_spark.sources import avicodec as av
+    from fastdb_spark.sources import imagecodec as ic
+    from fastdb_spark.sources.jpegcodec import jpeg_info
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                kind = ic.sniff(payload)
+                if kind == "unknown" and av.sniff_avi(payload):
+                    kind = "avi"
+                elif kind == "unknown" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    kind = "wav"
+                w = h = ch = nf = None
+                try:
+                    if kind == "png":
+                        i = ic.png_info(payload)
+                        w, h, ch, nf = i["width"], i["height"], i["channels"], 1
+                    elif kind == "jpeg":
+                        i = jpeg_info(payload)
+                        w, h, ch, nf = i["width"], i["height"], i["channels"], 1
+                    elif kind == "fits":
+                        i = ic.fits_info(payload)
+                        w, h, ch, nf = i["width"], i["height"], 1, 1
+                    elif kind == "wav":
+                        i = ic.wav_info(payload)
+                        ch, nf = i["channels"], i["n_frames"]
+                    elif kind == "avi":
+                        i = av.avi_info(payload)
+                        w, h, nf = i["width"], i["height"], i["n_frames"]
+                except (ValueError, IndexError, KeyError, struct.error):
+                    # parser internals on torn headers count as malformed —
+                    # a PROBE must never kill the job
+                    kind = "malformed_" + kind
+                ok = None
+                dw, dh = r.get("width"), r.get("height")
+                if w is not None and (pd.notna(dw) or pd.notna(dh)):
+                    ok = (pd.isna(dw) or int(dw) == w) and (
+                        pd.isna(dh) or int(dh) == h
+                    )
+                rows.append(
+                    (int(r["media_id"]), kind, w, h, ch, nf, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "actual_width", "actual_height",
+                    "channels", "n_frames", "metadata_ok",
+                ],
+            )
+
+    cols = ["media_id", "payload"] + [
+        c for c in ("width", "height") if c in media.columns
+    ]
+    return media.select(*cols).mapInPandas(op, schema=PROBE_SCHEMA)
 
 
 FRAME_FEATURE_SCHEMA = (

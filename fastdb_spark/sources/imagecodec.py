@@ -269,6 +269,79 @@ def sniff(payload: bytes) -> str:
     return "unknown"
 
 
+def png_info(payload: bytes) -> dict:
+    """Header-only probe: dimensions/channels from IHDR, no inflate."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color = struct.unpack(">IIBB", payload[16:26])
+    return {
+        "width": w,
+        "height": h,
+        "channels": _CHANNELS.get(color, 0),
+        "bit_depth": depth,
+    }
+
+
+def fits_info(payload: bytes) -> dict:
+    """Header-only probe: dimensions/BITPIX from the header cards."""
+    cards: dict[str, str] = {}
+    pos = 0
+    while pos < len(payload):
+        block = payload[pos : pos + 2880]
+        if len(block) < 2880:
+            raise ValueError("truncated FITS header")
+        ended = False
+        for i in range(0, 2880, 80):
+            card = block[i : i + 80].decode("ascii", "replace")
+            key = card[:8].strip()
+            if key == "END":
+                ended = True
+                break
+            if "=" in card:
+                cards[key] = card.split("=", 1)[1].split("/", 1)[0].strip()
+        pos += 2880
+        if ended:
+            try:
+                return {
+                    "width": int(cards["NAXIS1"]),
+                    "height": int(cards["NAXIS2"]),
+                    "channels": 1,
+                    "bitpix": int(cards["BITPIX"]),
+                }
+            except KeyError as e:
+                raise ValueError(f"FITS header missing {e}") from e
+    raise ValueError("FITS header END card not found")
+
+
+def wav_info(payload: bytes) -> dict:
+    """Header-only probe: channels/rate/frames from fmt + data sizes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, channels, rate, _, _, bits = fmt
+    width = max(bits // 8, 1)
+    return {
+        "channels": channels,
+        "rate": rate,
+        "bits": bits,
+        "n_frames": data_len // (width * max(channels, 1)),
+    }
+
+
 def decode_any(payload: bytes) -> np.ndarray:
     kind = sniff(payload)
     try:

@@ -567,6 +567,45 @@ def _destuff(data: bytes) -> tuple[bytes, list[int]]:
     return bytes(out), restarts
 
 
+def jpeg_info(payload: bytes) -> dict:
+    """Header-only probe: dimensions / component count / baseline flag
+    from the SOF marker, WITHOUT entropy decode — the metadata-
+    validation path never pays for pixels."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        while pos + 2 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if len(body) < 6:
+                raise ValueError("truncated JPEG frame header")
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            return {
+                "width": fw,
+                "height": fh,
+                "channels": ncomp,
+                "precision": prec,
+                "baseline": marker in (0xC0, 0xC1),
+            }
+    raise ValueError("JPEG has no frame header (SOF marker not found)")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF/JPEG bytes -> uint8 array (h, w) or (h, w, 3).
 

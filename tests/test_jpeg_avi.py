@@ -721,3 +721,64 @@ def test_fill_bytes_before_marker_tolerated():
     i = enc.index(b"\xff\xdb")
     padded = enc[:i] + b"\xff\xff\xff" + enc[i + 1 :]  # FF FF FF DB...
     assert (jc.decode_jpeg(padded) == 50).all()
+
+
+# ---------------------------------------------------------------------------
+# header-only probes + metadata validation
+
+
+def test_header_only_infos():
+    rng = np.random.default_rng(40)
+    img = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    pi = ic.png_info(ic.encode_png(img))
+    assert (pi["width"], pi["height"], pi["channels"]) == (20, 12, 3)
+    ji = jc.jpeg_info(jc.encode_jpeg(img, quality=85))
+    assert (ji["width"], ji["height"], ji["channels"], ji["baseline"]) == (20, 12, 3, True)
+    fi = ic.fits_info(ic.encode_fits_image(np.zeros((7, 9), dtype=">i2")))
+    assert (fi["width"], fi["height"], fi["bitpix"]) == (9, 7, 16)
+    wi = ic.wav_info(ic.encode_wav(np.zeros((500, 2), dtype=np.int16), rate=8000))
+    assert (wi["channels"], wi["rate"], wi["n_frames"]) == (2, 8000, 500)
+    # progressive SOF2 probes (baseline False) without decoding
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x20\x01"
+    assert jc.jpeg_info(prog) == {
+        "width": 32, "height": 16, "channels": 1, "precision": 8, "baseline": False,
+    }
+
+
+def test_probe_media_validates_declared_metadata(spark):
+    from fastdb_spark.pipeline.multimodal import probe_media
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (10, 14)).astype(np.uint8)
+    avi = av.encode_avi(
+        rng.integers(0, 256, (3, 8, 12, 3)).astype(np.uint8), fps=3, codec="rgb"
+    )
+    wavb = ic.encode_wav(np.zeros((400, 1), dtype=np.int16), rate=16000)
+    rows = [
+        # truthful PNG
+        (1, "image", bytearray(ic.encode_png(img)), None, 14, 10, None),
+        # lying JPEG: declared 99x99
+        (2, "image", bytearray(jc.encode_jpeg(img)), None, 99, 99, None),
+        # AVI with truthful dims
+        (3, "video", bytearray(avi), None, 12, 8, 1000),
+        # WAV (no declared dims -> metadata_ok NULL)
+        (4, "audio", bytearray(wavb), None, None, None, None),
+        # torn payload
+        (5, "image", bytearray(b"\xff\xd8\xff"), None, 8, 8, None),
+        (6, "image", bytearray(b"garbage"), None, None, None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert got[1]["kind"] == "png" and got[1]["metadata_ok"] is True
+    assert got[1]["actual_width"] == 14 and got[1]["actual_height"] == 10
+    assert got[2]["kind"] == "jpeg" and got[2]["metadata_ok"] is False
+    assert got[3]["kind"] == "avi" and got[3]["metadata_ok"] is True
+    assert got[3]["n_frames"] == 3
+    assert got[4]["kind"] == "wav" and got[4]["metadata_ok"] is None
+    assert got[4]["n_frames"] == 400 and got[4]["channels"] == 1
+    assert got[5]["kind"] == "malformed_jpeg" and got[5]["metadata_ok"] is None
+    assert got[6]["kind"] == "unknown"
