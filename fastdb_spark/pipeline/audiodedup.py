@@ -100,18 +100,25 @@ def audio_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    max_bucket_size: int | None = None,
     **kw,
 ) -> DataFrame:
     """Exact-fingerprint duplicate pairs ``(id_a < id_b)`` — one
-    self-equi-join on the folded hash.  The hash frame is staged before
-    the self-join (both sides reference it; unstaged, each would re-run
-    the decode+FFT mapInPandas); ``cachereg.release_staged()`` frees
-    it."""
+    self-equi-join on the folded hash.  ``max_bucket_size`` caps the
+    fingerprint bucket size (silence-padded corpora collapse to one
+    fingerprint and an m-member bucket emits m²/2 pairs — the same
+    quadratic hazard the text path guards with
+    ``dedup.cap_bucket_sizes``); ``None`` = exact pair semantics.  The
+    hash frame is staged before the self-join (both sides reference it;
+    unstaged, each would re-run the decode+FFT mapInPandas);
+    ``cachereg.release_staged()`` frees it."""
     from fastdb_spark.cachereg import stage
+    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
 
     hashes = stage(audio_hashes(media, id_col, payload_col, **kw))
-    a = hashes.select(F.col(id_col).alias("id_a"), F.col("afp").alias("h_a"))
-    b = hashes.select(F.col(id_col).alias("id_b"), F.col("afp").alias("h_b"))
+    capped = cap_bucket_sizes(hashes, ["afp"], max_bucket_size)
+    a = capped.select(F.col(id_col).alias("id_a"), F.col("afp").alias("h_a"))
+    b = capped.select(F.col(id_col).alias("id_b"), F.col("afp").alias("h_b"))
     return (
         a.join(b, F.col("h_a") == F.col("h_b"))
         .filter(F.col("id_a") < F.col("id_b"))

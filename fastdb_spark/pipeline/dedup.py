@@ -152,6 +152,38 @@ def _candidate_pairs(
 DEFAULT_MAX_BUCKET = 4096
 
 
+def cap_bucket_sizes(
+    df: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """The quadratic-blowup guard as a reusable shape: drop every row
+    whose ``bucket_cols`` value occurs more than ``max_bucket_size``
+    times, via a COUNT window (the window's hash-partitioning on the
+    bucket key is exactly the distribution a downstream self-equi-join
+    on that key needs, so the guard rides the join's own exchange —
+    measured free on the text path, round-7 A/B: capped 19.06 s vs
+    uncapped 19.94 s / 1M docs).
+
+    Used by the media pair joins (``imagededup.image_dup_pairs`` /
+    ``video_dup_pairs``, ``audiodedup.audio_dup_pairs``): a real corpus
+    has millions of degenerate payloads (solid-color thumbnails,
+    silence, black clips) that collapse to ONE fingerprint, and a bucket
+    of m members emits m²/2 pairs.  ``None`` disables (exact pair
+    semantics).  Audit what the cap dropped with
+    :func:`oversized_buckets` on the same frame."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def oversized_buckets(
     buckets: DataFrame,
     id_col: str,

@@ -80,13 +80,19 @@ def phash_bytes(payload: bytes, hash_size: int = 8) -> int:
 
 
 def dhash_bytes(payload: bytes, hash_size: int = 8) -> int:
-    """payload -> 64-bit difference hash (horizontal gradient signs)."""
+    """payload -> 64-bit difference hash (horizontal gradient signs),
+    folded to signed int64 (any image whose FIRST gradient bit is 1
+    yields an unsigned value >= 2**63, which Arrow rejects against the
+    mapInPandas ``long`` schema — same ``signed`` discipline as the
+    audio/video fingerprint folds)."""
     gray = _to_gray(ic.decode_any(payload))
     small = ic.resize_nearest(gray, hash_size + 1, hash_size)
     bits = small[:, 1:] > small[:, :-1]
     h = 0
     for b in bits.flatten():
         h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
     return h
 
 
@@ -164,13 +170,16 @@ def video_dup_pairs(
     id_col: str = "media_id",
     payload_col: str = "payload",
     every_ms: int = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual video duplicate pairs ``(id_a < id_b)`` — sampled-frame
     pHash fingerprints folded per clip, then ONE self-equi-join.
     Undecodable payloads are skipped (same contract as
-    ``perceptual_hashes``).  The fingerprint frame is staged before the
-    self-join (see ``image_dup_pairs``); ``cachereg.release_staged()``
-    frees it."""
+    ``perceptual_hashes``).  ``max_bucket_size`` caps the fingerprint
+    bucket size (black-clip corpora collapse to one fingerprint — see
+    ``image_dup_pairs``); ``None`` = exact pair semantics.  The
+    fingerprint frame is staged before the self-join (see
+    ``image_dup_pairs``); ``cachereg.release_staged()`` frees it."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,14 +194,16 @@ def video_dup_pairs(
             yield pd.DataFrame({id_col: ids, "vfp": hashes})
 
     from fastdb_spark.cachereg import stage
+    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
 
     hashes = stage(
         media.select(id_col, payload_col).mapInPandas(
             op, schema=f"{id_col} long, vfp long"
         )
     )
-    a = hashes.select(F.col(id_col).alias("id_a"), F.col("vfp").alias("h_a"))
-    b = hashes.select(F.col(id_col).alias("id_b"), F.col("vfp").alias("h_b"))
+    capped = cap_bucket_sizes(hashes, ["vfp"], max_bucket_size)
+    a = capped.select(F.col(id_col).alias("id_a"), F.col("vfp").alias("h_a"))
+    b = capped.select(F.col(id_col).alias("id_b"), F.col("vfp").alias("h_b"))
     return (
         a.join(b, F.col("h_a") == F.col("h_b"))
         .filter(F.col("id_a") < F.col("id_b"))
@@ -207,6 +218,7 @@ def image_dup_pairs(
     method: str = "phash",
     max_hamming: int = 0,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs ``(id_a < id_b)``.
 
@@ -218,20 +230,30 @@ def image_dup_pairs(
     ``max_hamming < bands``), then an exact popcount refine keeps pairs
     within the threshold.
 
+    ``max_bucket_size`` is the quadratic-blowup guard the text path
+    established (``dedup.cap_bucket_sizes``): a real corpus has millions
+    of solid-color thumbnails that collapse to ONE fingerprint, and an
+    m-member bucket emits m²/2 pairs.  Defaults to ``None`` (exact pair
+    semantics — the gate regime); pass ``dedup.DEFAULT_MAX_BUCKET`` for
+    corpus runs and audit drops with
+    ``dedup.oversized_buckets(perceptual_hashes(media), id_col, "phash")``.
+
     The hash frame is STAGED (cachereg persist) before the self-join:
     both join sides reference it, and without the stage each side would
     re-run the decode+DCT mapInPandas — a 2x decode bill at corpus
     scale.  Call ``cachereg.release_staged()`` after consuming."""
     from fastdb_spark.cachereg import stage
+    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
 
     hashes = stage(perceptual_hashes(media, id_col, payload_col, method))
-    a = hashes.select(
-        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
-    )
-    b = hashes.select(
-        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b")
-    )
     if max_hamming == 0:
+        capped = cap_bucket_sizes(hashes, ["phash"], max_bucket_size)
+        a = capped.select(
+            F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
+        )
+        b = capped.select(
+            F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b")
+        )
         pairs = a.join(b, F.col("ph_a") == F.col("ph_b")).filter(
             F.col("id_a") < F.col("id_b")
         )
@@ -259,6 +281,7 @@ def image_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "phash", "bk.band", "bk.key")
+    banded = cap_bucket_sizes(banded, ["band", "key"], max_bucket_size)
     cand = (
         banded.alias("x")
         .join(

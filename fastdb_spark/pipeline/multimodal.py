@@ -191,8 +191,13 @@ def probe_media(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            n = len(pdf)
+            dws = pdf["width"] if "width" in pdf.columns else [None] * n
+            dhs = pdf["height"] if "height" in pdf.columns else [None] * n
+            for media_id, payload, dw, dh in zip(
+                pdf["media_id"], pdf["payload"], dws, dhs
+            ):
+                payload = bytes(payload)
                 kind = ic.sniff(payload)
                 if kind == "unknown" and av.sniff_avi(payload):
                     kind = "avi"
@@ -220,14 +225,11 @@ def probe_media(media: DataFrame) -> DataFrame:
                     # a PROBE must never kill the job
                     kind = "malformed_" + kind
                 ok = None
-                dw, dh = r.get("width"), r.get("height")
                 if w is not None and (pd.notna(dw) or pd.notna(dh)):
                     ok = (pd.isna(dw) or int(dw) == w) and (
                         pd.isna(dh) or int(dh) == h
                     )
-                rows.append(
-                    (int(r["media_id"]), kind, w, h, ch, nf, ok)
-                )
+                rows.append((int(media_id), kind, w, h, ch, nf, ok))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -269,29 +271,40 @@ def sample_frames_decoded(
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                info = av.avi_info(payload)
-                n, fps = info["n_frames"], info["fps"]
-                duration_ms = int(n * 1000 / fps)
-                seen: set[int] = set()
-                for ts in range(0, max(duration_ms, 1), every_ms):
-                    idx = min(int(ts * fps / 1000), n - 1)
-                    if idx in seen:
-                        continue
-                    seen.add(idx)
-                    frame = av.decode_avi_frame(payload, idx)
-                    a = frame.astype("float64")
-                    rows.append(
-                        (
-                            int(media_id),
-                            ts,
-                            idx,
-                            frame.shape[0],
-                            frame.shape[1],
-                            1 if frame.ndim == 2 else frame.shape[2],
-                            float(a.mean()),
-                            float(a.std()),
+                # torn-payload contract (same as probe_media and the
+                # perceptual-hash paths): one malformed container in a
+                # billion-row corpus SKIPS that row — it must never kill
+                # the sampling job.  Rows already emitted for a clip that
+                # tears mid-stream are dropped with it (all-or-nothing
+                # per clip keeps the output deterministic).
+                clip_rows: list[tuple] = []
+                try:
+                    info = av.avi_info(payload)
+                    n, fps = info["n_frames"], info["fps"]
+                    duration_ms = int(n * 1000 / fps)
+                    seen: set[int] = set()
+                    for ts in range(0, max(duration_ms, 1), every_ms):
+                        idx = min(int(ts * fps / 1000), n - 1)
+                        if idx in seen:
+                            continue
+                        seen.add(idx)
+                        frame = av.decode_avi_frame(payload, idx)
+                        a = frame.astype("float64")
+                        clip_rows.append(
+                            (
+                                int(media_id),
+                                ts,
+                                idx,
+                                frame.shape[0],
+                                frame.shape[1],
+                                1 if frame.ndim == 2 else frame.shape[2],
+                                float(a.mean()),
+                                float(a.std()),
+                            )
                         )
-                    )
+                except (ValueError, IndexError, KeyError, struct.error):
+                    continue
+                rows.extend(clip_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[
