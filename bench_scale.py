@@ -473,6 +473,52 @@ def bench_media(spark) -> dict:
     return out
 
 
+def bench_takedown(spark) -> dict:
+    """Scale rows for the pruned dedup-index takedown (VERDICT r7 #5):
+    removals against a 1M-doc index, id-bucketed (hive-partitioned by
+    ``pmod(doc_id, 64)``, partition-pruned rewrites) vs flat (full
+    three-table rewrite).  Two batch shapes: a 16-id batch — the routine
+    DMCA/GDPR case, touching <=16/64 partitions, where pruning wins —
+    and a 1000-id batch spread over every bucket, the worst case for
+    pruning, where the bucketed layout must at least not regress (same
+    three read+write jobs, just partitioned)."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        dedup_index_remove,
+    )
+
+    n = int(os.environ.get("SCALE_TAKEDOWN_DOCS", 1_000_000))
+    out = {"takedown_docs_n": n}
+    docs = synth_documents(spark, n)
+    # ids that survive indexing: every 13th doc is a planted exact dup
+    # (dropped keep-min), so step over a 13-coprime stride and skip them
+    step = max(n // 1300, 1)
+    pool = [i for i in range(1, n, step) if i % 13 != 0]
+    rm_small, rm_large = pool[:16], pool[16 : 16 + 1000]
+    for layout, nb in (("bucketed", 64), ("flat", None)):
+        path = tempfile.mkdtemp(prefix=f"fastdb_takedown_{layout}_")
+        try:
+            t0 = time.perf_counter()
+            n_idx = build_dedup_index(
+                docs, path, hash_impl="fast", id_buckets=nb
+            )
+            out[f"index_build_{layout}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"index_build_{layout}_docs"] = n_idx
+            t0 = time.perf_counter()
+            r1 = dedup_index_remove(spark, rm_small, path)
+            out[f"takedown_16_{layout}_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            r2 = dedup_index_remove(spark, rm_large, path)
+            out[f"takedown_1k_{layout}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"takedown_{layout}_removed"] = r1 + r2
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -493,6 +539,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_MEDIA_ONLY", "0") == "1":
         out["media_ops"] = bench_media(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_TAKEDOWN_ONLY", "0") == "1":
+        out["takedown"] = bench_takedown(spark)
         print(json.dumps(out))
         return
 
