@@ -2648,6 +2648,92 @@ def _q_image_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(media, max_hamming=3, bands=8)
 
 
+def _q_media_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted perceptual media index under the exact gate —
+    build -> takedown -> upsert -> readback, every decision arithmetic:
+
+    - build indexes one seeded 24x24 PNG per EVEN doc_id (the
+      ``image_phash_dedup`` construction — pHashes verified unique
+      across every doc_id at all three SFs);
+    - ``media_index_remove`` takes down the indexed ids with
+      ``doc_id % 10 == 0`` (partition-pruned rewrite on the id-bucketed
+      layout);
+    - the upsert batch carries, per ODD doc_id: a brightness twin of
+      image ``doc_id - 1`` when ``doc_id % 4 == 1`` (pHash-identical to
+      the indexed even — MUST be dropped, UNLESS that even was just
+      removed: ``doc_id % 20 == 1`` — non-retroactive takedown
+      semantics), else a fresh image; docs with ``doc_id % 8 == 3`` also
+      plant an in-batch twin under ``doc_id + 60_000_000`` (the in-batch
+      keep-min rule must drop the higher id).
+
+    One wrong drop anywhere — hash determinism, the vs-index anti-join,
+    the removal's completeness, in-batch keep-min — flips the final
+    membership and the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.incmedia import (
+        build_media_index,
+        media_index_remove,
+        media_index_upsert,
+    )
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def png(did: int, shift: int = 0) -> bytearray:
+        rng = np.random.default_rng(did)
+        img = rng.integers(0, 248, (24, 24)).astype(np.uint8)
+        return bytearray(ic.encode_png(img + np.uint8(shift)))
+
+    def mk_even(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), png(int(d)))
+                for d in pdf["doc_id"]
+                if int(d) % 2 == 0
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def mk_odd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    continue
+                if d % 4 == 1:
+                    rows.append((d, png(d - 1, shift=3)))
+                else:
+                    rows.append((d, png(d)))
+                if d % 8 == 3:
+                    rows.append((d + 60_000_000, png(d, shift=3)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incmedia_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    schema = "media_id long, payload binary"
+    build_media_index(docs.mapInPandas(mk_even, schema), path)
+    rm = docs.filter("doc_id % 2 = 0 AND doc_id % 10 = 0").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media_index_remove(spark, rm, path)
+    media_index_upsert(spark, docs.mapInPandas(mk_odd, schema), path)
+    return spark.read.parquet(os.path.join(path, "hashes")).select(
+        "media_id"
+    )
+
+
 def _q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO dedup under the exact gate: per document a seeded
     6-frame raw-DIB AVI (pixels in 0..247); every fourth document plants
@@ -3140,10 +3226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 2+ rounds, parity-run every session; they lead the r9 window):
     # decontaminate, stratified_sample, stream_windowed_rates,
     # objstats_per_band, objstats_combined, weighted_position,
-    # alert_reconstruct.
+    # alert_reconstruct, ann_cosine_topk (displaced when
+    # media_index_roundtrip joined the window head).
     return {
         # --- round-8 window (first 50) ------------------------------
         "image_banded_neardup": _q_image_banded_neardup,
+        "media_index_roundtrip": _q_media_index_roundtrip,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
         "video_phash_dedup": _q_video_phash_dedup,
@@ -3192,13 +3280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        "ann_cosine_topk": _q_ann_topk,
-        # --- adjudication tail (position >50): first the 7 NAMED
+        # --- adjudication tail (position >50): first the 8 NAMED
         # LAGGARDS that lead the r9 window, then the 46 r7-window
         # gates (driver-green in CORRECTNESS_r07) + the r7/r8 gates
         # already covered; every tail gate still runs in
         # tests/test_oracle_parity.py and tools/stock_sweep.py
         # every session -----------------------------------------------
+        "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "stream_windowed_rates": _q_stream_windowed_rates,
@@ -3543,6 +3631,20 @@ def oracle_sql() -> dict[str, str]:
                    doc_id + 40000000 AS id_b
             FROM documents
             WHERE doc_id % 4 = 0
+        """,
+        # final index membership, arithmetically: evens survive unless
+        # taken down (%10); odd %4==1 items are pHash twins of their
+        # even predecessor and are dropped UNLESS that even was removed
+        # (doc_id % 20 = 1 — non-retroactive takedown); other odds are
+        # fresh and accepted; the planted in-batch twins (+60M ids) are
+        # dropped by keep-min and never appear
+        "media_index_roundtrip": """
+            SELECT doc_id AS media_id FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id AS media_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND (doc_id % 4 <> 1 OR doc_id % 20 = 1)
         """,
         "audio_afp_dedup": """
             SELECT doc_id AS id_a,

@@ -468,6 +468,53 @@ def bench_media(spark) -> dict:
         dt = time.perf_counter() - t0
         out["avi_sample_decode_s"] = round(dt, 2)
         out["avi_sampled_frames_per_s"] = round(n_vid * 4 / dt)
+
+        # capped-vs-uncapped A/B for the media hot-bucket guard (round
+        # 8, the media twin of the text guard's A/B): the pair join runs
+        # over a PRE-HASHED fingerprint frame (decode cost excluded —
+        # the hazard and the guard both live in the join), 1M synthetic
+        # fingerprints with one planted hot key of 2000 members (the
+        # solid-color-thumbnail shape: uncapped it alone emits ~2M
+        # pairs).  The guard's delta on a CLEAN frame is the price; its
+        # effect on the HOT frame is the protection.
+        from fastdb_spark.pipeline.dedup import cap_bucket_sizes
+
+        n_fp = int(os.environ.get("SCALE_MEDIA_FP", 1_000_000))
+        fps_clean = spark.range(n_fp).select(
+            F.col("id").alias("media_id"),
+            F.xxhash64(F.col("id")).alias("phash"),
+        )
+        fps_hot = spark.range(n_fp).select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") < 2000, F.lit(0))
+            .otherwise(F.xxhash64(F.col("id")))
+            .alias("phash"),
+        )
+
+        def pair_join(hashes, cap):
+            capped = cap_bucket_sizes(hashes, ["phash"], cap)
+            a = capped.select(
+                F.col("media_id").alias("id_a"), F.col("phash").alias("h_a")
+            )
+            b = capped.select(
+                F.col("media_id").alias("id_b"), F.col("phash").alias("h_b")
+            )
+            return (
+                a.join(b, F.col("h_a") == F.col("h_b"))
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+
+        for label, frame, cap in (
+            ("media_pairs_clean_uncapped", fps_clean, None),
+            ("media_pairs_clean_capped", fps_clean, 4096),
+            ("media_pairs_hot_uncapped", fps_hot, None),
+            ("media_pairs_hot_capped", fps_hot, 1024),
+        ):
+            t0 = time.perf_counter()
+            n_pairs = pair_join(frame, cap).count()
+            out[f"{label}_s"] = round(time.perf_counter() - t0, 2)
+            out[f"{label}_pairs"] = n_pairs
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out

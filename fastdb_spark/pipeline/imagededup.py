@@ -211,6 +211,150 @@ def video_dup_pairs(
     )
 
 
+def _banded(
+    hashes: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """(id, hash) -> (id, hash, band, key): one row per band substring.
+    Band keys are pure functions of the 64-bit hash (shift + mask), so
+    banded probes never need a stored band table."""
+    width = 64 // bands
+    return hashes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+
+
+def hash_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 0,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a < id_b)`` over a fingerprint frame —
+    the join stage of ``image_dup_pairs``, reusable by anything that
+    already holds 64-bit hashes (the persisted media index, the video
+    and audio paths).
+
+    ``max_hamming = 0`` is ONE self-equi-join on the hash; ``> 0`` is
+    the banded scheme (complete for ``max_hamming < bands`` by
+    pigeonhole) with an exact popcount refine.  ``max_bucket_size`` is
+    the degenerate-fingerprint quadratic guard
+    (``dedup.cap_bucket_sizes``); ``None`` = exact semantics."""
+    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
+
+    if max_hamming == 0:
+        capped = cap_bucket_sizes(hashes, [hash_col], max_bucket_size)
+        a = capped.select(
+            F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a")
+        )
+        b = capped.select(
+            F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b")
+        )
+        pairs = a.join(b, F.col("h_a") == F.col("h_b")).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return pairs.select("id_a", "id_b")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs more than {bands} bands for "
+            "a complete banded search (pigeonhole: one band must be clean)"
+        )
+    banded = _banded(hashes, id_col, hash_col, bands)
+    banded = cap_bucket_sizes(banded, ["band", "key"], max_bucket_size)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col(f"x.{hash_col}").alias("ph_a"),
+            F.col(f"y.{hash_col}").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+    ).select("id_a", "id_b")
+
+
+def hash_matches(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 0,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-frame probe: ``(new_id, old_id)`` for every new fingerprint
+    within ``max_hamming`` of an old one — the vs-index leg of the
+    persisted media dedup index.  Same banded/refine machinery as
+    :func:`hash_pairs`, but a two-frame equi-join (never all-pairs);
+    the cap applies to the OLD side's buckets (a degenerate indexed
+    fingerprint family is the hazard — one hot key joined by every
+    matching new row)."""
+    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
+
+    if max_hamming == 0:
+        o = cap_bucket_sizes(old, [hash_col], max_bucket_size).select(
+            F.col(id_col).alias("old_id"), F.col(hash_col).alias("h_o")
+        )
+        n = new.select(
+            F.col(id_col).alias("new_id"), F.col(hash_col).alias("h_n")
+        )
+        return (
+            n.join(o, F.col("h_n") == F.col("h_o"))
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs more than {bands} bands for "
+            "a complete banded search (pigeonhole: one band must be clean)"
+        )
+    nb = _banded(new, id_col, hash_col, bands).select(
+        F.col(id_col).alias("new_id"),
+        F.col(hash_col).alias("h_n"),
+        "band",
+        "key",
+    )
+    ob = _banded(old, id_col, hash_col, bands)
+    ob = cap_bucket_sizes(ob, ["band", "key"], max_bucket_size).select(
+        F.col(id_col).alias("old_id"),
+        F.col(hash_col).alias("h_o"),
+        "band",
+        "key",
+    )
+    cand = (
+        nb.join(ob, on=["band", "key"])
+        .select("new_id", "old_id", "h_n", "h_o")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return cand.filter(
+        F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_o"))) <= max_hamming
+    ).select("new_id", "old_id")
+
+
 def image_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
@@ -243,61 +387,8 @@ def image_dup_pairs(
     re-run the decode+DCT mapInPandas — a 2x decode bill at corpus
     scale.  Call ``cachereg.release_staged()`` after consuming."""
     from fastdb_spark.cachereg import stage
-    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
 
     hashes = stage(perceptual_hashes(media, id_col, payload_col, method))
-    if max_hamming == 0:
-        capped = cap_bucket_sizes(hashes, ["phash"], max_bucket_size)
-        a = capped.select(
-            F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
-        )
-        b = capped.select(
-            F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b")
-        )
-        pairs = a.join(b, F.col("ph_a") == F.col("ph_b")).filter(
-            F.col("id_a") < F.col("id_b")
-        )
-        return pairs.select("id_a", "id_b")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming {max_hamming} needs more than {bands} bands for "
-            "a complete banded search (pigeonhole: one band must be clean)"
-        )
-    width = 64 // bands
-    banded = hashes.select(
-        id_col,
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "phash", "bk.band", "bk.key")
-    banded = cap_bucket_sizes(banded, ["band", "key"], max_bucket_size)
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.phash").alias("ph_a"),
-            F.col("y.phash").alias("ph_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    return hash_pairs(
+        hashes, id_col, "phash", max_hamming, bands, max_bucket_size
     )
-    return cand.filter(
-        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
-    ).select("id_a", "id_b")

@@ -485,10 +485,37 @@ def dedup_index_remove(
     Future batches simply stop matching the removed doc's fingerprint /
     bands / shingles, so its re-ingest (or a near-dup of it) would be
     accepted again."""
+    p = _load_params(path)
+    return _remove_ids(
+        spark,
+        ids,
+        path,
+        (
+            ("fingerprints", ["fingerprint", id_col]),
+            ("bands", ["band", id_col]),
+            ("shingles", [id_col, "sh"]),
+        ),
+        id_col,
+        p.get("id_buckets"),
+    )
+
+
+def _remove_ids(
+    spark: SparkSession,
+    ids,
+    path: str,
+    tables: tuple,
+    id_col: str,
+    nb: int | None,
+) -> int:
+    """Shared takedown engine (used by the text dedup index and the
+    perceptual media index): drop ``ids`` from every ``(table, cols)``
+    in ``tables`` under ``path``, partition-pruned when the index is
+    id-bucketed (``nb``), full tmp+swap rewrite otherwise.  Returns the
+    number of rows removed from the FIRST table (the one-row-per-doc
+    one).  Serializes on the table write lock."""
     import shutil
 
-    p = _load_params(path)
-    nb = p.get("id_buckets")
     with table_write_lock(os.path.normpath(path)):
         buckets: list[int] = []
         if isinstance(ids, DataFrame):
@@ -527,11 +554,7 @@ def dedup_index_remove(
             def drop(df: DataFrame) -> DataFrame:
                 return df.filter(~F.col(id_col).isin(idlist))
 
-        tables = (
-            ("fingerprints", ["fingerprint", id_col]),
-            ("bands", ["band", id_col]),
-            ("shingles", [id_col, "sh"]),
-        )
+        first_table = tables[0][0]
         if nb:
             # pruned path: rewrite ONLY the hive partitions holding
             # removed ids; every other partition dir is untouched
@@ -553,14 +576,26 @@ def dedup_index_remove(
                 src = spark.read.option("basePath", tdir).parquet(
                     *[os.path.join(tdir, f"id_bucket={b}") for b in hit]
                 )
-                if table == "fingerprints":
+                if table == first_table:
                     n_before = src.count()
                 tmp = os.path.join(path, f"_tmp_{table}")
                 drop(src.select(*cols, "id_bucket")).write.partitionBy(
                     "id_bucket"
                 ).mode("overwrite").parquet(tmp)
-                if table == "fingerprints":
-                    removed = n_before - spark.read.parquet(tmp).count()
+                if table == first_table:
+                    # a removal that empties every affected bucket leaves
+                    # tmp with NO part files (an empty partitionBy write),
+                    # and reading it back raises UNABLE_TO_INFER_SCHEMA —
+                    # check for data files before counting
+                    has_data = any(
+                        name.startswith("part-")
+                        for _r, _d, files in os.walk(tmp)
+                        for name in files
+                    )
+                    n_tmp = (
+                        spark.read.parquet(tmp).count() if has_data else 0
+                    )
+                    removed = n_before - n_tmp
                 for b in hit:
                     pdir = os.path.join(tdir, f"id_bucket={b}")
                     old = os.path.join(path, f"_old_{table}_{b}")
@@ -574,8 +609,8 @@ def dedup_index_remove(
                 shutil.rmtree(tmp, ignore_errors=True)
             spark.catalog.refreshByPath(path)
             return removed
-        fps = spark.read.parquet(os.path.join(path, "fingerprints"))
-        n_before = fps.count()
+        first = spark.read.parquet(os.path.join(path, first_table))
+        n_before = first.count()
         for table, cols in tables:
             tdir = os.path.join(path, table)
             tmp = tdir + "_tmp"
@@ -587,7 +622,7 @@ def dedup_index_remove(
             os.rename(tmp, tdir)
             shutil.rmtree(old, ignore_errors=True)
         spark.catalog.refreshByPath(path)
-        n_after = spark.read.parquet(os.path.join(path, "fingerprints")).count()
+        n_after = spark.read.parquet(os.path.join(path, first_table)).count()
     return n_before - n_after
 
 

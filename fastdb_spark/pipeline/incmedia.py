@@ -1,0 +1,224 @@
+"""Incremental PERCEPTUAL media dedup against a persisted pHash index —
+the image/video twin of ``pipeline.incdedup`` (text) and
+``ann.ivf_index_upsert`` (vectors).
+
+A multimodal corpus grows by crawl increments; re-decoding and
+re-pairing the full image corpus per daily batch is the naive O(N)
+answer.  The persisted index holds one row per surviving media item —
+``(phash bigint, media_id)`` and nothing else: band keys for the
+hamming>0 probe are pure shift/mask functions of the 64-bit hash
+(``imagededup._banded``), so no band or payload table is needed, and
+takedown touches exactly one table.
+
+Index layout (``path/``):
+
+- ``hashes/``    — (phash, media_id) parquet, hive-partitioned by
+  ``id_bucket = pmod(media_id, id_buckets)`` for partition-pruned
+  takedowns (the round-8 id-bucket discipline shared with the text
+  index).
+- ``_meta.json`` — hash method (phash/dhash) + id_buckets; upserts
+  enforce consistency (a batch hashed with the other method would match
+  nothing and silently disable dedup).
+
+Incremental semantics (stated precisely, tested): a new item is dropped
+iff (a) some INDEXED item's fingerprint is within ``max_hamming`` of
+its own, or (b) the in-batch greedy pass drops it (drop the higher id
+of every in-batch pair within ``max_hamming`` — the ``curate_corpus``
+rule).  Removal is NOT retroactive: items dropped in earlier batches
+because they duplicated a now-removed item stay dropped; a re-ingest of
+the removed content is accepted again.  Concurrent upserts serialize on
+the table write lock.
+
+Scale shape: the decode+DCT cost is paid ONCE per new item (Arrow
+``mapInPandas``); the vs-index probe is a band-equi-join against the
+stored hashes (never all-pairs), with the ``cap_bucket_sizes`` guard
+available for degenerate fingerprint families; takedown rewrites only
+the hive partitions holding removed ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastdb_spark.locks import table_write_lock
+from fastdb_spark.pipeline.imagededup import (
+    hash_matches,
+    hash_pairs,
+    perceptual_hashes,
+)
+from fastdb_spark.pipeline.incdedup import (
+    DEFAULT_ID_BUCKETS,
+    DEFAULT_ID_CEILING,
+    _remove_ids,
+)
+
+_META = "_meta.json"
+
+
+def _params_path(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _load_params(path: str) -> dict:
+    with open(_params_path(path)) as f:
+        return json.load(f)
+
+
+def _write_hashes(
+    hashes: DataFrame,
+    path: str,
+    id_col: str,
+    mode: str,
+    id_buckets: int | None,
+) -> None:
+    df = hashes.select("phash", F.col(id_col))
+    if id_buckets:
+        df = df.withColumn(
+            "id_bucket",
+            F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
+        )
+        df.write.partitionBy("id_bucket").mode(mode).parquet(
+            os.path.join(path, "hashes")
+        )
+    else:
+        df.write.mode(mode).parquet(os.path.join(path, "hashes"))
+
+
+def _dedup_batch(
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """In-batch greedy dedup over a fingerprint frame: drop the higher
+    id of every pair within ``max_hamming`` (the ``curate_corpus``
+    rule)."""
+    pairs = hash_pairs(
+        hashes, id_col, "phash", max_hamming, bands, max_bucket_size
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return hashes.join(drops, on=id_col, how="left_anti")
+
+
+def build_media_index(
+    media: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    max_hamming: int = 0,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    id_buckets: int | None = DEFAULT_ID_BUCKETS,
+) -> int:
+    """Curate ``media`` (in-batch perceptual dedup at ``max_hamming``)
+    and persist the survivors' fingerprints.  Returns the number of
+    indexed items.  ``method``, ``max_hamming``, ``bands`` and
+    ``id_buckets`` are RECORDED IN THE INDEX METADATA so every later
+    upsert probes identically (mixing methods or thresholds would
+    silently miss duplicates)."""
+    from fastdb_spark.cachereg import release_staged, stage
+
+    hashes = stage(perceptual_hashes(media, id_col, payload_col, method))
+    try:
+        surv = _dedup_batch(
+            hashes, id_col, max_hamming, bands, max_bucket_size
+        ).localCheckpoint(eager=True)
+        n = surv.count()
+        _write_hashes(surv, path, id_col, "overwrite", id_buckets)
+    finally:
+        release_staged()
+    with open(_params_path(path), "w") as f:
+        json.dump(
+            {
+                "method": method,
+                "max_hamming": max_hamming,
+                "bands": bands,
+                "id_buckets": id_buckets,
+                "id_col": id_col,
+            },
+            f,
+        )
+    return n
+
+
+def media_index_upsert(
+    spark: SparkSession,
+    new_media: DataFrame,
+    path: str,
+    payload_col: str = "payload",
+    max_bucket_size: int | None = None,
+    id_ceiling: int = DEFAULT_ID_CEILING,
+) -> list | None:
+    """Dedup ``new_media`` against the index AND append the survivors'
+    fingerprints.  Returns the sorted surviving ids (materialized inside
+    the write lock — check-then-append must be atomic vs other writers),
+    or ``None`` for batches above ``id_ceiling`` (backfill scale — read
+    the index to enumerate).  Hash method and hamming threshold come
+    from the index metadata, never the caller."""
+    p = _load_params(path)
+    id_col = p.get("id_col", "media_id")
+    from fastdb_spark.cachereg import release_staged, stage
+
+    with table_write_lock(os.path.normpath(path)):
+        hashes = stage(
+            perceptual_hashes(new_media, id_col, payload_col, p["method"])
+        )
+        try:
+            idx = spark.read.parquet(os.path.join(path, "hashes"))
+            hits = hash_matches(
+                hashes,
+                idx,
+                id_col,
+                "phash",
+                p["max_hamming"],
+                p["bands"],
+                max_bucket_size,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            fresh = hashes.join(hits, on=id_col, how="left_anti")
+            surv = _dedup_batch(
+                fresh, id_col, p["max_hamming"], p["bands"], max_bucket_size
+            )
+            # sever lineage before the append: the survivor plan reads
+            # the hashes/ dir this write appends to (the round-6
+            # refreshByPath recomputation hazard)
+            surv = surv.localCheckpoint(eager=True)
+            n = surv.count()
+            if n > id_ceiling:
+                ids = None
+            else:
+                ids = sorted(
+                    r[id_col] for r in surv.select(id_col).collect()
+                )
+            _write_hashes(surv, path, id_col, "append", p.get("id_buckets"))
+        finally:
+            release_staged()
+    return ids
+
+
+def media_index_remove(
+    spark: SparkSession,
+    ids,
+    path: str,
+) -> int:
+    """Takedown for the media index: remove ``ids`` (Python sequence or
+    single-column DataFrame) from the persisted fingerprints.  On the
+    id-bucketed layout only the hive partitions holding removed ids are
+    rewritten (shared engine with the text index,
+    ``incdedup._remove_ids``).  Returns the number of items removed.
+    NOT retroactive — see the module docstring."""
+    p = _load_params(path)
+    id_col = p.get("id_col", "media_id")
+    return _remove_ids(
+        spark,
+        ids,
+        path,
+        (("hashes", ["phash", id_col]),),
+        id_col,
+        p.get("id_buckets"),
+    )

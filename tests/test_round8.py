@@ -354,9 +354,9 @@ def test_rebuild_preserves_bucketed_bands(spark, tmp_path):
 # 5. adjudication-window rotation invariant (codified round 8)
 
 LAGGARDS_R8 = {
-    "decontaminate", "stratified_sample", "stream_windowed_rates",
-    "objstats_per_band", "objstats_combined", "weighted_position",
-    "alert_reconstruct",
+    "ann_cosine_topk", "decontaminate", "stratified_sample",
+    "stream_windowed_rates", "objstats_per_band", "objstats_combined",
+    "weighted_position", "alert_reconstruct",
 }
 
 
@@ -378,11 +378,154 @@ def test_rotation_invariant():
     uncovered = set(registry) - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8
     # rule (a): gates born this round sit in the window head
-    assert registry[0] == "image_banded_neardup"
-    # every laggard has an oracle and sits at the head of the tail so a
-    # plain rotation forward covers it first
-    assert set(registry[50:57]) == LAGGARDS_R8
+    assert registry[:2] == ["image_banded_neardup", "media_index_roundtrip"]
+    # every laggard sits at the head of the tail so a plain rotation
+    # forward covers it first
+    assert set(registry[50:58]) == LAGGARDS_R8
     # every window gate maps to a callable and (except rows-only ones)
     # an oracle
     oracles = em.oracle_sql()
     assert "image_banded_neardup" in oracles
+    assert "media_index_roundtrip" in oracles
+
+
+# ---------------------------------------------------------------------------
+# 6. persisted perceptual media index (pipeline.incmedia)
+
+
+def _media_df(spark, specs):
+    """specs: list of (media_id, seed, shift)."""
+    rows = [(mid, bytearray(_png(seed, shift))) for mid, seed, shift in specs]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_media_index_roundtrip(spark, tmp_path):
+    """Build from batch 1, upsert batch 2: brightness twins of INDEXED
+    images are dropped (exact pHash match vs index), in-batch twins
+    keep the min id, fresh images are accepted and appended."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "midx")
+    b1 = _media_df(spark, [(i, i, 0) for i in range(10)])
+    n = im.build_media_index(b1, path, id_buckets=4)
+    assert n == 10
+    b2 = _media_df(
+        spark,
+        [
+            (100, 3, 4),   # brightness twin of indexed seed 3 -> dropped
+            (101, 50, 0),  # fresh -> kept
+            (102, 51, 0),  # fresh -> kept
+            (103, 51, 4),  # in-batch twin of 102 -> dropped (keep min)
+        ],
+    )
+    surv = im.media_index_upsert(spark, b2, path)
+    assert surv == [101, 102]
+    idx_ids = {
+        r["media_id"]
+        for r in spark.read.parquet(path + "/hashes").collect()
+    }
+    assert idx_ids == set(range(10)) | {101, 102}
+
+
+def test_media_index_takedown_pruned_and_nonretroactive(spark, tmp_path):
+    """Removal prunes to the partitions holding removed ids; a re-ingest
+    of removed content is accepted again (non-retroactive)."""
+    import os
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "midx2")
+    b1 = _media_df(spark, [(i, i, 0) for i in range(12)])
+    im.build_media_index(b1, path, id_buckets=4)
+
+    def snapshot():
+        tdir = os.path.join(path, "hashes")
+        return {
+            d: (os.stat(os.path.join(tdir, d)).st_mtime_ns,
+                sorted(os.listdir(os.path.join(tdir, d))))
+            for d in os.listdir(tdir)
+            if d.startswith("id_bucket=")
+        }
+
+    before = snapshot()
+    # ids 5 and 9 -> buckets 1 and 1 (mod 4)
+    assert im.media_index_remove(spark, [5, 9], path) == 2
+    after = snapshot()
+    touched = {d for d in before if before[d] != after[d]}
+    assert touched == {"id_bucket=1"}
+    # twin of the REMOVED seed-5 image is now accepted again
+    back = im.media_index_upsert(
+        spark, _media_df(spark, [(200, 5, 4)]), path
+    )
+    assert back == [200]
+    # but a twin of a still-indexed image stays dropped
+    dropped = im.media_index_upsert(
+        spark, _media_df(spark, [(201, 6, 4)]), path
+    )
+    assert dropped == []
+
+
+def test_media_index_banded_hamming(spark, tmp_path):
+    """An index built at max_hamming=3 drops upserted items within
+    hamming 3 of an indexed fingerprint (via the stored-hash banded
+    probe) and accepts items further away — planted with the DCT-domain
+    construction so distances are exact."""
+    import numpy as np
+
+    from fastdb_spark.pipeline import incmedia as im
+    from fastdb_spark.pipeline.imagededup import _dct32
+
+    c = _dct32()
+
+    def img_for(pattern):
+        block = np.where(pattern, 30.0, -30.0)
+        t = np.zeros((32, 32))
+        t[:8, :8] = np.concatenate(([0.0], block)).reshape(8, 8)
+        img = c.T @ t @ c + 128.0
+        return ic.encode_png(np.rint(img).astype(np.uint8))
+
+    def pat(seed):
+        rng = np.random.default_rng(seed)
+        ones = rng.choice(63, size=31, replace=False)
+        base = np.zeros(63, dtype=bool)
+        base[ones] = True
+        return base, ones, np.where(~base)[0]
+
+    base, ones, zeros = pat(1)
+    other, _, _ = pat(2)
+    near = base.copy()  # hamming 2 from base
+    near[ones[0]] = False
+    near[zeros[0]] = True
+    far = base.copy()  # hamming 8 from base
+    far[ones[:4]] = False
+    far[zeros[:4]] = True
+
+    path = str(tmp_path / "midx3")
+    b1 = spark.createDataFrame(
+        [(1, bytearray(img_for(base))), (2, bytearray(img_for(other)))],
+        "media_id long, payload binary",
+    )
+    from fastdb_spark.pipeline import incmedia as im
+
+    assert im.build_media_index(b1, path, max_hamming=3) == 2
+    b2 = spark.createDataFrame(
+        [(10, bytearray(img_for(near))), (11, bytearray(img_for(far)))],
+        "media_id long, payload binary",
+    )
+    assert im.media_index_upsert(spark, b2, path) == [11]
+
+
+def test_media_index_flat_fallback(spark, tmp_path):
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "midx4")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(6)]), path,
+        id_buckets=None,
+    )
+    assert im.media_index_remove(spark, [2], path) == 1
+    left = {
+        r["media_id"]
+        for r in spark.read.parquet(path + "/hashes").collect()
+    }
+    assert left == {0, 1, 3, 4, 5}
