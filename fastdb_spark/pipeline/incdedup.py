@@ -576,6 +576,9 @@ def _remove_ids(
                 src = spark.read.option("basePath", tdir).parquet(
                     *[os.path.join(tdir, f"id_bucket={b}") for b in hit]
                 )
+                # schema captured BEFORE the swaps: src's lineage reads
+                # the original partition dirs, which the swap deletes
+                tschema = src.select(*cols).schema
                 if table == first_table:
                     n_before = src.count()
                 tmp = os.path.join(path, f"_tmp_{table}")
@@ -607,6 +610,19 @@ def _remove_ids(
                         os.rename(new_part, pdir)
                     shutil.rmtree(old, ignore_errors=True)
                 shutil.rmtree(tmp, ignore_errors=True)
+                # a removal that emptied EVERY partition leaves the
+                # table with no part files — unreadable
+                # (UNABLE_TO_INFER_SCHEMA) for the next upsert's read;
+                # keep the schema alive with a zero-row slice in one
+                # partition dir
+                if not any(
+                    name.startswith("part-")
+                    for _r, _d, files in os.walk(tdir)
+                    for name in files
+                ):
+                    spark.createDataFrame([], tschema).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(tdir, f"id_bucket={hit[0]}"))
             spark.catalog.refreshByPath(path)
             return removed
         first = spark.read.parquet(os.path.join(path, first_table))

@@ -529,3 +529,24 @@ def test_media_index_flat_fallback(spark, tmp_path):
         for r in spark.read.parquet(path + "/hashes").collect()
     }
     assert left == {0, 1, 3, 4, 5}
+
+
+def test_takedown_emptying_whole_index_stays_readable(spark, tmp_path):
+    """Removing every indexed item must leave readable (zero-row,
+    schema-bearing) tables so the next upsert works — both index
+    families (the empty partitionBy write produces no part files, the
+    UNABLE_TO_INFER_SCHEMA regression)."""
+    from fastdb_spark.pipeline import incdedup as inc
+    from fastdb_spark.pipeline import incmedia as im
+
+    tpath = str(tmp_path / "t_all")
+    inc.build_dedup_index(_docs(spark, [1]), tpath)
+    assert inc.dedup_index_remove(spark, [1], tpath) == 1
+    assert inc.dedup_index_upsert(spark, _docs(spark, [1]), tpath) == [1]
+
+    mpath = str(tmp_path / "m_all")
+    im.build_media_index(_media_df(spark, [(1, 1, 0)]), mpath)
+    assert im.media_index_remove(spark, [1], mpath) == 1
+    assert im.media_index_upsert(
+        spark, _media_df(spark, [(1, 1, 0)]), mpath
+    ) == [1]
