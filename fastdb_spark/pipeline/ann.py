@@ -557,6 +557,19 @@ def ivf_index_remove(
             os.rename(cdir, old)
             os.rename(tmp, cdir)
             shutil.rmtree(old, ignore_errors=True)
+        # a takedown that wipes EVERY cluster leaves vectors/ with no
+        # part files — unreadable (UNABLE_TO_INFER_SCHEMA) for the next
+        # probe or upsert; re-seed one cluster dir with a zero-row
+        # schema-bearing slice (same discipline as incdedup._remove_ids)
+        if affected and not any(
+            name.startswith("part-")
+            for _r, _d, files in os.walk(vec_dir)
+            for name in files
+        ):
+            vschema = vecs.drop("cluster").schema
+            spark.createDataFrame([], vschema).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vec_dir, f"cluster={affected[0]}"))
         spark.catalog.refreshByPath(vec_dir)
     return removed
 

@@ -550,3 +550,35 @@ def test_takedown_emptying_whole_index_stays_readable(spark, tmp_path):
     assert im.media_index_upsert(
         spark, _media_df(spark, [(1, 1, 0)]), mpath
     ) == [1]
+
+
+def test_ivf_takedown_wiping_whole_index_stays_readable(spark, tmp_path):
+    """Removing EVERY vector leaves vectors/ readable (zero-row,
+    schema-bearing) so the next upsert or probe works — the IVF twin of
+    the emptied-index regression."""
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_remove,
+        ivf_index_upsert,
+        ivf_search_index,
+    )
+
+    def vecs(ids):
+        rows = []
+        for i in ids:
+            rng = np.random.default_rng(1000 + i)
+            rows.append((i, [float(x) for x in rng.uniform(-1, 1, 8)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    path = str(tmp_path / "ivf_all")
+    build_ivf_index(vecs(range(20)), path, n_clusters=4, strategy="seed")
+    assert ivf_index_remove(spark, list(range(20)), path) == 20
+    assert spark.read.parquet(path + "/vectors").count() == 0
+    q = [float(x) for x in np.random.default_rng(1).uniform(-1, 1, 8)]
+    assert ivf_search_index(spark, path, q, k=5, nprobe=4).count() == 0
+    ivf_index_upsert(vecs(range(100, 105)), path)
+    assert spark.read.parquet(path + "/vectors").count() == 5
