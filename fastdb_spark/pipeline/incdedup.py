@@ -269,13 +269,22 @@ def _append_survivors(
 
         def _write(df: DataFrame, table: str) -> None:
             # hive-partition by id hash so dedup_index_remove prunes its
-            # rewrites to the partitions holding removed ids
+            # rewrites to the partitions holding removed ids.  The batch
+            # is repartitioned ON the bucket column first: a raw
+            # partitionBy write emits one file per (task, bucket) —
+            # tasks x id_buckets tiny files per table, which tripled the
+            # 1M-doc takedown bench — whereas the shuffle routes each
+            # bucket to exactly one task (one file per bucket per
+            # append); maxRecordsPerFile re-splits pathological buckets
+            # at backfill scale.
             if id_buckets:
                 df = df.withColumn(
                     "id_bucket",
                     F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
-                )
-                df.write.partitionBy("id_bucket").mode(mode).parquet(
+                ).repartition("id_bucket")
+                df.write.option(
+                    "maxRecordsPerFile", 10_000_000
+                ).partitionBy("id_bucket").mode(mode).parquet(
                     os.path.join(path, table)
                 )
             else:

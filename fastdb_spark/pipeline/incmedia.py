@@ -77,13 +77,16 @@ def _write_hashes(
 ) -> None:
     df = hashes.select("phash", F.col(id_col))
     if id_buckets:
+        # repartition ON the bucket column: one file per bucket per
+        # append instead of one per (task, bucket) — see
+        # incdedup._append_survivors
         df = df.withColumn(
             "id_bucket",
             F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
-        )
-        df.write.partitionBy("id_bucket").mode(mode).parquet(
-            os.path.join(path, "hashes")
-        )
+        ).repartition("id_bucket")
+        df.write.option("maxRecordsPerFile", 10_000_000).partitionBy(
+            "id_bucket"
+        ).mode(mode).parquet(os.path.join(path, "hashes"))
     else:
         df.write.mode(mode).parquet(os.path.join(path, "hashes"))
 
