@@ -542,9 +542,13 @@ def bench_takedown(spark) -> dict:
     docs = synth_documents(spark, n)
     # ids that survive indexing: every 13th doc is a planted exact dup
     # (dropped keep-min), so step over a 13-coprime stride and skip them
-    step = max(n // 1300, 1)
+    step = max(n // 2600, 1)
     pool = [i for i in range(1, n, step) if i % 13 != 0]
-    rm_small, rm_large = pool[:16], pool[16 : 16 + 1000]
+    # two disjoint batches per shape: removals mutate state, so min-of-2
+    # uses a DIFFERENT batch per trial (host-variance discipline —
+    # single-trial A/Bs at this scale moved 2x between identical runs)
+    small_batches = [pool[:16], pool[16:32]]
+    large_batches = [pool[32 : 32 + 1000], pool[1032 : 1032 + 1000]]
     for layout, nb in (("bucketed", 64), ("flat", None)):
         path = tempfile.mkdtemp(prefix=f"fastdb_takedown_{layout}_")
         try:
@@ -554,13 +558,19 @@ def bench_takedown(spark) -> dict:
             )
             out[f"index_build_{layout}_s"] = round(time.perf_counter() - t0, 2)
             out[f"index_build_{layout}_docs"] = n_idx
-            t0 = time.perf_counter()
-            r1 = dedup_index_remove(spark, rm_small, path)
-            out[f"takedown_16_{layout}_s"] = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            r2 = dedup_index_remove(spark, rm_large, path)
-            out[f"takedown_1k_{layout}_s"] = round(time.perf_counter() - t0, 2)
-            out[f"takedown_{layout}_removed"] = r1 + r2
+            removed = 0
+            for label, batches in (
+                ("takedown_16", small_batches),
+                ("takedown_1k", large_batches),
+            ):
+                times = []
+                for batch in batches:
+                    t0 = time.perf_counter()
+                    removed += dedup_index_remove(spark, batch, path)
+                    times.append(round(time.perf_counter() - t0, 2))
+                out[f"{label}_{layout}_s"] = min(times)
+                out[f"{label}_{layout}_trials"] = times
+            out[f"takedown_{layout}_removed"] = removed
         finally:
             shutil.rmtree(path, ignore_errors=True)
     return out

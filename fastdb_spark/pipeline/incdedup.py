@@ -255,6 +255,21 @@ def _append_survivors(
     # explicit unpersist() on the DataFrame is a no-op (ADVICE r6), so
     # none is attempted; per-batch blocks are bounded by the batch size
     # and die with the local `surv` reference.
+    #
+    # Bucket alignment happens HERE, before the one checkpoint all three
+    # writes share: repartitioning on id_bucket routes each bucket to
+    # exactly one task (one file per bucket per append — a raw
+    # partitionBy write emits tasks x buckets tiny files, which made the
+    # first-cut layout 2-3.5x slower than flat at 1M docs), and doing it
+    # pre-checkpoint means the three table writes pay ZERO shuffles
+    # (per-write repartition cost the sf0.1 index gates +4.6 s each).
+    # The bands explode below preserves partitioning, so exploded rows
+    # stay bucket-aligned.
+    if id_buckets:
+        surv = surv.withColumn(
+            "id_bucket",
+            F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
+        ).repartition("id_bucket")
     surv = surv.localCheckpoint(eager=True)
     scratch = None
     try:
@@ -269,19 +284,11 @@ def _append_survivors(
 
         def _write(df: DataFrame, table: str) -> None:
             # hive-partition by id hash so dedup_index_remove prunes its
-            # rewrites to the partitions holding removed ids.  The batch
-            # is repartitioned ON the bucket column first: a raw
-            # partitionBy write emits one file per (task, bucket) —
-            # tasks x id_buckets tiny files per table, which tripled the
-            # 1M-doc takedown bench — whereas the shuffle routes each
-            # bucket to exactly one task (one file per bucket per
-            # append); maxRecordsPerFile re-splits pathological buckets
-            # at backfill scale.
+            # rewrites to the partitions holding removed ids; the frame
+            # is already bucket-aligned (repartition above), so this is
+            # shuffle-free.  maxRecordsPerFile re-splits pathological
+            # buckets at backfill scale.
             if id_buckets:
-                df = df.withColumn(
-                    "id_bucket",
-                    F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
-                ).repartition("id_bucket")
                 df.write.option(
                     "maxRecordsPerFile", 10_000_000
                 ).partitionBy("id_bucket").mode(mode).parquet(
@@ -290,12 +297,15 @@ def _append_survivors(
             else:
                 df.write.mode(mode).parquet(os.path.join(path, table))
 
-        _write(surv.select("fingerprint", id_col), "fingerprints")
+        bkt = ["id_bucket"] if id_buckets else []
+        _write(surv.select("fingerprint", id_col, *bkt), "fingerprints")
         _write(
-            surv.select(F.explode("bands").alias("band"), F.col(id_col)),
+            surv.select(
+                F.explode("bands").alias("band"), F.col(id_col), *bkt
+            ),
             "bands",
         )
-        _write(surv.select(id_col, "sh"), "shingles")
+        _write(surv.select(id_col, "sh", *bkt), "shingles")
     finally:
         if scratch is not None:
             import shutil
@@ -381,7 +391,9 @@ def rebuild_dedup_index(
         if nb:
             banded.withColumn(
                 "id_bucket", F.pmod(F.col(id_col), F.lit(nb)).cast("int")
-            ).write.partitionBy("id_bucket").mode("overwrite").parquet(
+            ).repartition("id_bucket").write.option(
+                "maxRecordsPerFile", 10_000_000
+            ).partitionBy("id_bucket").mode("overwrite").parquet(
                 os.path.join(path, "bands")
             )
         else:

@@ -79,7 +79,9 @@ def _write_hashes(
     if id_buckets:
         # repartition ON the bucket column: one file per bucket per
         # append instead of one per (task, bucket) — see
-        # incdedup._append_survivors
+        # incdedup._append_survivors.  The single hashes table makes the
+        # one-shuffle-per-write shape fine here (the text index shares
+        # one aligned checkpoint across its three tables instead).
         df = df.withColumn(
             "id_bucket",
             F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
