@@ -165,6 +165,33 @@ def video_fingerprint_bytes(
     return int.from_bytes(folded[:8], "big", signed=True)
 
 
+def video_fingerprints(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """(id, payload) -> (id, vfp bigint): the folded sampled-frame clip
+    fingerprint via Arrow mapInPandas.  Undecodable payloads are skipped
+    (same contract as ``perceptual_hashes``)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = video_fingerprint_bytes(bytes(payload), every_ms)
+                except ValueError:
+                    continue
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "vfp": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, vfp long"
+    )
+
+
 def video_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
@@ -181,25 +208,11 @@ def video_dup_pairs(
     fingerprint frame is staged before the self-join (see
     ``image_dup_pairs``); ``cachereg.release_staged()`` frees it."""
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    h = video_fingerprint_bytes(bytes(payload), every_ms)
-                except ValueError:
-                    continue
-                ids.append(int(mid))
-                hashes.append(h)
-            yield pd.DataFrame({id_col: ids, "vfp": hashes})
-
     from fastdb_spark.cachereg import stage
     from fastdb_spark.pipeline.dedup import cap_bucket_sizes
 
     hashes = stage(
-        media.select(id_col, payload_col).mapInPandas(
-            op, schema=f"{id_col} long, vfp long"
-        )
+        video_fingerprints(media, id_col, payload_col, every_ms)
     )
     capped = cap_bucket_sizes(hashes, ["vfp"], max_bucket_size)
     a = capped.select(F.col(id_col).alias("id_a"), F.col("vfp").alias("h_a"))

@@ -1,6 +1,10 @@
-"""Incremental PERCEPTUAL media dedup against a persisted pHash index —
-the image/video twin of ``pipeline.incdedup`` (text) and
-``ann.ivf_index_upsert`` (vectors).
+"""Incremental PERCEPTUAL media dedup against a persisted fingerprint
+index — the media twin of ``pipeline.incdedup`` (text) and
+``ann.ivf_index_upsert`` (vectors).  Multimodal by method dispatch:
+``phash``/``dhash`` (images), ``video`` (sampled-frame clip
+fingerprints), ``audio`` (Haitsma-Kalker spectral fingerprints) — all
+normalized to one 64-bit ``phash`` column so the index, probe, and
+takedown shapes are modality-agnostic.
 
 A multimodal corpus grows by crawl increments; re-decoding and
 re-pairing the full image corpus per daily batch is the naive O(N)
@@ -68,6 +72,38 @@ def _load_params(path: str) -> dict:
         return json.load(f)
 
 
+def _hash_frame(
+    media: DataFrame,
+    id_col: str,
+    payload_col: str,
+    method: str,
+    every_ms: int,
+    audio_kw: dict | None,
+) -> DataFrame:
+    """Dispatch the per-modality fingerprint mapInPandas; the hash
+    column is normalized to ``phash`` so every downstream join/band/
+    takedown shape is modality-agnostic.  Undecodable payloads are
+    skipped in every leg (the shared torn-payload contract)."""
+    if method in ("phash", "dhash"):
+        return perceptual_hashes(media, id_col, payload_col, method)
+    if method == "video":
+        from fastdb_spark.pipeline.imagededup import video_fingerprints
+
+        return video_fingerprints(
+            media, id_col, payload_col, every_ms
+        ).withColumnRenamed("vfp", "phash")
+    if method == "audio":
+        from fastdb_spark.pipeline.audiodedup import audio_hashes
+
+        return audio_hashes(
+            media, id_col, payload_col, **(audio_kw or {})
+        ).withColumnRenamed("afp", "phash")
+    raise ValueError(
+        f"unknown media index method {method!r} "
+        "(phash | dhash | video | audio)"
+    )
+
+
 def _write_hashes(
     hashes: DataFrame,
     path: str,
@@ -120,16 +156,25 @@ def build_media_index(
     bands: int = 8,
     max_bucket_size: int | None = None,
     id_buckets: int | None = DEFAULT_ID_BUCKETS,
+    every_ms: int = 1000,
+    audio_kw: dict | None = None,
 ) -> int:
     """Curate ``media`` (in-batch perceptual dedup at ``max_hamming``)
     and persist the survivors' fingerprints.  Returns the number of
-    indexed items.  ``method``, ``max_hamming``, ``bands`` and
-    ``id_buckets`` are RECORDED IN THE INDEX METADATA so every later
-    upsert probes identically (mixing methods or thresholds would
-    silently miss duplicates)."""
+    indexed items.
+
+    ``method`` picks the modality: ``"phash"``/``"dhash"`` (images),
+    ``"video"`` (sampled-frame clip fingerprints, ``every_ms`` cadence),
+    ``"audio"`` (Haitsma-Kalker spectral fingerprints, ``audio_kw``
+    forwarded to the fingerprinter).  ``method`` and every fingerprint
+    parameter are RECORDED IN THE INDEX METADATA so every later upsert
+    probes identically (mixing methods or thresholds would silently
+    miss duplicates)."""
     from fastdb_spark.cachereg import release_staged, stage
 
-    hashes = stage(perceptual_hashes(media, id_col, payload_col, method))
+    hashes = stage(
+        _hash_frame(media, id_col, payload_col, method, every_ms, audio_kw)
+    )
     try:
         surv = _dedup_batch(
             hashes, id_col, max_hamming, bands, max_bucket_size
@@ -146,6 +191,8 @@ def build_media_index(
                 "bands": bands,
                 "id_buckets": id_buckets,
                 "id_col": id_col,
+                "every_ms": every_ms,
+                "audio_kw": audio_kw or {},
             },
             f,
         )
@@ -172,7 +219,14 @@ def media_index_upsert(
 
     with table_write_lock(os.path.normpath(path)):
         hashes = stage(
-            perceptual_hashes(new_media, id_col, payload_col, p["method"])
+            _hash_frame(
+                new_media,
+                id_col,
+                payload_col,
+                p["method"],
+                p.get("every_ms", 1000),
+                p.get("audio_kw") or None,
+            )
         )
         try:
             idx = spark.read.parquet(os.path.join(path, "hashes"))

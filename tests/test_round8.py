@@ -582,3 +582,42 @@ def test_ivf_takedown_wiping_whole_index_stays_readable(spark, tmp_path):
     assert ivf_search_index(spark, path, q, k=5, nprobe=4).count() == 0
     ivf_index_upsert(vecs(range(100, 105)), path)
     assert spark.read.parquet(path + "/vectors").count() == 5
+
+
+def test_media_index_video_and_audio_methods(spark, tmp_path):
+    """The index is honestly multimodal: method='video' fingerprints AVI
+    clips (regrade twins collapse), method='audio' fingerprints WAVs
+    (gain twins collapse) — an image-only hasher would silently index
+    NOTHING for these payloads."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    vpath = str(tmp_path / "vidx")
+    b1 = spark.createDataFrame(
+        [(i, bytearray(_avi(i))) for i in range(4)],
+        "media_id long, payload binary",
+    )
+    assert im.build_media_index(b1, vpath, method="video", every_ms=500) == 4
+    b2 = spark.createDataFrame(
+        [
+            (10, bytearray(_avi(2, shift=4))),  # regrade twin of indexed 2
+            (11, bytearray(_avi(50))),          # fresh
+        ],
+        "media_id long, payload binary",
+    )
+    assert im.media_index_upsert(spark, b2, vpath) == [11]
+    assert im.media_index_remove(spark, [2], vpath) == 1
+
+    apath = str(tmp_path / "aidx")
+    a1 = spark.createDataFrame(
+        [(i, bytearray(_wav(i))) for i in range(4)],
+        "media_id long, payload binary",
+    )
+    assert im.build_media_index(a1, apath, method="audio") == 4
+    a2 = spark.createDataFrame(
+        [
+            (10, bytearray(_wav(2, gain=2))),  # gain twin of indexed 2
+            (11, bytearray(_wav(60))),         # fresh
+        ],
+        "media_id long, payload binary",
+    )
+    assert im.media_index_upsert(spark, a2, apath) == [11]
