@@ -18,4 +18,11 @@ queries: the operations a 100 TB pretraining-data pipeline runs over a
 - ``curate``     — the composed cleaning pipeline
 - ``multimodal`` — binary media columns: schema, batch plumbing, decode
                    stubs (image/audio libs are not in the runtime image)
+- ``imagededup`` — perceptual image/video dedup (pHash/dHash, banded
+                   hamming pairs + cross-frame probes)
+- ``audiodedup`` — perceptual audio dedup (Haitsma-Kalker fingerprints)
+- ``incdedup``   — persisted incremental TEXT dedup index (id-bucketed,
+                   pruned takedowns)
+- ``incmedia``   — persisted incremental PERCEPTUAL media index
+                   (image/video/audio methods, shared takedown engine)
 """
