@@ -281,3 +281,60 @@ def media_index_remove(
         id_col,
         p.get("id_buckets"),
     )
+
+
+def stream_media_index(
+    spark: SparkSession,
+    media_path: str,
+    index_path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    max_bucket_size: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming media ingest into the persisted perceptual
+    index — the media twin of ``incdedup.stream_dedup_index``:
+    ``readStream`` over a parquet file source of ``(id, payload binary)``
+    rows, ``foreachBatch`` applying :func:`media_index_upsert` per
+    micro-batch under the table write lock.  The checkpoint gives
+    exactly-once over the transport, and the upsert itself absorbs
+    re-delivery (a replayed item matches its own fingerprint already in
+    the index and is dropped), so at-least-once delivery leaves the
+    index contents unchanged.  Returns the started ``StreamingQuery``.
+
+    The index must already exist (``build_media_index`` on the seed
+    corpus); the hash method and every fingerprint parameter come from
+    the index metadata, never this caller, so every micro-batch probes
+    identically."""
+    p = _load_params(index_path)
+    id_col = p.get("id_col", "media_id")
+
+    # micro-batches are batch-sized, not table-sized (same rationale as
+    # stream_dedup_index): keep upsert tasks from becoming confetti
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        media_index_upsert(
+            spark,
+            batch_df,
+            index_path,
+            payload_col=payload_col,
+            max_bucket_size=max_bucket_size,
+        )
+
+    reader = spark.readStream.schema(f"{id_col} long, {payload_col} binary")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(media_path)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

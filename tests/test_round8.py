@@ -621,3 +621,36 @@ def test_media_index_video_and_audio_methods(spark, tmp_path):
         "media_id long, payload binary",
     )
     assert im.media_index_upsert(spark, a2, apath) == [11]
+
+
+def test_stream_media_index_end_to_end(spark, tmp_path):
+    """Streaming media ingest: two parquet increments flow through
+    readStream -> foreachBatch media_index_upsert; twins of indexed
+    images are dropped, fresh ones land; a worst-case re-delivery
+    (fresh checkpoint, same files) leaves the index unchanged."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    idx = str(tmp_path / "sm_idx")
+    src = str(tmp_path / "sm_src")
+    im.build_media_index(_media_df(spark, [(i, i, 0) for i in range(5)]), idx)
+
+    _media_df(spark, [(10, 2, 4), (11, 60, 0)]).write.mode(
+        "append"
+    ).parquet(src)
+    _media_df(spark, [(12, 61, 0)]).write.mode("append").parquet(src)
+
+    q = im.stream_media_index(spark, src, idx, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+
+    def ids():
+        return {
+            r["media_id"]
+            for r in spark.read.parquet(idx + "/hashes").collect()
+        }
+
+    assert ids() == {0, 1, 2, 3, 4, 11, 12}  # 10 = twin of indexed 2
+
+    # worst-case re-delivery: a fresh checkpoint replays every file
+    q2 = im.stream_media_index(spark, src, idx, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert ids() == {0, 1, 2, 3, 4, 11, 12}
