@@ -2734,6 +2734,134 @@ def _q_media_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_index_av_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media index's VIDEO and AUDIO method dispatch under the exact
+    gate (VERDICT r8 missing #6: ``method="video"/"audio"`` was
+    pytest-only) — the ``media_index_roundtrip`` choreography run TWICE,
+    once per non-image modality, every decision arithmetic:
+
+    - video leg: seeded 6-frame raw-DIB AVIs per EVEN doc_id (the
+      ``video_phash_dedup`` construction); the upsert batch plants a
+      uniformly re-graded twin (+4 every pixel — per-frame pHash
+      invariance lifts to the clip fingerprint) of image ``doc_id - 1``
+      for ``doc_id % 4 == 1``, else a fresh clip; ``doc_id % 8 == 3``
+      also plants an in-batch re-graded twin under ``doc_id + 70M``.
+    - audio leg: seeded sine-mix WAVs (the ``audio_afp_dedup``
+      construction); twins are gain-doubled (IEEE-exact for the
+      Haitsma-Kalker sign bits), in-batch twins under ``doc_id + 80M``.
+    - both legs take down indexed ids with ``doc_id % 10 == 0`` before
+      the upsert, so twins of removed items (``doc_id % 20 == 1``) are
+      ACCEPTED — non-retroactive takedown through the non-image
+      dispatch.
+
+    Membership formula per leg is identical to the image roundtrip; the
+    gate returns the union tagged by modality, so a wrong drop in either
+    method's fingerprint path, metadata freeze (``every_ms`` /
+    ``audio_kw``), probe, or takedown flips the hash."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fastdb_spark.pipeline.incmedia import (
+        build_media_index,
+        media_index_remove,
+        media_index_upsert,
+    )
+    from fastdb_spark.sources import avicodec as av
+    from fastdb_spark.sources import imagecodec as ic
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def avi(did: int, shift: int = 0) -> bytearray:
+        rng = np.random.default_rng(did)
+        frames = rng.integers(0, 248, (6, 16, 16, 3)).astype(np.uint8)
+        return bytearray(
+            av.encode_avi(frames + np.uint8(shift), fps=4, codec="rgb")
+        )
+
+    def wav(did: int, gain: int = 1) -> bytearray:
+        rng = np.random.default_rng(did)
+        t = np.arange(2048)
+        sig = (
+            2000 * np.sin(t * 0.05 * (1 + did % 5))
+            + 1500 * np.sin(t * 0.013 * (1 + did % 3))
+            + rng.normal(0, 300, 2048)
+        ).astype(np.int16)
+        return bytearray(
+            ic.encode_wav((sig * np.int16(gain))[:, None], rate=16000)
+        )
+
+    def legs(mk_item, mk_twin, inbatch_base):
+        def mk_even(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [
+                    (int(d), mk_item(int(d)))
+                    for d in pdf["doc_id"]
+                    if int(d) % 2 == 0
+                ]
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        def mk_odd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    if d % 2 == 0:
+                        continue
+                    if d % 4 == 1:
+                        rows.append((d, mk_twin(d - 1)))
+                    else:
+                        rows.append((d, mk_item(d)))
+                    if d % 8 == 3:
+                        rows.append((d + inbatch_base, mk_twin(d)))
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        return mk_even, mk_odd
+
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    schema = "media_id long, payload binary"
+    out = []
+    for modality, mk_item, mk_twin, base, kw in (
+        (
+            "video",
+            avi,
+            lambda d: avi(d, shift=4),
+            70_000_000,
+            {"method": "video", "every_ms": 500},
+        ),
+        (
+            "audio",
+            wav,
+            lambda d: wav(d, gain=2),
+            80_000_000,
+            {"method": "audio"},
+        ),
+    ):
+        mk_even, mk_odd = legs(mk_item, mk_twin, base)
+        path = _scratch("fastdb_incmedia_av_gate", modality, tag)
+        shutil.rmtree(path, ignore_errors=True)
+        build_media_index(docs.mapInPandas(mk_even, schema), path, **kw)
+        rm = docs.filter("doc_id % 2 = 0 AND doc_id % 10 = 0").select(
+            F.col("doc_id").alias("media_id")
+        )
+        media_index_remove(spark, rm, path)
+        media_index_upsert(spark, docs.mapInPandas(mk_odd, schema), path)
+        out.append(
+            spark.read.parquet(os.path.join(path, "hashes")).select(
+                F.lit(modality).alias("modality"), "media_id"
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def _q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO dedup under the exact gate: per document a seeded
     6-frame raw-DIB AVI (pixels in 0..247); every fourth document plants
@@ -3205,33 +3333,139 @@ def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_similar_w2v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-search SEARCH leg under an exact oracle (VERDICT r8
+    missing #5: ``doc_similar_w2v`` was the last rows-only text gate,
+    because a TRAINED vector space has no SQL twin).  This gate freezes
+    the vector table instead — the same deterministic seeded vectors as
+    ``doc_embed_pool`` (integer components: ascii codes + length) — and
+    drives the REAL ``similar_documents`` pooling + brute-force cosine
+    top-k path end to end.
+
+    Exactness chain, engine to engine: per-(doc, dim) means are
+    integer-sum / count cast to float32 (bit-identical); the cosine runs
+    over doubles with LEFT-TO-RIGHT sums (``functions.vectors.dot`` is a
+    sequential ``aggregate``; dim = 4 lets the oracle spell the same
+    parenthesization literally), rounded to 6 decimals; ties break by
+    vec_id in both engines.  The trained-space gate stays registered as
+    the rows-only companion."""
+    from fastdb_spark.pipeline.embed import similar_documents
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    wv = vocab.select(
+        "word",
+        F.array(
+            F.ascii("word").cast("float"),
+            F.length("word").cast("float"),
+            F.expr("ascii(right(word, 1))").cast("float"),
+            F.lit(7.0).cast("float"),
+        ).alias("vector"),
+    )
+    return similar_documents(
+        docs, query_doc_id=0, k=10, word_vectors=wv
+    ).select("vec_id", "cos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROTATION INVARIANT (codified round 8, VERDICT r7
-    # #3): with 107 registered gates and a 50-slot window, a two-round
-    # union cannot cover everything; the STATED invariant is therefore
-    # three-round — every gate has a driver row within the last three
-    # rounds — plus two hard rules: (a) a gate born in round N sits in
-    # round N's window head (no more late-landing gates), and (b) the
-    # named stable laggards (the gates squeezed out of the current
-    # window, listed below and in ROUND_NOTES.md) LEAD the next round's
-    # window.  tests/test_round8.py::test_rotation_invariant asserts the
-    # r7∪r8 union covers everything except exactly the named laggard
-    # set.
+    # their oracles.  ROTATION INVARIANT (codified round 8, executed as
+    # pinned this round): every gate has a driver row within the last
+    # three rounds, plus two hard rules — (a) a gate born in round N
+    # sits in round N's window head, and (b) the named stable laggards
+    # LEAD the next round's window.
     #
-    # ROUND-8 WINDOW: the new image_banded_neardup gate (born this
-    # round), the 7 round-7 gates without driver rows, the touched-path
-    # dedup_index_roundtrip (id-bucketed layout this round), then the
-    # r6 tail rotated back in.  NAMED LAGGARDS (r6-green, untouched for
-    # 2+ rounds, parity-run every session; they lead the r9 window):
-    # decontaminate, stratified_sample, stream_windowed_rates,
-    # objstats_per_band, objstats_combined, weighted_position,
-    # alert_reconstruct, ann_cosine_topk (displaced when
-    # media_index_roundtrip joined the window head).
+    # ROUND-9 WINDOW: the two gates born this round
+    # (media_index_av_roundtrip, doc_similar_w2v_exact), the 8 r8-named
+    # laggards (rule b, VERDICT r8 #1), the two touched-path index gates
+    # (media_index_roundtrip: guard defaults + hash_matches fix;
+    # dedup_index_roundtrip: empty-survivor/static-overwrite write
+    # path), then the 38 oldest-evidence r7 gates.  NAMED LAGGARDS for
+    # r10 (r7-green, untouched, parity-run every session; they lead the
+    # r10 window): union_distinct, values_lookup, anti_join,
+    # sql_passthrough, flux_to_mag, keyword_search, topk_per_group,
+    # pricing_summary, revenue_by_nation, doc_stats, sessionize,
+    # broker_info.  tests/test_round9.py::test_rotation_invariant_r9
+    # asserts the r8 union r9 windows cover everything except exactly
+    # that set.
     return {
-        # --- round-8 window (first 50) ------------------------------
-        "image_banded_neardup": _q_image_banded_neardup,
+        # --- round-9 window (first 50) ------------------------------
+        "media_index_av_roundtrip": _q_media_index_av_roundtrip,
+        "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
+        # the 8 r8-named laggards (rule b)
+        "ann_cosine_topk": _q_ann_topk,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "weighted_position": _q_weighted_position,
+        "alert_reconstruct": _q_alert_reconstruct,
+        # touched-path index gates re-adjudicated this round
         "media_index_roundtrip": _q_media_index_roundtrip,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        # oldest-evidence r7 gates rotated back in
+        "mix_report": _q_mix_report,
+        "ann_exhaustive_exact": _q_ann_exhaustive,
+        "ann_batch_topk": _q_ann_batch_topk,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "ltcv_patch": _q_ltcv_patch,
+        "snana_load_roundtrip": _q_snana_load,
+        "doc_embed_pool": _q_doc_embed_pool,
+        "priority_dedup": _q_priority_dedup,
+        "versioned_dedup": _q_versioned_dedup,
+        "first_seen_dedup": _q_first_seen_dedup,
+        "ltcv_detections_cut": _q_ltcv_detections_cut,
+        "crossmatch": _q_crossmatch,
+        "spectrum_workflow": _q_spectrum_workflow,
+        "range_join": _q_range_join,
+        "cone_search": _q_cone_search,
+        "ltcv_nested_probe": _q_ltcv_nested_probe,
+        "asof_latest_forced": _q_asof_latest_forced,
+        "object_search": _q_object_search,
+        "versioned_count": _q_versioned_count,
+        "hot_ltcvs": _q_hot_ltcvs,
+        "skewed_aggregate": _q_skewed_aggregate,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "corpus_quantiles": _q_corpus_quantiles,
+        "corpus_rollup": _q_corpus_rollup,
+        "vocab_topk": _q_vocab_topk,
+        "pii_redaction": _q_pii_redaction,
+        "bm25_search": _q_bm25_search,
+        "multimodal_codec_roundtrip": _q_multimodal_codec,
+        "multimodal_features": _q_multimodal_features,
+        "bpe_encode": _q_bpe_encode,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "curate_corpus": _q_curate_corpus,
+        "training_set": _q_training_set,
+        "exact_dedup": _q_exact_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        # --- adjudication tail (position >50): first the 12 NAMED
+        # LAGGARDS that lead the r10 window, then the r8-window gates
+        # (driver-green in CORRECTNESS_r08); every tail gate still
+        # runs in tests/test_oracle_parity.py and tools/stock_sweep.py
+        # every session -----------------------------------------------
+        "union_distinct": _q_union_distinct,
+        "values_lookup": _q_values_lookup,
+        "anti_join": _q_anti_join,
+        "sql_passthrough": _q_sql_passthrough,
+        "flux_to_mag": _q_flux_to_mag,
+        "keyword_search": _q_keyword_search,
+        "topk_per_group": _q_topk_per_group,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "doc_stats": _q_doc_stats,
+        "sessionize": _q_sessionize,
+        "broker_info": _q_broker_info,
+        # r8-window gates (driver-green in CORRECTNESS_r08)
+        "image_banded_neardup": _q_image_banded_neardup,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
         "video_phash_dedup": _q_video_phash_dedup,
@@ -3239,7 +3473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": _q_media_probe,
         "dedup_index_takedown": _q_dedup_index_takedown,
         "ann_index_takedown": _q_ann_index_takedown,
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
         "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
@@ -3280,70 +3513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # --- adjudication tail (position >50): first the 8 NAMED
-        # LAGGARDS that lead the r9 window, then the 46 r7-window
-        # gates (driver-green in CORRECTNESS_r07) + the r7/r8 gates
-        # already covered; every tail gate still runs in
-        # tests/test_oracle_parity.py and tools/stock_sweep.py
-        # every session -----------------------------------------------
-        "ann_cosine_topk": _q_ann_topk,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
-        "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
-        "mix_report": _q_mix_report,
-        "ann_exhaustive_exact": _q_ann_exhaustive,
-        "ann_batch_topk": _q_ann_batch_topk,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "ltcv_patch": _q_ltcv_patch,
-        "snana_load_roundtrip": _q_snana_load,
-        "doc_embed_pool": _q_doc_embed_pool,
-        "priority_dedup": _q_priority_dedup,
-        "versioned_dedup": _q_versioned_dedup,
-        "first_seen_dedup": _q_first_seen_dedup,
-        "ltcv_detections_cut": _q_ltcv_detections_cut,
-        "crossmatch": _q_crossmatch,
-        "broker_info": _q_broker_info,
-        "spectrum_workflow": _q_spectrum_workflow,
-        "range_join": _q_range_join,
-        "cone_search": _q_cone_search,
-        "ltcv_nested_probe": _q_ltcv_nested_probe,
-        "asof_latest_forced": _q_asof_latest_forced,
-        "object_search": _q_object_search,
-        "versioned_count": _q_versioned_count,
-        "sessionize": _q_sessionize,
-        "hot_ltcvs": _q_hot_ltcvs,
-        "doc_stats": _q_doc_stats,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "topk_per_group": _q_topk_per_group,
-        "keyword_search": _q_keyword_search,
-        "flux_to_mag": _q_flux_to_mag,
-        "union_distinct": _q_union_distinct,
-        "values_lookup": _q_values_lookup,
-        "anti_join": _q_anti_join,
-        "sql_passthrough": _q_sql_passthrough,
-        "skewed_aggregate": _q_skewed_aggregate,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "corpus_quantiles": _q_corpus_quantiles,
-        "corpus_rollup": _q_corpus_rollup,
-        "vocab_topk": _q_vocab_topk,
-        "pii_redaction": _q_pii_redaction,
-        "bm25_search": _q_bm25_search,
-        "multimodal_codec_roundtrip": _q_multimodal_codec,
-        "multimodal_features": _q_multimodal_features,
-        "bpe_encode": _q_bpe_encode,
-        "minhash_lsh_dedup": _q_minhash_lsh,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "dup_clusters": _q_dup_clusters,
-        "curate_corpus": _q_curate_corpus,
-        "training_set": _q_training_set,
-        "exact_dedup": _q_exact_dedup,
-        "embedding_neardup": _q_embedding_neardup,
     }
 
 # ---------------------------------------------------------------------------
@@ -3468,6 +3637,57 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'frc', user_id, visit, band, mjd,
                    flux + 0.5, flux * 2.0, 'bpv-dp1' FROM e
+        """,
+        # the search leg over the SAME frozen vector table as
+        # doc_embed_pool: float32 pooled components cast to double, the
+        # cosine spelled with the exact left-to-right parenthesization
+        # of functions.vectors.dot, ties broken by vec_id in both
+        # engines; rank-1 is always the query doc itself (cos 1.0, min
+        # id), excluded like similar_documents excludes it
+        "doc_similar_w2v_exact": """
+            WITH t0 AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            t AS (SELECT doc_id, word FROM t0 WHERE word <> ''),
+            v AS (SELECT DISTINCT word FROM t
+                  WHERE regexp_matches(word, '^[a-z]{3,}$')),
+            j AS (SELECT t.doc_id, t.word FROM t JOIN v USING (word)),
+            comp AS (
+              SELECT doc_id, d.dim,
+                     CASE d.dim
+                       WHEN 0 THEN ascii(word)
+                       WHEN 1 THEN length(word)
+                       WHEN 2 THEN ascii(right(word, 1))
+                       ELSE 7 END AS c
+              FROM j CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(dim)),
+            dims AS (
+              SELECT doc_id, dim,
+                     CAST(CAST(sum(CAST(c AS DOUBLE)) / count(*) AS REAL)
+                          AS DOUBLE) AS val
+              FROM comp GROUP BY doc_id, dim),
+            e AS (
+              SELECT doc_id,
+                     max(CASE WHEN dim = 0 THEN val END) AS e0,
+                     max(CASE WHEN dim = 1 THEN val END) AS e1,
+                     max(CASE WHEN dim = 2 THEN val END) AS e2,
+                     max(CASE WHEN dim = 3 THEN val END) AS e3
+              FROM dims GROUP BY doc_id),
+            q AS (SELECT e0 AS q0, e1 AS q1, e2 AS q2, e3 AS q3
+                  FROM e WHERE doc_id = 0),
+            scored AS (
+              SELECT e.doc_id AS vec_id,
+                     round((e0*q0 + e1*q1 + e2*q2 + e3*q3)
+                           / (sqrt(e0*e0 + e1*e1 + e2*e2 + e3*e3)
+                              * sqrt(q0*q0 + q1*q1 + q2*q2 + q3*q3)),
+                           6) AS cos
+              FROM e CROSS JOIN q),
+            ranked AS (
+              SELECT vec_id, cos,
+                     row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+            SELECT vec_id, cos FROM ranked
+            WHERE rn <= 11 AND vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "doc_embed_pool": """
             WITH t0 AS (
@@ -3645,6 +3865,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id FROM documents
             WHERE doc_id % 2 = 1
               AND (doc_id % 4 <> 1 OR doc_id % 20 = 1)
+        """,
+        # same membership formula per modality leg (the video/audio
+        # twins are fingerprint-identical by construction: regrade +4 /
+        # gain x2), tagged by modality
+        "media_index_av_roundtrip": """
+            SELECT m.modality, doc_id AS media_id
+            FROM documents
+            CROSS JOIN (VALUES ('video'), ('audio')) AS m(modality)
+            WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0)
+               OR (doc_id % 2 = 1
+                   AND (doc_id % 4 <> 1 OR doc_id % 20 = 1))
         """,
         "audio_afp_dedup": """
             SELECT doc_id AS id_a,

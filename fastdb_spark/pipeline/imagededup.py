@@ -318,19 +318,35 @@ def hash_matches(
     max_hamming: int = 0,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Cross-frame probe: ``(new_id, old_id)`` for every new fingerprint
     within ``max_hamming`` of an old one — the vs-index leg of the
     persisted media dedup index.  Same banded/refine machinery as
-    :func:`hash_pairs`, but a two-frame equi-join (never all-pairs);
-    the cap applies to the OLD side's buckets (a degenerate indexed
-    fingerprint family is the hazard — one hot key joined by every
-    matching new row)."""
-    from fastdb_spark.pipeline.dedup import cap_bucket_sizes
+    :func:`hash_pairs`, but a two-frame equi-join (never all-pairs).
 
+    Hot-key guards (ADVICE r8: the first cut capped the OLD side's
+    buckets with ``cap_bucket_sizes``, which DROPS oversized buckets —
+    so a new exact duplicate of a hot indexed fingerprint family was
+    silently ADMITTED, disabling dedup exactly where dups are densest):
+
+    - ``max_hamming == 0``: the old side is ``dropDuplicates(hash_col)``
+      — LOSSLESS for detection (one representative per stored
+      fingerprint decides admission; ``old_id`` is the min-id
+      representative for determinism) and the hot-key hazard is gone
+      structurally, so ``max_bucket_size`` is ignored on this leg.
+    - banded (``max_hamming > 0``): candidates are capped PER NEW id
+      (``row_number`` by ``old_id`` — the refine only needs ONE hit to
+      reject a new item), mirroring ``dedup_index_upsert``; pass an
+      ``audit`` dict (``{"truncated_items": 0, "sample": []}``) to have
+      truncated new ids recorded EAGERLY (one bounded limit-collect on a
+      cachereg-staged frame — the caller's ``release_staged()`` frees
+      it), so capped probes are never silent."""
     if max_hamming == 0:
-        o = cap_bucket_sizes(old, [hash_col], max_bucket_size).select(
-            F.col(id_col).alias("old_id"), F.col(hash_col).alias("h_o")
+        o = (
+            old.groupBy(hash_col)
+            .agg(F.min(id_col).alias("old_id"))
+            .select("old_id", F.col(hash_col).alias("h_o"))
         )
         n = new.select(
             F.col(id_col).alias("new_id"), F.col(hash_col).alias("h_n")
@@ -351,8 +367,7 @@ def hash_matches(
         "band",
         "key",
     )
-    ob = _banded(old, id_col, hash_col, bands)
-    ob = cap_bucket_sizes(ob, ["band", "key"], max_bucket_size).select(
+    ob = _banded(old, id_col, hash_col, bands).select(
         F.col(id_col).alias("old_id"),
         F.col(hash_col).alias("h_o"),
         "band",
@@ -363,6 +378,32 @@ def hash_matches(
         .select("new_id", "old_id", "h_n", "h_o")
         .dropDuplicates(["new_id", "old_id"])
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("new_id").orderBy("old_id")
+        capped = cand.withColumn("_rn", F.row_number().over(w))
+        if audit is not None:
+            from fastdb_spark.cachereg import stage
+
+            wc = Window.partitionBy("new_id")
+            capped = stage(
+                capped.withColumn("_cnt", F.count(F.lit(1)).over(wc)).filter(
+                    F.col("_rn") <= max_bucket_size
+                )
+            )
+            trunc = (
+                capped.filter(F.col("_cnt") > max_bucket_size)
+                .select("new_id")
+                .distinct()
+                .limit(101)
+                .collect()
+            )
+            audit["truncated_items"] = len(trunc)
+            audit["sample"] = sorted(r["new_id"] for r in trunc[:100])
+        else:
+            capped = capped.filter(F.col("_rn") <= max_bucket_size)
+        cand = capped.select("new_id", "old_id", "h_n", "h_o")
     return cand.filter(
         F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_o"))) <= max_hamming
     ).select("new_id", "old_id")

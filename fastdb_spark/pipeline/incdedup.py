@@ -215,6 +215,32 @@ def _inbatch_drops(
     return pairs.select(F.col("id_b").alias(id_col)).distinct()
 
 
+def _has_part_files(tdir: str) -> bool:
+    return any(
+        name.startswith("part-")
+        for _r, _d, files in os.walk(tdir)
+        for name in files
+    )
+
+
+def _seed_if_empty(spark: SparkSession, tdir: str, schema, bucket: int = 0) -> None:
+    """Keep an id-bucketed table READABLE when a write leaves it with no
+    part files at all: a ``partitionBy`` write of a zero-row frame emits
+    nothing, and the next ``spark.read.parquet`` over the table raises
+    UNABLE_TO_INFER_SCHEMA (ADVICE r8: an overwrite BUILD whose survivor
+    set is empty — empty or fully-duplicate corpus — regressed exactly
+    the edge the flat layout handles for free, since an empty
+    non-partitioned write emits a schema-bearing file).  Re-seed one
+    ``id_bucket`` partition with a zero-row schema-bearing slice — the
+    same discipline :func:`_remove_ids` applies to emptied tables.
+    ``schema`` carries the data columns only (the partition column comes
+    from the directory name)."""
+    if not _has_part_files(tdir):
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            os.path.join(tdir, f"id_bucket={bucket}")
+        )
+
+
 # Above this many survivors the upsert stops materializing ids on the
 # driver: the batch is staged to a scratch parquet (cluster-side
 # materialization — same read-after-write protection as persist) and the
@@ -288,14 +314,24 @@ def _append_survivors(
             # is already bucket-aligned (repartition above), so this is
             # shuffle-free.  maxRecordsPerFile re-splits pathological
             # buckets at backfill scale.
+            tdir = os.path.join(path, table)
             if id_buckets:
-                df.write.option(
-                    "maxRecordsPerFile", 10_000_000
-                ).partitionBy("id_bucket").mode(mode).parquet(
-                    os.path.join(path, table)
+                w = df.write.option("maxRecordsPerFile", 10_000_000)
+                if overwrite:
+                    # a REBUILD under partitionOverwriteMode=dynamic
+                    # replaces only the partitions present in the new
+                    # build — bucket partitions from a previous larger
+                    # index at the same path would survive, resurrecting
+                    # stale (possibly taken-down) entries (ADVICE r8);
+                    # force static per-write so the whole table is
+                    # replaced regardless of session conf
+                    w = w.option("partitionOverwriteMode", "static")
+                w.partitionBy("id_bucket").mode(mode).parquet(tdir)
+                _seed_if_empty(
+                    surv.sparkSession, tdir, df.drop("id_bucket").schema
                 )
             else:
-                df.write.mode(mode).parquet(os.path.join(path, table))
+                df.write.mode(mode).parquet(tdir)
 
         bkt = ["id_bucket"] if id_buckets else []
         _write(surv.select("fingerprint", id_col, *bkt), "fingerprints")
@@ -393,6 +429,10 @@ def rebuild_dedup_index(
                 "id_bucket", F.pmod(F.col(id_col), F.lit(nb)).cast("int")
             ).repartition("id_bucket").write.option(
                 "maxRecordsPerFile", 10_000_000
+            ).option(
+                # full-table rebuild: never leave stale partitions behind
+                # under a dynamic session conf (ADVICE r8)
+                "partitionOverwriteMode", "static"
             ).partitionBy("id_bucket").mode("overwrite").parquet(
                 os.path.join(path, "bands")
             )
@@ -441,13 +481,10 @@ def stream_dedup_index(
     _check_scheme(_load_params(index_path), index_path)
 
     # micro-batches are batch-sized, not table-sized (same rationale as
-    # streaming/ingest.py): don't let 200 default shuffle partitions turn
-    # each upsert into confetti tasks
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
+    # streaming/ingest.py; 'auto'-safe shared helper, ADVICE r8)
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    tune_micro_batch_shuffle(spark)
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_index_upsert(
@@ -620,13 +657,10 @@ def _remove_ids(
                     # tmp with NO part files (an empty partitionBy write),
                     # and reading it back raises UNABLE_TO_INFER_SCHEMA —
                     # check for data files before counting
-                    has_data = any(
-                        name.startswith("part-")
-                        for _r, _d, files in os.walk(tmp)
-                        for name in files
-                    )
                     n_tmp = (
-                        spark.read.parquet(tmp).count() if has_data else 0
+                        spark.read.parquet(tmp).count()
+                        if _has_part_files(tmp)
+                        else 0
                     )
                     removed = n_before - n_tmp
                 for b in hit:
@@ -645,14 +679,7 @@ def _remove_ids(
                 # (UNABLE_TO_INFER_SCHEMA) for the next upsert's read;
                 # keep the schema alive with a zero-row slice in one
                 # partition dir
-                if not any(
-                    name.startswith("part-")
-                    for _r, _d, files in os.walk(tdir)
-                    for name in files
-                ):
-                    spark.createDataFrame([], tschema).write.mode(
-                        "overwrite"
-                    ).parquet(os.path.join(tdir, f"id_bucket={hit[0]}"))
+                _seed_if_empty(spark, tdir, tschema, hit[0])
             spark.catalog.refreshByPath(path)
             return removed
         first = spark.read.parquet(os.path.join(path, first_table))

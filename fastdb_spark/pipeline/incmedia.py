@@ -54,6 +54,7 @@ from fastdb_spark.pipeline.imagededup import (
     hash_pairs,
     perceptual_hashes,
 )
+from fastdb_spark.pipeline.dedup import DEFAULT_MAX_BUCKET
 from fastdb_spark.pipeline.incdedup import (
     DEFAULT_ID_BUCKETS,
     DEFAULT_ID_CEILING,
@@ -61,6 +62,16 @@ from fastdb_spark.pipeline.incdedup import (
 )
 
 _META = "_meta.json"
+
+#: audit of the most recent :func:`media_index_upsert`'s candidate-cap
+#: truncation (the media twin of ``incdedup.LAST_UPSERT_AUDIT``): new
+#: items whose banded vs-index candidate set was cut at
+#: ``max_bucket_size`` MIGHT have had their one true near-dup dropped.
+#: ``truncated_items`` is a FLOOR capped at 101 (one bounded
+#: limit-collect); ``sample`` holds at most 100 ids.  Reset at the top of
+#: every upsert, so an uncapped (or hamming-0 — structurally capless,
+#: see ``imagededup.hash_matches``) run reports zeros.
+LAST_UPSERT_AUDIT: dict = {"truncated_items": 0, "sample": []}
 
 
 def _params_path(path: str) -> str:
@@ -111,22 +122,33 @@ def _write_hashes(
     mode: str,
     id_buckets: int | None,
 ) -> None:
+    from fastdb_spark.pipeline.incdedup import _seed_if_empty
+
     df = hashes.select("phash", F.col(id_col))
+    tdir = os.path.join(path, "hashes")
     if id_buckets:
         # repartition ON the bucket column: one file per bucket per
         # append instead of one per (task, bucket) — see
         # incdedup._append_survivors.  The single hashes table makes the
         # one-shuffle-per-write shape fine here (the text index shares
         # one aligned checkpoint across its three tables instead).
-        df = df.withColumn(
+        bdf = df.withColumn(
             "id_bucket",
             F.pmod(F.col(id_col), F.lit(id_buckets)).cast("int"),
         ).repartition("id_bucket")
-        df.write.option("maxRecordsPerFile", 10_000_000).partitionBy(
-            "id_bucket"
-        ).mode(mode).parquet(os.path.join(path, "hashes"))
+        w = bdf.write.option("maxRecordsPerFile", 10_000_000)
+        if mode == "overwrite":
+            # full-table rebuild: never leave stale bucket partitions
+            # from a previous larger index behind under a dynamic
+            # session conf (ADVICE r8)
+            w = w.option("partitionOverwriteMode", "static")
+        w.partitionBy("id_bucket").mode(mode).parquet(tdir)
+        # an empty-survivor build emits no part files at all; keep the
+        # table readable for the next upsert (ADVICE r8, shared
+        # discipline with the text index)
+        _seed_if_empty(hashes.sparkSession, tdir, df.schema)
     else:
-        df.write.mode(mode).parquet(os.path.join(path, "hashes"))
+        df.write.mode(mode).parquet(tdir)
 
 
 def _dedup_batch(
@@ -138,7 +160,19 @@ def _dedup_batch(
 ) -> DataFrame:
     """In-batch greedy dedup over a fingerprint frame: drop the higher
     id of every pair within ``max_hamming`` (the ``curate_corpus``
-    rule)."""
+    rule).
+
+    At ``max_hamming == 0`` the rule collapses to keep-min-id per
+    fingerprint group (identical hashes are transitively one group), so
+    it runs as ONE map-side-combined aggregate — no pair expansion, no
+    quadratic hazard, no cap needed (ADVICE r8: the pair form under a
+    cap DROPPED oversized fingerprint families wholesale, admitting
+    every member of exactly the families dedup exists for — the same
+    keep-min shape as the text index's exact leg,
+    ``incdedup.build_dedup_index``)."""
+    if max_hamming == 0:
+        canon = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
+        return hashes.join(canon, on=[id_col, "phash"], how="left_semi")
     pairs = hash_pairs(
         hashes, id_col, "phash", max_hamming, bands, max_bucket_size
     )
@@ -154,7 +188,7 @@ def build_media_index(
     method: str = "phash",
     max_hamming: int = 0,
     bands: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     id_buckets: int | None = DEFAULT_ID_BUCKETS,
     every_ms: int = 1000,
     audio_kw: dict | None = None,
@@ -169,7 +203,16 @@ def build_media_index(
     forwarded to the fingerprinter).  ``method`` and every fingerprint
     parameter are RECORDED IN THE INDEX METADATA so every later upsert
     probes identically (mixing methods or thresholds would silently
-    miss duplicates)."""
+    miss duplicates).
+
+    ``max_bucket_size`` defaults to ``DEFAULT_MAX_BUCKET`` — the
+    long-lived index family is guard-ON like its text twin
+    (``dedup_index_upsert``), VERDICT r8 #1: an image crawl's
+    solid-color thumbnails are exactly the degenerate fingerprint
+    family the guard exists for.  The cap only touches the BANDED
+    (``max_hamming > 0``) legs; the hamming-0 paths are structurally
+    capless (keep-min aggregate in batch, dropDuplicates probe) and
+    exact regardless.  Pass ``None`` for exact banded pair semantics."""
     from fastdb_spark.cachereg import release_staged, stage
 
     hashes = stage(
@@ -204,7 +247,7 @@ def media_index_upsert(
     new_media: DataFrame,
     path: str,
     payload_col: str = "payload",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     id_ceiling: int = DEFAULT_ID_CEILING,
 ) -> list | None:
     """Dedup ``new_media`` against the index AND append the survivors'
@@ -212,11 +255,20 @@ def media_index_upsert(
     the write lock — check-then-append must be atomic vs other writers),
     or ``None`` for batches above ``id_ceiling`` (backfill scale — read
     the index to enumerate).  Hash method and hamming threshold come
-    from the index metadata, never the caller."""
+    from the index metadata, never the caller.
+
+    Guard-ON by default like ``dedup_index_upsert`` (VERDICT r8 #1); the
+    cap applies only to banded probes and caps candidates PER NEW item
+    (one surviving candidate suffices to reject a dup — never the index
+    side, whose hot families are exactly where dups are densest, ADVICE
+    r8).  New items whose candidate set hit the cap are flagged in
+    ``LAST_UPSERT_AUDIT`` — a capped probe is never silent."""
     p = _load_params(path)
     id_col = p.get("id_col", "media_id")
     from fastdb_spark.cachereg import release_staged, stage
 
+    LAST_UPSERT_AUDIT["truncated_items"] = 0
+    LAST_UPSERT_AUDIT["sample"] = []
     with table_write_lock(os.path.normpath(path)):
         hashes = stage(
             _hash_frame(
@@ -238,6 +290,7 @@ def media_index_upsert(
                 p["max_hamming"],
                 p["bands"],
                 max_bucket_size,
+                audit=LAST_UPSERT_AUDIT,
             ).select(F.col("new_id").alias(id_col)).distinct()
             fresh = hashes.join(hits, on=id_col, how="left_anti")
             surv = _dedup_batch(
@@ -289,7 +342,7 @@ def stream_media_index(
     index_path: str,
     checkpoint: str,
     payload_col: str = "payload",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -311,12 +364,10 @@ def stream_media_index(
     id_col = p.get("id_col", "media_id")
 
     # micro-batches are batch-sized, not table-sized (same rationale as
-    # stream_dedup_index): keep upsert tasks from becoming confetti
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
+    # stream_dedup_index; 'auto'-safe shared helper, ADVICE r8)
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    tune_micro_batch_shuffle(spark)
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
         media_index_upsert(

@@ -99,6 +99,28 @@ def builder(
     return b
 
 
+def tune_micro_batch_shuffle(spark: SparkSession, ceiling: int = 64) -> None:
+    """Clamp ``spark.sql.shuffle.partitions`` to the session's default
+    parallelism for micro-batch workloads (streaming ``foreachBatch``
+    upserts: batches are batch-sized, not table-sized, and the default
+    200 shuffle partitions turn every merge into confetti tasks).
+
+    Shared by all three streaming entry points (alert ingest, text dedup
+    index, media index) — ADVICE r8: platforms where AQE manages the
+    value report a NON-NUMERIC conf (``'auto'``), and a bare ``int()``
+    killed the stream at start; a non-numeric value means the engine is
+    already sizing shuffles at runtime, so leave it unchanged."""
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return
+    if current > ceiling:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

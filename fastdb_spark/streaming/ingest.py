@@ -312,11 +312,10 @@ def run_alert_file_stream(
 
     # micro-batches are batch-sized, not table-sized: the default 200
     # shuffle partitions turn every merge into 200 tiny tasks on an
-    # unconfigured session
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-        )
+    # unconfigured session ('auto'-safe shared helper, ADVICE r8)
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    tune_micro_batch_shuffle(spark)
 
     silver = SilverCatalog(spark, silver_root)
 

@@ -361,32 +361,28 @@ LAGGARDS_R8 = {
 
 
 def test_rotation_invariant():
-    """Three-round coverage invariant: the r7 driver window union the
-    r8 window covers every registered gate EXCEPT exactly the named
-    stable laggards (all r6-green, untouched, parity-run every session),
-    which lead the r9 window."""
+    """Three-round coverage invariant, r8 edition: the r7 and r8 DRIVER
+    windows (from the recorded CORRECTNESS artifacts — the registry
+    itself has since rotated forward) cover every gate registered at r8
+    except exactly the named stable laggards, which lead the r9 window
+    (asserted structurally in test_round9.py)."""
     import json
     import os
 
     import __spark_entry__ as em
 
-    registry = list(em.queries())
-    window_r8 = set(registry[:50])
     root = os.path.dirname(os.path.abspath(em.__file__))
+    with open(os.path.join(root, "CORRECTNESS_r08.json")) as f:
+        window_r8 = set(json.load(f))
     with open(os.path.join(root, "CORRECTNESS_r07.json")) as f:
         window_r7 = set(json.load(f))
-    uncovered = set(registry) - window_r7 - window_r8
+    born_r9 = {"media_index_av_roundtrip", "doc_similar_w2v_exact"}
+    registry_r8 = set(em.queries()) - born_r9
+    uncovered = registry_r8 - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8
-    # rule (a): gates born this round sit in the window head
-    assert registry[:2] == ["image_banded_neardup", "media_index_roundtrip"]
-    # every laggard sits at the head of the tail so a plain rotation
-    # forward covers it first
-    assert set(registry[50:58]) == LAGGARDS_R8
-    # every window gate maps to a callable and (except rows-only ones)
-    # an oracle
-    oracles = em.oracle_sql()
-    assert "image_banded_neardup" in oracles
-    assert "media_index_roundtrip" in oracles
+    # rule (a) held at r8: the gates born that round led its window
+    assert "image_banded_neardup" in window_r8
+    assert "media_index_roundtrip" in window_r8
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,375 @@
+"""Round-9 regression tests: the ADVICE r8 defect list + the VERDICT r8
+guard-default flip.
+
+1. ``imagededup.hash_matches`` must never DROP hot index-side buckets
+   (ADVICE r8 medium): the old cap applied ``cap_bucket_sizes`` to the
+   OLD side, so a new exact duplicate of a hot indexed fingerprint
+   family was silently ADMITTED — dedup disabled exactly where dups are
+   densest.  Hamming-0 now probes one representative per stored
+   fingerprint (lossless); the banded leg caps candidates PER NEW item
+   and surfaces a truncation audit.
+2. ``incmedia._dedup_batch`` hamming-0 leg is a keep-min aggregate (the
+   pair form under a cap admitted whole oversized families).
+3. Media index family is guard-ON by default (VERDICT r8 #1), with
+   ``LAST_UPSERT_AUDIT`` mirroring the text twin.
+4. An id-bucketed index BUILD with an empty survivor set stays readable
+   (ADVICE r8: zero part files -> UNABLE_TO_INFER_SCHEMA on next read).
+5. A rebuild at the same path under partitionOverwriteMode=dynamic must
+   not resurrect stale bucket partitions (ADVICE r8).
+6. ``tune_micro_batch_shuffle`` survives a non-numeric ('auto') conf
+   (ADVICE r8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fastdb_spark.pipeline import imagededup as idd
+from fastdb_spark.sources import imagecodec as ic
+
+
+def _png(seed: int, shift: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 248, (24, 24)).astype(np.uint8)
+    return ic.encode_png(img + np.uint8(shift))
+
+
+def _media_df(spark, specs):
+    """specs: list of (media_id, seed, shift)."""
+    rows = [(mid, bytearray(_png(seed, shift))) for mid, seed, shift in specs]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _hash_df(spark, rows):
+    """rows: list of (id, hash)."""
+    return spark.createDataFrame(rows, "media_id long, phash long")
+
+
+# ---------------------------------------------------------------------------
+# 1. hash_matches hot-index-bucket semantics
+
+
+def test_hash_matches_hamming0_hot_index_family_still_detected(spark):
+    """The ADVICE r8 reproduction: a hot indexed fingerprint family
+    (many ids, one hash) larger than the cap.  The old code dropped the
+    bucket and ADMITTED the new duplicate; now one representative per
+    stored fingerprint decides admission regardless of family size."""
+    old = _hash_df(spark, [(i, 42) for i in range(10)] + [(99, 7)])
+    new = _hash_df(spark, [(1000, 42), (1001, 8)])
+    hits = idd.hash_matches(new, old, max_hamming=0, max_bucket_size=2)
+    got = {(r["new_id"], r["old_id"]) for r in hits.collect()}
+    # the dup IS detected, against the min-id representative
+    assert got == {(1000, 0)}
+
+
+def test_hash_matches_hamming0_rep_is_min_id(spark):
+    old = _hash_df(spark, [(5, 1), (3, 1), (9, 1)])
+    new = _hash_df(spark, [(100, 1)])
+    got = idd.hash_matches(new, old).collect()
+    assert [(r["new_id"], r["old_id"]) for r in got] == [(100, 3)]
+
+
+def test_hash_matches_banded_caps_per_new_id_not_index_side(spark):
+    """Banded leg: a new item colliding with a hot indexed band family
+    must still be rejected (>= 1 surviving candidate within hamming),
+    and the truncation must be surfaced in the audit dict."""
+    # 6 indexed items with hash 0b0 (hamming 0 from probe), plus one at
+    # hamming 1 — all collide in every band with a probe of 0
+    old = _hash_df(spark, [(i, 0) for i in range(6)] + [(50, 1)])
+    # 0b10111: collides with the old hashes on its zero bands but sits
+    # at hamming 5 / 3 — the refine must reject it
+    new = _hash_df(spark, [(1000, 0), (1001, 0b10111)])
+    audit = {"truncated_items": 0, "sample": []}
+    hits = idd.hash_matches(
+        new, old, max_hamming=2, bands=4, max_bucket_size=2, audit=audit
+    )
+    got = {r["new_id"] for r in hits.collect()}
+    assert 1000 in got          # the dup is detected despite the cap
+    assert 1001 not in got      # far hash stays clean
+    assert audit["truncated_items"] >= 1
+    assert 1000 in audit["sample"]
+    from fastdb_spark.cachereg import release_staged
+
+    release_staged()
+
+
+def test_hash_matches_banded_uncapped_exact(spark):
+    """No cap: the banded probe finds every within-threshold pair."""
+    old = _hash_df(spark, [(1, 0b0011), (2, 0b1111_0000)])
+    new = _hash_df(spark, [(10, 0b0001), (11, 0b1111_0000)])
+    hits = idd.hash_matches(new, old, max_hamming=1, bands=4)
+    got = {(r["new_id"], r["old_id"]) for r in hits.collect()}
+    assert got == {(10, 1), (11, 2)}
+
+
+# ---------------------------------------------------------------------------
+# 2+3. media index: in-batch keep-min, guard-on defaults, audit
+
+
+def test_build_media_index_hot_family_collapses_under_cap(spark, tmp_path):
+    """A build whose batch holds one hot fingerprint family (brightness
+    twins) plus a tiny cap: the keep-min aggregate must keep exactly ONE
+    representative — the pair form under a cap kept all of them."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "hotidx")
+    # 6 brightness twins of seed 3 (identical pHash; shifts stay < 8 so
+    # no uint8 pixel wraps) + 2 fresh
+    b = _media_df(
+        spark,
+        [(i, 3, i) for i in range(6)] + [(20, 50, 0), (21, 51, 0)],
+    )
+    n = im.build_media_index(b, path, max_bucket_size=1, id_buckets=4)
+    assert n == 3  # min-id twin + the two fresh
+
+
+def test_media_index_upsert_guard_on_default_still_blocks_dups(
+    spark, tmp_path
+):
+    """Defaults now guard-ON (VERDICT r8 #1): an exact duplicate of an
+    indexed item must be dropped with NO explicit kwargs, and the audit
+    reports zeros for the hamming-0 (structurally capless) path."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "gidx")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(5)]), path, id_buckets=4
+    )
+    ids = im.media_index_upsert(
+        spark,
+        _media_df(spark, [(100, 3, 4), (101, 60, 0)]),
+        path,
+    )
+    assert ids == [101]
+    assert im.LAST_UPSERT_AUDIT == {"truncated_items": 0, "sample": []}
+
+
+def test_media_index_upsert_banded_audit_resets(spark, tmp_path):
+    """A capped banded upsert flags truncated items; the next uncapped
+    call resets the audit (the ADVICE r5 discipline, media twin)."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "bidx")
+    # near-dup index: 5 brightness twins of one seed survive as one rep
+    im.build_media_index(
+        _media_df(spark, [(i, 7, 0) for i in range(1)]),
+        path,
+        max_hamming=2,
+        bands=4,
+        id_buckets=4,
+    )
+    # grow the index with distinct items so a probe can exceed the cap
+    # (append twins at tiny hamming distances is hard with real images;
+    # instead index several distinct seeds and probe with a twin)
+    im.media_index_upsert(
+        spark, _media_df(spark, [(10 + i, 30 + i, 0) for i in range(4)]), path
+    )
+    ids = im.media_index_upsert(
+        spark, _media_df(spark, [(200, 7, 6)]), path, max_bucket_size=1
+    )
+    assert ids == []  # brightness twin of indexed seed 7 -> dropped
+    # uncapped follow-up resets whatever the capped call recorded
+    im.media_index_upsert(
+        spark,
+        _media_df(spark, [(300, 80, 0)]),
+        path,
+        max_bucket_size=None,
+    )
+    assert im.LAST_UPSERT_AUDIT == {"truncated_items": 0, "sample": []}
+
+
+# ---------------------------------------------------------------------------
+# 4. empty-survivor builds stay readable
+
+
+def test_build_dedup_index_empty_corpus_bucketed_stays_readable(
+    spark, tmp_path
+):
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "eidx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert inc.build_dedup_index(empty, path, id_buckets=4) == 0
+    # the regression: this read raised UNABLE_TO_INFER_SCHEMA
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert inc.dedup_index_upsert(spark, docs, path) == [1]
+
+
+def test_build_media_index_empty_corpus_bucketed_stays_readable(
+    spark, tmp_path
+):
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "emidx")
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    assert im.build_media_index(empty, path, id_buckets=4) == 0
+    ids = im.media_index_upsert(
+        spark, _media_df(spark, [(1, 1, 0)]), path
+    )
+    assert ids == [1]
+
+
+# ---------------------------------------------------------------------------
+# 5. rebuild under dynamic partitionOverwriteMode
+
+
+def _with_dynamic_overwrite(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return cm()
+
+
+def test_dedup_index_rebuild_dynamic_mode_drops_stale_buckets(
+    spark, tmp_path
+):
+    """Build ids 0..7 over 4 buckets, then rebuild the SAME path with
+    ids {0, 4} (bucket 0 only) under a dynamic session conf: buckets
+    1-3 from the first build must NOT survive (they held fingerprints a
+    takedown may have been meant to purge)."""
+    import os
+
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "didx")
+    inc.build_dedup_index(_docs(spark, range(8)), path, id_buckets=4)
+    with _with_dynamic_overwrite(spark):
+        inc.build_dedup_index(_docs(spark, [0, 4]), path, id_buckets=4)
+    fps = spark.read.parquet(os.path.join(path, "fingerprints"))
+    assert sorted(
+        r["doc_id"] for r in fps.select("doc_id").collect()
+    ) == [0, 4]
+
+
+def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
+    spark, tmp_path
+):
+    import os
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "dmidx")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(8)]), path, id_buckets=4
+    )
+    with _with_dynamic_overwrite(spark):
+        im.build_media_index(
+            _media_df(spark, [(0, 0, 0), (4, 4, 0)]), path, id_buckets=4
+        )
+    h = spark.read.parquet(os.path.join(path, "hashes"))
+    assert sorted(r["media_id"] for r in h.select("media_id").collect()) == [
+        0,
+        4,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# rotation invariant, r9 edition
+
+#: r7-green gates squeezed out of the r9 window — they lead the r10
+#: window (also named in the queries() header comment and ROUND_NOTES)
+LAGGARDS_R10 = {
+    "union_distinct", "values_lookup", "anti_join", "sql_passthrough",
+    "flux_to_mag", "keyword_search", "topk_per_group", "pricing_summary",
+    "revenue_by_nation", "doc_stats", "sessionize", "broker_info",
+}
+
+
+def test_rotation_invariant_r9():
+    """The r8 driver window union the r9 window covers every registered
+    gate EXCEPT exactly the named r10 laggards; the gates born this
+    round lead the window (rule a); the r8-named laggards sit right
+    behind them (rule b — VERDICT r8 #1 executed); the new laggards
+    head the tail so a plain rotation forward covers them first."""
+    import json
+    import os
+
+    import __spark_entry__ as em
+    from tests.test_round8 import LAGGARDS_R8
+
+    registry = list(em.queries())
+    window_r9 = set(registry[:50])
+    root = os.path.dirname(os.path.abspath(em.__file__))
+    with open(os.path.join(root, "CORRECTNESS_r08.json")) as f:
+        window_r8 = set(json.load(f))
+    uncovered = set(registry) - window_r8 - window_r9
+    assert uncovered == LAGGARDS_R10
+    # rule (a): gates born this round lead the window
+    assert registry[:2] == [
+        "media_index_av_roundtrip",
+        "doc_similar_w2v_exact",
+    ]
+    # rule (b): the r8-named laggards follow immediately
+    assert set(registry[2:10]) == LAGGARDS_R8
+    # touched-path index gates re-adjudicated this round
+    assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r9
+    # the named r10 laggards head the tail
+    assert set(registry[50:62]) == LAGGARDS_R10
+    # both new gates carry exact oracles
+    oracles = em.oracle_sql()
+    assert "media_index_av_roundtrip" in oracles
+    assert "doc_similar_w2v_exact" in oracles
+
+
+# ---------------------------------------------------------------------------
+# 6. 'auto' shuffle partitions
+
+
+class _FakeConf:
+    def __init__(self, value):
+        self._v = {"spark.sql.shuffle.partitions": value}
+
+    def get(self, key):
+        return self._v[key]
+
+    def set(self, key, value):
+        self._v[key] = value
+
+
+class _FakeSC:
+    defaultParallelism = 8
+
+
+class _FakeSpark:
+    def __init__(self, conf_value):
+        self.conf = _FakeConf(conf_value)
+        self.sparkContext = _FakeSC()
+
+
+def test_tune_micro_batch_shuffle_numeric_clamps():
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    s = _FakeSpark("200")
+    tune_micro_batch_shuffle(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_tune_micro_batch_shuffle_auto_left_unchanged():
+    """ADVICE r8: AQE-managed platforms report 'auto'; the bare int()
+    raised ValueError and killed the stream at start."""
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    s = _FakeSpark("auto")
+    tune_micro_batch_shuffle(s)  # must not raise
+    assert s.conf.get("spark.sql.shuffle.partitions") == "auto"
+
+
+def test_tune_micro_batch_shuffle_small_value_kept():
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    s = _FakeSpark("16")
+    tune_micro_batch_shuffle(s)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "16"
