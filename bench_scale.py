@@ -542,13 +542,23 @@ def bench_takedown(spark) -> dict:
     docs = synth_documents(spark, n)
     # ids that survive indexing: every 13th doc is a planted exact dup
     # (dropped keep-min), so step over a 13-coprime stride and skip them
-    step = max(n // 2600, 1)
+    step = max(n // 26_000, 1)
     pool = [i for i in range(1, n, step) if i % 13 != 0]
     # two disjoint batches per shape: removals mutate state, so min-of-2
     # uses a DIFFERENT batch per trial (host-variance discipline —
     # single-trial A/Bs at this scale moved 2x between identical runs)
     small_batches = [pool[:16], pool[16:32]]
     large_batches = [pool[32 : 32 + 1000], pool[1032 : 1032 + 1000]]
+    shapes = [
+        ("takedown_16", small_batches),
+        ("takedown_1k", large_batches),
+    ]
+    # 10k-id batches (VERDICT r8 #6): the backfill-scale takedown — at
+    # 10M+ docs the pool is deep enough for two disjoint batches
+    if len(pool) >= 22_032:
+        shapes.append(
+            ("takedown_10k", [pool[2_032:12_032], pool[12_032:22_032]])
+        )
     for layout, nb in (("bucketed", 64), ("flat", None)):
         path = tempfile.mkdtemp(prefix=f"fastdb_takedown_{layout}_")
         try:
@@ -559,10 +569,7 @@ def bench_takedown(spark) -> dict:
             out[f"index_build_{layout}_s"] = round(time.perf_counter() - t0, 2)
             out[f"index_build_{layout}_docs"] = n_idx
             removed = 0
-            for label, batches in (
-                ("takedown_16", small_batches),
-                ("takedown_1k", large_batches),
-            ):
+            for label, batches in shapes:
                 times = []
                 for batch in batches:
                     t0 = time.perf_counter()

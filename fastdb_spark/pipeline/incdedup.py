@@ -699,6 +699,147 @@ def _remove_ids(
     return n_before - n_after
 
 
+def compact_dedup_index(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 8,
+) -> dict:
+    """Compact the small files a long-lived index accretes: every upsert
+    appends one part file per touched id_bucket per table, so a daily
+    ingest puts ~365 files/bucket/year in front of every probe's scan
+    (footer opens + scheduler overhead dominate long before data size
+    does — the classic small-files failure at 100 TB).  Rewrites ONLY
+    the partitions holding more than ``min_files`` part files, one
+    read+write job per table over the affected partitions together
+    (the ``_remove_ids`` pruning/swap discipline: tmp+swap outside the
+    partitioned tree, bucket-aligned repartition before the dynamic-
+    partition write).  Content is untouched — pure file-count hygiene.
+    Serializes on the table write lock.  Returns per-table
+    ``{buckets_compacted, files_before, files_after}``."""
+    p = _load_params(path)
+    return _compact_tables(
+        spark,
+        path,
+        (
+            ("fingerprints", ["fingerprint", _id_col_of(p)]),
+            ("bands", ["band", _id_col_of(p)]),
+            ("shingles", [_id_col_of(p), "sh"]),
+        ),
+        p.get("id_buckets"),
+        min_files,
+    )
+
+
+def _id_col_of(p: dict) -> str:
+    return p.get("id_col", "doc_id")
+
+
+def _compact_tables(
+    spark: SparkSession,
+    path: str,
+    tables: tuple,
+    nb: int | None,
+    min_files: int,
+) -> dict:
+    """Shared compaction engine (text dedup index + perceptual media
+    index).  Bucketed layout: rewrite only over-threshold id_bucket
+    partitions; flat layout: rewrite the whole table when it exceeds
+    the threshold."""
+    import shutil
+
+    out: dict = {}
+    with table_write_lock(os.path.normpath(path)):
+        for table, cols in tables:
+            tdir = os.path.join(path, table)
+            if not os.path.isdir(tdir):
+                continue
+            if nb:
+                hit = []
+                before = 0
+                for d in os.listdir(tdir):
+                    pdir = os.path.join(tdir, d)
+                    if not (d.startswith("id_bucket=") and os.path.isdir(pdir)):
+                        continue
+                    nfiles = sum(
+                        1 for f in os.listdir(pdir) if f.startswith("part-")
+                    )
+                    if nfiles > min_files:
+                        hit.append(d)
+                        before += nfiles
+                if not hit:
+                    out[table] = {
+                        "buckets_compacted": 0,
+                        "files_before": 0,
+                        "files_after": 0,
+                    }
+                    continue
+                src = spark.read.option("basePath", tdir).parquet(
+                    *[os.path.join(tdir, d) for d in hit]
+                )
+                tmp = os.path.join(path, f"_tmp_compact_{table}")
+                # bucket-aligned repartition: one task per bucket ->
+                # one output file per bucket (the round-8 write-path
+                # lesson), and the dynamic-partition sort is
+                # single-valued per task
+                src.select(*cols, "id_bucket").repartition(
+                    "id_bucket"
+                ).write.option("maxRecordsPerFile", 10_000_000).partitionBy(
+                    "id_bucket"
+                ).mode("overwrite").parquet(tmp)
+                after = 0
+                for d in hit:
+                    pdir = os.path.join(tdir, d)
+                    old = os.path.join(path, f"_old_compact_{table}_{d}")
+                    new_part = os.path.join(tmp, d)
+                    os.rename(pdir, old)
+                    os.rename(new_part, pdir)
+                    shutil.rmtree(old, ignore_errors=True)
+                    after += sum(
+                        1 for f in os.listdir(pdir) if f.startswith("part-")
+                    )
+                shutil.rmtree(tmp, ignore_errors=True)
+                out[table] = {
+                    "buckets_compacted": len(hit),
+                    "files_before": before,
+                    "files_after": after,
+                }
+            else:
+                nfiles = sum(
+                    1
+                    for _r, _d, files in os.walk(tdir)
+                    for f in files
+                    if f.startswith("part-")
+                )
+                if nfiles <= min_files:
+                    out[table] = {
+                        "buckets_compacted": 0,
+                        "files_before": 0,
+                        "files_after": 0,
+                    }
+                    continue
+                tmp = tdir + "_tmp_compact"
+                src = spark.read.parquet(tdir)
+                src.select(*cols).coalesce(1).write.option(
+                    "maxRecordsPerFile", 10_000_000
+                ).mode("overwrite").parquet(tmp)
+                old = tdir + "_old_compact"
+                os.rename(tdir, old)
+                os.rename(tmp, tdir)
+                shutil.rmtree(old, ignore_errors=True)
+                out[table] = {
+                    "buckets_compacted": 1,
+                    "files_before": nfiles,
+                    "files_after": sum(
+                        1
+                        for _r, _d, files in os.walk(tdir)
+                        for f in files
+                        if f.startswith("part-")
+                    ),
+                }
+        spark.catalog.refreshByPath(path)
+    return out
+
+
 #: audit of the most recent upsert's candidate-cap truncation: docs whose
 #: vs-index candidate set was cut at ``max_bucket_size`` MIGHT have had
 #: their one true near-dup dropped.  ``truncated_docs`` is a FLOOR capped

@@ -336,6 +336,31 @@ def media_index_remove(
     )
 
 
+def compact_media_index(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 8,
+) -> dict:
+    """Small-file compaction for the media index — every upsert appends
+    one part file per touched id_bucket, so a long-lived index puts an
+    ever-growing file count in front of every probe's scan.  Rewrites
+    only the hive partitions holding more than ``min_files`` part files
+    (shared engine with the text index,
+    ``incdedup.compact_dedup_index``); content untouched.  Returns
+    ``{"hashes": {buckets_compacted, files_before, files_after}}``."""
+    from fastdb_spark.pipeline.incdedup import _compact_tables
+
+    p = _load_params(path)
+    id_col = p.get("id_col", "media_id")
+    return _compact_tables(
+        spark,
+        path,
+        (("hashes", ["phash", id_col]),),
+        p.get("id_buckets"),
+        min_files,
+    )
+
+
 def stream_media_index(
     spark: SparkSession,
     media_path: str,

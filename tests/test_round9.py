@@ -277,6 +277,211 @@ def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
 
 
 # ---------------------------------------------------------------------------
+# index small-file compaction (new round-9 capability): a long-lived
+# index accretes one part file per touched bucket per upsert; the
+# compactor must rewrite ONLY over-threshold partitions, preserve
+# content exactly, and leave under-threshold partitions untouched
+
+
+def _bucket_files(path, table, bucket):
+    import os
+
+    pdir = os.path.join(path, table, f"id_bucket={bucket}")
+    return sorted(f for f in os.listdir(pdir) if f.startswith("part-"))
+
+
+def test_compact_dedup_index_prunes_and_preserves(spark, tmp_path):
+    import os
+
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "cidx")
+    inc.build_dedup_index(_docs(spark, range(8)), path, id_buckets=4)
+    # 4 upserts, each touching ONLY ids = 0 mod 4 -> bucket 0 accretes
+    # one file per upsert; buckets 1-3 stay at their build file count
+    for k in range(4):
+        inc.dedup_index_upsert(spark, _docs(spark, [100 + 4 * k]), path)
+    assert len(_bucket_files(path, "fingerprints", 0)) >= 5
+    before_b1 = _bucket_files(path, "fingerprints", 1)
+    mtime_b1 = os.path.getmtime(
+        os.path.join(path, "fingerprints", "id_bucket=1")
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    stats = inc.compact_dedup_index(spark, path, min_files=2)
+    assert stats["fingerprints"]["buckets_compacted"] == 1
+    assert stats["fingerprints"]["files_after"] == 1
+    assert len(_bucket_files(path, "fingerprints", 0)) == 1
+    # untouched partition: same files, same mtime
+    assert _bucket_files(path, "fingerprints", 1) == before_b1
+    assert os.path.getmtime(
+        os.path.join(path, "fingerprints", "id_bucket=1")
+    ) == mtime_b1
+    # content preserved exactly
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want
+    # the index still works end-to-end after compaction
+    assert inc.dedup_index_upsert(
+        spark, _docs(spark, [200]), path
+    ) == [200]
+    assert inc.dedup_index_remove(spark, [200], path) == 1
+
+
+def test_compact_media_index_preserves_membership(spark, tmp_path):
+    import os
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "cmidx")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(8)]), path, id_buckets=4
+    )
+    for k in range(4):
+        im.media_index_upsert(
+            spark, _media_df(spark, [(100 + 4 * k, 100 + 4 * k, 0)]), path
+        )
+    want = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(path, "hashes"))
+        .select("media_id")
+        .collect()
+    )
+    stats = im.compact_media_index(spark, path, min_files=2)
+    assert stats["hashes"]["buckets_compacted"] == 1
+    got = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(path, "hashes"))
+        .select("media_id")
+        .collect()
+    )
+    assert got == want
+    # a duplicate of a compacted item is still caught
+    assert im.media_index_upsert(
+        spark, _media_df(spark, [(300, 100, 4)]), path
+    ) == []
+
+
+def test_compact_flat_index(spark, tmp_path):
+    """Flat (pre-bucketed) layout: whole-table rewrite when over the
+    threshold."""
+    import os
+
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "cflat")
+    inc.build_dedup_index(_docs(spark, range(8)), path, id_buckets=None)
+    for k in range(3):
+        inc.dedup_index_upsert(spark, _docs(spark, [100 + k]), path)
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    stats = inc.compact_dedup_index(spark, path, min_files=2)
+    assert stats["fingerprints"]["buckets_compacted"] == 1
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# concurrent writers on the media index (VERDICT r8 optional #8: the
+# text index has cross-process race tests; the media index's lock path
+# was tested single-process only)
+
+
+def test_media_index_upsert_vs_remove_two_processes(spark, tmp_path):
+    """Two separate Spark PROCESSES race an upsert (fresh items) against
+    a takedown (indexed ids) on the SAME media index.  The shared table
+    write lock must serialize check-then-append vs the partition swaps:
+    whatever the interleaving, the final index holds exactly the
+    untouched survivors plus the upserted items, stays readable, and
+    loses no partition."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "raceidx")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(10)]), path, id_buckets=4
+    )
+    script = textwrap.dedent(
+        """
+        import sys
+        op, path = sys.argv[1], sys.argv[2]
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from fastdb_spark.pipeline import incmedia as im
+        if op == "upsert":
+            import numpy as np
+            from fastdb_spark.sources import imagecodec as ic
+            rows = []
+            for mid in range(100, 105):
+                rng = np.random.default_rng(mid)
+                img = rng.integers(0, 248, (24, 24)).astype(np.uint8)
+                rows.append((mid, bytearray(ic.encode_png(img))))
+            batch = spark.createDataFrame(
+                rows, "media_id long, payload binary"
+            )
+            ids = im.media_index_upsert(spark, batch, path)
+            assert ids == list(range(100, 105)), ids
+        else:
+            n = im.media_index_remove(spark, [0, 1, 2, 3], path)
+            assert n == 4, n
+        print("DONE", op)
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, op, path],
+            cwd=repo,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for op in ("upsert", "remove")
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    import duckdb
+
+    got = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT media_id FROM '{path}/hashes/*/*.parquet'"
+        ).fetchall()
+    )
+    assert got == [4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+
+
+# ---------------------------------------------------------------------------
 # rotation invariant, r9 edition
 
 #: r7-green gates squeezed out of the r9 window — they lead the r10
