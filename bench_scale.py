@@ -542,7 +542,7 @@ def bench_takedown(spark) -> dict:
     docs = synth_documents(spark, n)
     # ids that survive indexing: every 13th doc is a planted exact dup
     # (dropped keep-min), so step over a 13-coprime stride and skip them
-    step = max(n // 26_000, 1)
+    step = max(n // 52_000, 1)
     pool = [i for i in range(1, n, step) if i % 13 != 0]
     # two disjoint batches per shape: removals mutate state, so min-of-2
     # uses a DIFFERENT batch per trial (host-variance discipline —
@@ -554,10 +554,21 @@ def bench_takedown(spark) -> dict:
         ("takedown_1k", large_batches),
     ]
     # 10k-id batches (VERDICT r8 #6): the backfill-scale takedown — at
-    # 10M+ docs the pool is deep enough for two disjoint batches
-    if len(pool) >= 22_032:
+    # 10M+ docs the pool is deep enough for two disjoint batches per
+    # form.  Run BOTH call forms: the Python-list form (pre-fix this
+    # was a raw 10^4-element isin literal, measured 5-7x slower at 1M
+    # and 3-16x at 10M; _remove_ids now auto-switches lists >1024 to
+    # the anti-join, so this row doubles as the auto-switch regression)
+    # and the explicit single-column-DataFrame backfill form.
+    if len(pool) >= 42_032:
         shapes.append(
-            ("takedown_10k", [pool[2_032:12_032], pool[12_032:22_032]])
+            ("takedown_10k_isin", [pool[2_032:12_032], pool[12_032:22_032]])
+        )
+        shapes.append(
+            (
+                "takedown_10k_df",
+                [pool[22_032:32_032], pool[32_032:42_032]],
+            )
         )
     for layout, nb in (("bucketed", 64), ("flat", None)):
         path = tempfile.mkdtemp(prefix=f"fastdb_takedown_{layout}_")
@@ -572,6 +583,10 @@ def bench_takedown(spark) -> dict:
             for label, batches in shapes:
                 times = []
                 for batch in batches:
+                    if label.endswith("_df"):
+                        batch = spark.createDataFrame(
+                            [(i,) for i in batch], "doc_id long"
+                        )
                     t0 = time.perf_counter()
                     removed += dedup_index_remove(spark, batch, path)
                     times.append(round(time.perf_counter() - t0, 2))

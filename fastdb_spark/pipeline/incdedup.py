@@ -517,10 +517,12 @@ def dedup_index_remove(
 ) -> int:
     """Remove documents from a persisted dedup index — the takedown path
     (DMCA/GDPR/licensing removals are routine against a long-lived
-    production corpus index).  ``ids`` is a Python sequence (broadcast
-    as an ``isin`` literal; fine up to ~10^5 ids) or a single-column
-    DataFrame (broadcast anti-join; the backfill-scale form).  Returns
-    the number of index documents actually removed.
+    production corpus index).  ``ids`` is a Python sequence (an ``isin``
+    literal up to 1024 ids; larger lists auto-switch to the DataFrame
+    form — a 10^4-element isin literal measured 3-16x slower than the
+    broadcast anti-join at a 10M-doc index, BENCH_SCALE r9) or a
+    single-column DataFrame (broadcast anti-join; the backfill-scale
+    form).  Returns the number of index documents actually removed.
 
     On an id-bucketed index (``id_buckets`` in _meta.json — the default
     layout since round 8) only the hive partitions that CONTAIN removed
@@ -576,6 +578,21 @@ def _remove_ids(
 
     with table_write_lock(os.path.normpath(path)):
         buckets: list[int] = []
+        if not isinstance(ids, DataFrame):
+            idlist = [int(i) for i in ids]
+            if len(idlist) > 1024:
+                # a 10^4-element isin literal is a codegen/eval bomb:
+                # measured at a 10M-doc index (BENCH_SCALE r9), the
+                # 10k-id list form cost 96.6 s (bucketed) / 37.5 s
+                # (flat) vs ~6 s for the equivalent 1k batch — the
+                # filter, not the rewrite.  Above this threshold a list
+                # silently takes the documented backfill form
+                # (single-column frame -> broadcast anti-join).
+                ids = spark.createDataFrame(
+                    [(i,) for i in idlist], f"{id_col} long"
+                )
+            else:
+                ids = idlist
         if isinstance(ids, DataFrame):
             # sever lineage BEFORE the rewrites: a caller naturally derives
             # the removal set from the index's own tables (filter on

@@ -277,6 +277,35 @@ def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
 
 
 # ---------------------------------------------------------------------------
+# large takedown batches auto-switch to the broadcast anti-join form
+# (BENCH_SCALE r9: a 10^4-element isin literal measured 3-16x slower
+# than the anti-join at a 10M-doc index)
+
+
+def test_remove_ids_large_list_autoswitches_and_is_correct(
+    spark, tmp_path
+):
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "bigrm")
+    inc.build_dedup_index(_docs(spark, range(40)), path, id_buckets=4)
+    # 2000-id list (mostly absent ids) must take the DataFrame path and
+    # still remove exactly the present ones
+    batch = list(range(10, 20)) + list(range(100_000, 101_990))
+    assert inc.dedup_index_remove(spark, batch, path) == 10
+    import os
+
+    left = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    assert left == [i for i in range(40) if not 10 <= i < 20]
+
+
+# ---------------------------------------------------------------------------
 # index small-file compaction (new round-9 capability): a long-lived
 # index accretes one part file per touched bucket per upsert; the
 # compactor must rewrite ONLY over-threshold partitions, preserve
