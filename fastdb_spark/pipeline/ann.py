@@ -475,9 +475,11 @@ def ivf_index_remove(
     """Remove vectors from a persisted IVF(-PQ) index — the takedown path
     (the embedding twin of ``incdedup.dedup_index_remove``: DMCA/GDPR/
     licensing removals are routine against a long-lived retrieval index).
-    ``ids`` is a Python sequence (``isin`` literal) or a single-column
-    DataFrame (broadcast anti-join, the backfill-scale form).  Returns
-    the number of vectors actually removed.
+    ``ids`` is a Python sequence (an ``isin`` literal up to 1024 ids;
+    larger lists auto-switch to the anti-join — the isin-literal lesson
+    of BENCH_SCALE r9) or a single-column DataFrame (broadcast
+    anti-join, the backfill-scale form).  Returns the number of vectors
+    actually removed.
 
     Partition-pruned by construction: only the cluster directories that
     contain removed ids are rewritten (tmp outside the partitioned dir +
@@ -509,8 +511,22 @@ def ivf_index_remove(
             def hit(df: DataFrame) -> DataFrame:
                 return df.join(F.broadcast(rm), on=id_col, how="left_semi")
 
+        elif len(idlist := [int(i) for i in ids]) > 1024:
+            # a 10^4-element isin literal is a codegen/eval bomb
+            # (measured on the dedup index, BENCH_SCALE r9: 5-22x
+            # slower than the anti-join); large lists silently take
+            # the DataFrame form
+            rm = spark.createDataFrame(
+                [(i,) for i in idlist], f"{id_col} long"
+            ).localCheckpoint(eager=True)
+
+            def drop(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(rm), on=id_col, how="left_anti")
+
+            def hit(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(rm), on=id_col, how="left_semi")
+
         else:
-            idlist = list(ids)
 
             def drop(df: DataFrame) -> DataFrame:
                 return df.filter(~F.col(id_col).isin(idlist))
@@ -572,6 +588,32 @@ def ivf_index_remove(
             ).parquet(os.path.join(vec_dir, f"cluster={affected[0]}"))
         spark.catalog.refreshByPath(vec_dir)
     return removed
+
+
+def ivf_index_compact(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 8,
+) -> dict:
+    """Small-file compaction for the persisted IVF(-PQ) index — the
+    vector twin of ``incdedup.compact_dedup_index``: every
+    ``ivf_index_upsert`` appends one part file per touched
+    ``cluster=N/`` partition, so a long-lived index puts an ever-growing
+    file count in front of every probe.  Rewrites only the cluster
+    partitions holding more than ``min_files`` part files (shared
+    engine; tmp+swap outside the partitioned tree, under the index
+    write lock).  Content, centroids, and codebooks untouched.  Returns
+    ``{"vectors": {buckets_compacted, files_before, files_after}}``."""
+    from fastdb_spark.pipeline.incdedup import _compact_tables
+
+    return _compact_tables(
+        spark,
+        path,
+        (("vectors", None),),  # schema varies with PQ options
+        1,  # any truthy value selects the partitioned branch
+        min_files,
+        part_col="cluster",
+    )
 
 
 def _adc_score(

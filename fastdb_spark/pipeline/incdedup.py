@@ -757,11 +757,14 @@ def _compact_tables(
     tables: tuple,
     nb: int | None,
     min_files: int,
+    part_col: str = "id_bucket",
 ) -> dict:
-    """Shared compaction engine (text dedup index + perceptual media
-    index).  Bucketed layout: rewrite only over-threshold id_bucket
-    partitions; flat layout: rewrite the whole table when it exceeds
-    the threshold."""
+    """Shared compaction engine (text dedup index, perceptual media
+    index, IVF vector index).  Partitioned layout: rewrite only
+    over-threshold ``part_col`` partitions; flat layout: rewrite the
+    whole table when it exceeds the threshold.  ``cols=None`` in a
+    tables entry means every data column (derived from the scan —
+    the IVF vectors table's schema varies with the PQ options)."""
     import shutil
 
     out: dict = {}
@@ -775,7 +778,9 @@ def _compact_tables(
                 before = 0
                 for d in os.listdir(tdir):
                     pdir = os.path.join(tdir, d)
-                    if not (d.startswith("id_bucket=") and os.path.isdir(pdir)):
+                    if not (
+                        d.startswith(f"{part_col}=") and os.path.isdir(pdir)
+                    ):
                         continue
                     nfiles = sum(
                         1 for f in os.listdir(pdir) if f.startswith("part-")
@@ -793,15 +798,17 @@ def _compact_tables(
                 src = spark.read.option("basePath", tdir).parquet(
                     *[os.path.join(tdir, d) for d in hit]
                 )
+                if cols is None:
+                    cols = [c for c in src.columns if c != part_col]
                 tmp = os.path.join(path, f"_tmp_compact_{table}")
-                # bucket-aligned repartition: one task per bucket ->
-                # one output file per bucket (the round-8 write-path
+                # partition-aligned repartition: one task per partition
+                # value -> one output file each (the round-8 write-path
                 # lesson), and the dynamic-partition sort is
                 # single-valued per task
-                src.select(*cols, "id_bucket").repartition(
-                    "id_bucket"
+                src.select(*cols, part_col).repartition(
+                    part_col
                 ).write.option("maxRecordsPerFile", 10_000_000).partitionBy(
-                    "id_bucket"
+                    part_col
                 ).mode("overwrite").parquet(tmp)
                 after = 0
                 for d in hit:
@@ -836,6 +843,8 @@ def _compact_tables(
                     continue
                 tmp = tdir + "_tmp_compact"
                 src = spark.read.parquet(tdir)
+                if cols is None:
+                    cols = src.columns
                 src.select(*cols).coalesce(1).write.option(
                     "maxRecordsPerFile", 10_000_000
                 ).mode("overwrite").parquet(tmp)

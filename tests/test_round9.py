@@ -400,6 +400,69 @@ def test_compact_media_index_preserves_membership(spark, tmp_path):
     ) == []
 
 
+def test_ivf_index_compact_and_large_list_remove(spark, tmp_path):
+    """The vector twin: upserts accrete one file per touched cluster;
+    compaction collapses over-threshold cluster dirs, search results
+    are unchanged, and a >1024-id removal list takes the anti-join
+    path with identical semantics."""
+    import os
+
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_remove,
+        ivf_index_upsert,
+        ivf_search_index,
+    )
+
+    def vecs(ids, dim=8):
+        rows = []
+        for i in ids:
+            rng = np.random.default_rng(1000 + i)
+            rows.append((i, [float(x) for x in rng.uniform(-1, 1, dim)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    path = str(tmp_path / "ivfc")
+    build_ivf_index(vecs(range(40)), path, n_clusters=2, strategy="seed")
+    for k in range(4):
+        ivf_index_upsert(vecs(range(100 + 10 * k, 105 + 10 * k)), path)
+    q = [0.1] * 8
+    want = [
+        tuple(r)
+        for r in ivf_search_index(spark, path, q, k=5, nprobe=2)
+        .select("vec_id", "cos")
+        .collect()
+    ]
+    stats = ivf_index_compact(spark, path, min_files=2)
+    assert stats["vectors"]["buckets_compacted"] >= 1
+    assert (
+        stats["vectors"]["files_after"]
+        < stats["vectors"]["files_before"]
+    )
+    got = [
+        tuple(r)
+        for r in ivf_search_index(spark, path, q, k=5, nprobe=2)
+        .select("vec_id", "cos")
+        .collect()
+    ]
+    assert got == want
+    # >1024-id list removal: auto-switched anti-join, exact semantics
+    batch = [0, 1, 2] + list(range(500_000, 501_500))
+    assert ivf_index_remove(spark, batch, path) == 3
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .select("vec_id")
+        .collect()
+    }
+    assert not {0, 1, 2} & left
+    assert {3, 4, 100, 134} <= left
+
+
 def test_compact_flat_index(spark, tmp_path):
     """Flat (pre-bucketed) layout: whole-table rewrite when over the
     threshold."""
