@@ -598,6 +598,77 @@ def bench_takedown(spark) -> dict:
     return out
 
 
+def bench_compaction(spark) -> dict:
+    """Scale row for index compaction (round 9): a long-lived index
+    accretes one part file per touched bucket per upsert, and the
+    vs-index probe pays footer-open + task-schedule overhead per file.
+    Build an id-bucketed index, fragment it with many small upserts,
+    measure upsert latency fragmented vs compacted plus the compaction
+    cost itself."""
+    import glob
+    import shutil
+    import tempfile
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_index_upsert,
+    )
+
+    n = int(os.environ.get("SCALE_COMPACT_DOCS", 500_000))
+    n_upserts = int(os.environ.get("SCALE_COMPACT_UPSERTS", 25))
+    out = {"compact_docs_n": n, "compact_upserts": n_upserts}
+    path = tempfile.mkdtemp(prefix="fastdb_compact_")
+    try:
+        build_dedup_index(
+            synth_documents(spark, n), path, hash_impl="fast", id_buckets=64
+        )
+
+        def fresh_batch(tag: int):
+            # DISJOINT id range per batch: synth text derives from the
+            # doc seed, so a fresh range means fresh content (an
+            # id-offset alone reuses indexed text and the whole batch
+            # deduplicates away — nothing would fragment)
+            base = n + 10_000 * tag
+            return synth_documents(spark, base + 2000).filter(
+                f"doc_id >= {base}"
+            )
+
+        # fragment: small upserts, disjoint fresh content
+        for k in range(n_upserts):
+            dedup_index_upsert(spark, fresh_batch(k + 1), path)
+
+        def count_files():
+            return sum(
+                len(glob.glob(os.path.join(path, t, "*", "part-*")))
+                for t in ("fingerprints", "bands", "shingles")
+            )
+
+        def probe_upsert(tag: int) -> float:
+            batch = fresh_batch(tag)
+            t0 = time.perf_counter()
+            dedup_index_upsert(spark, batch, path)
+            return round(time.perf_counter() - t0, 2)
+
+        out["files_fragmented"] = count_files()
+        trials = [probe_upsert(100), probe_upsert(101)]
+        out["upsert_fragmented_s"] = min(trials)
+        out["upsert_fragmented_trials"] = trials
+        t0 = time.perf_counter()
+        stats = compact_dedup_index(spark, path, min_files=4)
+        out["compact_s"] = round(time.perf_counter() - t0, 2)
+        out["compact_stats"] = {
+            t: s["buckets_compacted"] for t, s in stats.items()
+        }
+        out["files_compacted"] = count_files()
+        trials = [probe_upsert(102), probe_upsert(103)]
+        out["upsert_compacted_s"] = min(trials)
+        out["upsert_compacted_trials"] = trials
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -623,6 +694,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_TAKEDOWN_ONLY", "0") == "1":
         out["takedown"] = bench_takedown(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_COMPACT_ONLY", "0") == "1":
+        out["compaction"] = bench_compaction(spark)
         print(json.dumps(out))
         return
 
