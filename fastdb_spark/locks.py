@@ -37,9 +37,13 @@ def table_write_lock(
 
     Spin with backoff on ``FileExistsError``; break locks older than
     ``stale``; raise ``TimeoutError`` after ``timeout``.  The lock file
-    records the holder's pid for post-mortems.
+    records the holder's pid for post-mortems.  ``path`` is normalized
+    here so every spelling of the same table directory (trailing slash,
+    ``./`` prefix) contends on ONE lock file — callers previously
+    normalized ad hoc, and two spellings would have silently taken two
+    locks around the same table.
     """
-    lock = path + suffix
+    lock = os.path.normpath(path) + suffix
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
     deadline = time.monotonic() + timeout
     while True:

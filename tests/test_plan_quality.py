@@ -365,3 +365,42 @@ def test_ann_exhaustive_rerank_joins_broadcast(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_doc_similar_w2v_exact_broadcast_and_topk(spark):
+    """The exact w2v-search gate (round 9) must broadcast the
+    vocabulary-sized word-vector table into the token join (never
+    shuffle the corpus on `word`) and plan the final top-k as a
+    TakeOrdered, not a global sort."""
+    df = entrymod.queries()["doc_similar_w2v_exact"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_media_probe_cap_rides_new_id_window(spark):
+    """The banded vs-index probe's candidate cap (round 9) must ride a
+    window partitioned by the NEW id — one hash partitioning the join
+    pays anyway — and never an index-side bucket drop (which silently
+    admitted duplicates of hot fingerprint families, ADVICE r8)."""
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.pipeline.imagededup import hash_matches
+
+    old = spark.range(100).select(
+        F.col("id").alias("media_id"), (F.col("id") % 7).alias("phash")
+    )
+    new = spark.range(10).select(
+        (F.col("id") + 1000).alias("media_id"),
+        (F.col("id") % 7).alias("phash"),
+    )
+    plan = _plan(
+        hash_matches(new, old, max_hamming=2, bands=4, max_bucket_size=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan, plan
+    # the hamming-0 leg is an aggregate + equi-join: no window at all
+    plan0 = _plan(hash_matches(new, old, max_hamming=0, max_bucket_size=3))
+    assert "row_number" not in plan0
+    assert "HashAggregate" in plan0, plan0

@@ -277,6 +277,27 @@ def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
 
 
 # ---------------------------------------------------------------------------
+# lock-key normalization: every spelling of the same table directory
+# must contend on ONE lock file
+
+
+def test_table_write_lock_normalizes_path(tmp_path):
+    import pytest
+
+    from fastdb_spark.locks import table_write_lock
+
+    tdir = str(tmp_path / "tbl")
+    with table_write_lock(tdir):
+        # the trailing-slash spelling must see the SAME lock
+        with pytest.raises(TimeoutError):
+            with table_write_lock(tdir + "/", timeout=0.5):
+                pass
+    # released: both spellings acquire again
+    with table_write_lock(tdir + "/"):
+        pass
+
+
+# ---------------------------------------------------------------------------
 # large takedown batches auto-switch to the broadcast anti-join form
 # (BENCH_SCALE r9: a 10^4-element isin literal measured 3-16x slower
 # than the anti-join at a 10M-doc index)
