@@ -877,6 +877,166 @@ def _compact_tables(
 LAST_UPSERT_AUDIT: dict = {"truncated_docs": 0, "sample": []}
 
 
+def _near_dups_vs_index(
+    spark: SparkSession,
+    fresh: DataFrame,
+    path: str,
+    p: dict,
+    id_col: str,
+    max_bucket_size: int | None,
+    audit: dict | None = None,
+) -> DataFrame:
+    """Ids of ``fresh`` docs whose Jaccard vs ANY indexed document meets
+    the stored threshold — the vs-index near-dup leg shared by
+    :func:`dedup_index_upsert` and :func:`dedup_index_probe`.  ``fresh``
+    carries (id, sh, bands) from :func:`_sketch`.  ``max_bucket_size``
+    caps candidates PER NEW doc (the refine only needs one hit; never
+    the index side); truncated docs are recorded in ``audit`` when one
+    is passed (one bounded limit-collect on a cachereg-staged frame —
+    the caller's ``release_staged()`` frees it)."""
+    from fastdb_spark.cachereg import stage
+
+    old_bands = spark.read.parquet(os.path.join(path, "bands"))
+    old_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    new_banded = fresh.select(id_col, F.explode("bands").alias("band"))
+    cand = (
+        new_banded.join(
+            old_bands.select(F.col("band"), F.col(id_col).alias("_old_id")),
+            on="band",
+        )
+        .select(id_col, "_old_id")
+        .dropDuplicates([id_col, "_old_id"])
+    )
+    if max_bucket_size is not None:
+        # guard mirrors _candidate_pairs: a pathological band (e.g. the
+        # batch re-ingests a boilerplate bomb) would blow the join; cap
+        # candidates per new doc instead of per bucket here — the
+        # refine only needs ONE hit.  _cnt rides the same window
+        # partition (no extra shuffle) so truncated docs can be flagged.
+        w = Window.partitionBy(id_col).orderBy("_old_id")
+        wc = Window.partitionBy(id_col)
+        cand = stage(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_cnt", F.count("*").over(wc))
+            .filter(F.col("_rn") <= max_bucket_size)
+        )
+        if audit is not None:
+            trunc = (
+                cand.filter(F.col("_cnt") > max_bucket_size)
+                .select(id_col)
+                .distinct()
+                .limit(101)
+                .collect()
+            )
+            audit["truncated_docs"] = len(trunc)
+            audit["sample"] = sorted(r[id_col] for r in trunc[:100])
+        cand = cand.drop("_rn", "_cnt")
+    scored = (
+        cand.join(fresh.select(id_col, "sh"), on=id_col)
+        .join(
+            old_sh.select(
+                F.col(id_col).alias("_old_id"),
+                F.col("sh").alias("_old_sh"),
+            ),
+            on="_old_id",
+        )
+        .withColumn(
+            "jac", F.round(jaccard(F.col("sh"), F.col("_old_sh")), 6)
+        )
+    )
+    return (
+        scored.filter(F.col("jac") >= p["threshold"])
+        .select(id_col)
+        .distinct()
+    )
+
+
+def dedup_index_probe(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Classify ``new_docs`` against the index WITHOUT mutating it — the
+    dry-run dedup REPORT (what a curation review wants before committing
+    a crawl increment, and what a dedup-rate dashboard samples).
+    Returns ``(id_col, verdict)`` with verdict one of:
+
+    - ``exact``          — fingerprint already in the index
+    - ``in_batch_exact`` — fingerprint collides in the batch, not min id
+    - ``near``           — Jaccard vs an indexed doc >= threshold
+    - ``in_batch_near``  — dropped by the in-batch greedy pass
+    - ``fresh``          — would be appended by an upsert
+
+    Precedence is exactly the upsert's; the ``fresh`` set EQUALS the id
+    set :func:`dedup_index_upsert` would return for the same batch
+    (property-tested).  The result is materialized (lineage severed)
+    under the table write lock, so a concurrent takedown's partition
+    swap cannot invalidate the returned frame; the index is untouched
+    (mtime-asserted in tests)."""
+    p = _load_params(path)
+    _check_scheme(p, path)
+    from fastdb_spark.cachereg import release_staged, stage
+
+    with table_write_lock(os.path.normpath(path)):
+        sk = stage(
+            _sketch(
+                new_docs, id_col, text_col,
+                p["shingle_k"], p["n_hashes"], p["bands"],
+                hash_impl=p.get("hash_impl", "md5"),
+            )
+        )
+        try:
+            fps = spark.read.parquet(os.path.join(path, "fingerprints"))
+            exact = sk.join(
+                fps.select("fingerprint"), on="fingerprint", how="left_semi"
+            ).select(id_col)
+            rest = sk.join(exact, on=id_col, how="left_anti")
+            canon = rest.groupBy("fingerprint").agg(
+                F.min(id_col).alias(id_col)
+            )
+            keepmin = rest.join(
+                canon, on=[id_col, "fingerprint"], how="left_semi"
+            )
+            in_batch_exact = rest.join(
+                keepmin.select(id_col), on=id_col, how="left_anti"
+            ).select(id_col)
+            near = _near_dups_vs_index(
+                spark, keepmin, path, p, id_col, max_bucket_size
+            )
+            rest2 = keepmin.join(near, on=id_col, how="left_anti")
+            in_batch_near = _inbatch_drops(
+                rest2, id_col, p["threshold"], max_bucket_size
+            )
+            fresh = rest2.join(
+                in_batch_near, on=id_col, how="left_anti"
+            ).select(id_col)
+            out = (
+                exact.select(id_col, F.lit("exact").alias("verdict"))
+                .unionByName(
+                    in_batch_exact.select(
+                        id_col, F.lit("in_batch_exact").alias("verdict")
+                    )
+                )
+                .unionByName(
+                    near.select(id_col, F.lit("near").alias("verdict"))
+                )
+                .unionByName(
+                    in_batch_near.select(
+                        id_col, F.lit("in_batch_near").alias("verdict")
+                    )
+                )
+                .unionByName(
+                    fresh.select(id_col, F.lit("fresh").alias("verdict"))
+                )
+            ).localCheckpoint(eager=True)
+        finally:
+            release_staged()
+    return out
+
+
 def dedup_index_upsert(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -928,64 +1088,9 @@ def dedup_index_upsert(
             )
             # (b) near-dup vs index: band-bucket join against the stored
             # buckets, shingle refine against the stored shingle sets
-            old_bands = spark.read.parquet(os.path.join(path, "bands"))
-            old_sh = spark.read.parquet(os.path.join(path, "shingles"))
-            new_banded = fresh.select(
-                id_col, F.explode("bands").alias("band")
-            )
-            cand = (
-                new_banded.join(
-                    old_bands.select(
-                        F.col("band"), F.col(id_col).alias("_old_id")
-                    ),
-                    on="band",
-                )
-                .select(id_col, "_old_id")
-                .dropDuplicates([id_col, "_old_id"])
-            )
-            if max_bucket_size is not None:
-                # guard mirrors _candidate_pairs: a pathological band
-                # (e.g. the batch re-ingests a boilerplate bomb) would
-                # blow the join; cap candidates per new doc instead of
-                # per bucket here — the refine only needs ONE hit.
-                # _cnt rides the same window partition (no extra
-                # shuffle) so truncated docs can be flagged.
-                w = Window.partitionBy(id_col).orderBy("_old_id")
-                wc = Window.partitionBy(id_col)
-                cand = stage(
-                    cand.withColumn("_rn", F.row_number().over(w))
-                    .withColumn("_cnt", F.count("*").over(wc))
-                    .filter(F.col("_rn") <= max_bucket_size)
-                )
-                trunc = (
-                    cand.filter(F.col("_cnt") > max_bucket_size)
-                    .select(id_col)
-                    .distinct()
-                    .limit(101)
-                    .collect()
-                )
-                LAST_UPSERT_AUDIT["truncated_docs"] = len(trunc)
-                LAST_UPSERT_AUDIT["sample"] = sorted(
-                    r[id_col] for r in trunc[:100]
-                )
-                cand = cand.drop("_rn", "_cnt")
-            scored = (
-                cand.join(fresh.select(id_col, "sh"), on=id_col)
-                .join(
-                    old_sh.select(
-                        F.col(id_col).alias("_old_id"),
-                        F.col("sh").alias("_old_sh"),
-                    ),
-                    on="_old_id",
-                )
-                .withColumn(
-                    "jac", F.round(jaccard(F.col("sh"), F.col("_old_sh")), 6)
-                )
-            )
-            dup_vs_index = (
-                scored.filter(F.col("jac") >= p["threshold"])
-                .select(id_col)
-                .distinct()
+            dup_vs_index = _near_dups_vs_index(
+                spark, fresh, path, p, id_col, max_bucket_size,
+                audit=LAST_UPSERT_AUDIT,
             )
             fresh = fresh.join(dup_vs_index, on=id_col, how="left_anti")
             # (c) in-batch greedy near-dup (same rule as curate_corpus)

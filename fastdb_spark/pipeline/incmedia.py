@@ -313,6 +313,73 @@ def media_index_upsert(
     return ids
 
 
+def media_index_probe(
+    spark: SparkSession,
+    new_media: DataFrame,
+    path: str,
+    payload_col: str = "payload",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Classify ``new_media`` against the index WITHOUT mutating it —
+    the media twin of ``incdedup.dedup_index_probe`` (dry-run dedup
+    report).  Returns ``(id_col, verdict)`` with verdict one of
+    ``dup`` (fingerprint within max_hamming of an indexed item),
+    ``in_batch_dup`` (dropped by the in-batch keep-min/greedy pass), or
+    ``fresh`` (an upsert would append it).  Undecodable payloads appear
+    under NO verdict (the shared torn-payload skip contract — the
+    caller's reject cascade sees them via the count difference).  The
+    ``fresh`` set equals :func:`media_index_upsert`'s returned ids for
+    the same batch (property-tested); materialized under the write lock
+    so concurrent swaps cannot invalidate the returned frame."""
+    p = _load_params(path)
+    id_col = p.get("id_col", "media_id")
+    from fastdb_spark.cachereg import release_staged, stage
+
+    with table_write_lock(os.path.normpath(path)):
+        hashes = stage(
+            _hash_frame(
+                new_media,
+                id_col,
+                payload_col,
+                p["method"],
+                p.get("every_ms", 1000),
+                p.get("audio_kw") or None,
+            )
+        )
+        try:
+            idx = spark.read.parquet(os.path.join(path, "hashes"))
+            dup = hash_matches(
+                hashes,
+                idx,
+                id_col,
+                "phash",
+                p["max_hamming"],
+                p["bands"],
+                max_bucket_size,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            rest = hashes.join(dup, on=id_col, how="left_anti")
+            surv = _dedup_batch(
+                rest, id_col, p["max_hamming"], p["bands"], max_bucket_size
+            ).select(id_col)
+            in_batch = rest.join(surv, on=id_col, how="left_anti").select(
+                id_col
+            )
+            out = (
+                dup.select(id_col, F.lit("dup").alias("verdict"))
+                .unionByName(
+                    in_batch.select(
+                        id_col, F.lit("in_batch_dup").alias("verdict")
+                    )
+                )
+                .unionByName(
+                    surv.select(id_col, F.lit("fresh").alias("verdict"))
+                )
+            ).localCheckpoint(eager=True)
+        finally:
+            release_staged()
+    return out
+
+
 def media_index_remove(
     spark: SparkSession,
     ids,

@@ -277,6 +277,122 @@ def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
 
 
 # ---------------------------------------------------------------------------
+# probe-only (dry-run) classification against the persisted indexes
+
+
+def test_dedup_index_probe_verdicts_and_no_mutation(spark, tmp_path):
+    """The dry-run report: every verdict class exercised, the fresh set
+    equals what an upsert of the same batch returns, and the index is
+    byte-untouched by the probe."""
+    import os
+
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    def text(i):
+        return (
+            f"unique document number {i} alpha beta gamma {i * 7} delta "
+            f"epsilon {i * 13} zeta"
+        )
+
+    path = str(tmp_path / "pidx")
+    inc.build_dedup_index(_docs(spark, range(10)), path, id_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            (3, text(3)),      # exact vs index
+            (300, text(100)),  # fresh content...
+            (301, text(100)),  # ...exact in-batch twin (min id 300 wins)
+            (400, text(200)),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    mtimes = {
+        t: os.path.getmtime(os.path.join(path, t))
+        for t in ("fingerprints", "bands", "shingles")
+    }
+    rep = {
+        r["doc_id"]: r["verdict"]
+        for r in inc.dedup_index_probe(spark, batch, path).collect()
+    }
+    assert rep == {
+        3: "exact",
+        300: "fresh",
+        301: "in_batch_exact",
+        400: "fresh",
+    }
+    for t, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, t)) == m
+    # fresh set == upsert's survivors for the same batch
+    assert inc.dedup_index_upsert(spark, batch, path) == [300, 400]
+
+
+def test_dedup_index_probe_near_verdicts(spark, tmp_path):
+    """near (vs index) and in_batch_near verdicts: perturb one token of
+    an indexed doc / of a batch sibling."""
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    def text(i):
+        return (
+            f"unique document number {i} alpha beta gamma {i * 7} delta "
+            f"epsilon {i * 13} zeta"
+        )
+
+    path = str(tmp_path / "pnidx")
+    inc.build_dedup_index(_docs(spark, range(10)), path, id_buckets=4)
+    t5 = text(5)
+    t9k = text(9000)
+    batch = spark.createDataFrame(
+        [
+            (500, t5 + " perturbed"),   # near-dup of indexed 5
+            (600, t9k),                 # fresh
+            (601, t9k + " perturbed"),  # in-batch near twin of 600
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r["verdict"]
+        for r in inc.dedup_index_probe(spark, batch, path).collect()
+    }
+    assert rep == {500: "near", 600: "fresh", 601: "in_batch_near"}
+
+
+def test_media_index_probe_verdicts_and_fresh_equals_upsert(
+    spark, tmp_path
+):
+    import os
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "pmidx")
+    im.build_media_index(
+        _media_df(spark, [(i, i, 0) for i in range(6)]), path, id_buckets=4
+    )
+    batch = _media_df(
+        spark,
+        [
+            (100, 3, 4),   # brightness twin of indexed 3 -> dup
+            (101, 70, 0),  # fresh
+            (102, 71, 0),  # fresh
+            (103, 71, 4),  # in-batch twin of 102
+        ],
+    )
+    mtime = os.path.getmtime(os.path.join(path, "hashes"))
+    rep = {
+        r["media_id"]: r["verdict"]
+        for r in im.media_index_probe(spark, batch, path).collect()
+    }
+    assert rep == {
+        100: "dup",
+        101: "fresh",
+        102: "fresh",
+        103: "in_batch_dup",
+    }
+    assert os.path.getmtime(os.path.join(path, "hashes")) == mtime
+    assert im.media_index_upsert(spark, batch, path) == [101, 102]
+
+
+# ---------------------------------------------------------------------------
 # lock-key normalization: every spelling of the same table directory
 # must contend on ONE lock file
 
