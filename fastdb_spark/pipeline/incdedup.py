@@ -464,6 +464,8 @@ def stream_dedup_index(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_min_files: int = 8,
 ):
     """Structured-Streaming corpus ingest into the persisted dedup index:
     ``readStream`` over a parquet file source, ``foreachBatch`` applying
@@ -477,7 +479,16 @@ def stream_dedup_index(
 
     The index must already exist (``build_dedup_index`` on the seed
     corpus); sketch parameters come from the index metadata, never this
-    caller, so every micro-batch is banded identically."""
+    caller, so every micro-batch is banded identically.
+
+    ``compact_every=N`` runs :func:`compact_dedup_index` after every Nth
+    processed micro-batch: each upsert appends one part file per touched
+    bucket per table, so a long-running stream otherwise fragments the
+    index without bound (the 1M-doc A/B in BENCH_SCALE prices the
+    fragmentation tax at ~26% of probe latency after 40 batches).
+    Compaction runs inside ``foreachBatch`` between triggers — the same
+    single-writer discipline as the upserts, no separate maintenance
+    job to schedule."""
     _check_scheme(_load_params(index_path), index_path)
 
     # micro-batches are batch-sized, not table-sized (same rationale as
@@ -485,6 +496,8 @@ def stream_dedup_index(
     from fastdb_spark.session import tune_micro_batch_shuffle
 
     tune_micro_batch_shuffle(spark)
+
+    n_batches = {"n": 0}
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_index_upsert(
@@ -495,6 +508,9 @@ def stream_dedup_index(
             text_col=text_col,
             max_bucket_size=max_bucket_size,
         )
+        n_batches["n"] += 1
+        if compact_every and n_batches["n"] % compact_every == 0:
+            compact_dedup_index(spark, index_path, min_files=compact_min_files)
 
     reader = spark.readStream.schema(f"{id_col} long, {text_col} string")
     if max_files_per_trigger:

@@ -437,6 +437,8 @@ def stream_media_index(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_min_files: int = 8,
 ):
     """Structured-Streaming media ingest into the persisted perceptual
     index — the media twin of ``incdedup.stream_dedup_index``:
@@ -451,7 +453,9 @@ def stream_media_index(
     The index must already exist (``build_media_index`` on the seed
     corpus); the hash method and every fingerprint parameter come from
     the index metadata, never this caller, so every micro-batch probes
-    identically."""
+    identically.  ``compact_every=N`` runs :func:`compact_media_index`
+    after every Nth micro-batch (same rationale and discipline as
+    ``stream_dedup_index``)."""
     p = _load_params(index_path)
     id_col = p.get("id_col", "media_id")
 
@@ -461,6 +465,8 @@ def stream_media_index(
 
     tune_micro_batch_shuffle(spark)
 
+    n_batches = {"n": 0}
+
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
         media_index_upsert(
             spark,
@@ -469,6 +475,9 @@ def stream_media_index(
             payload_col=payload_col,
             max_bucket_size=max_bucket_size,
         )
+        n_batches["n"] += 1
+        if compact_every and n_batches["n"] % compact_every == 0:
+            compact_media_index(spark, index_path, min_files=compact_min_files)
 
     reader = spark.readStream.schema(f"{id_col} long, {payload_col} binary")
     if max_files_per_trigger:

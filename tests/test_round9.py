@@ -277,6 +277,47 @@ def test_media_index_rebuild_dynamic_mode_drops_stale_buckets(
 
 
 # ---------------------------------------------------------------------------
+# streaming auto-compaction: a long-running index stream must not
+# fragment the table without bound
+
+
+def test_stream_dedup_index_auto_compacts(spark, tmp_path):
+    import os
+
+    from tests.test_round8 import _docs
+    from fastdb_spark.pipeline import incdedup as inc
+
+    path = str(tmp_path / "sidx")
+    inc.build_dedup_index(_docs(spark, range(8)), path, id_buckets=4)
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    # six single-file micro-batches of fresh docs
+    for k in range(6):
+        _docs(spark, [100 + k]).coalesce(1).write.mode("append").parquet(src)
+    q = inc.stream_dedup_index(
+        spark,
+        src,
+        path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=2,
+        compact_min_files=1,
+    )
+    q.awaitTermination(300)
+    files = _bucket_files(path, "fingerprints", 0)
+    # without compaction bucket 0 would hold ~7 files (build + 6
+    # upserts); periodic compaction keeps it bounded
+    assert len(files) <= 3, files
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "fingerprints"))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == list(range(8)) + [100 + k for k in range(6)]
+
+
+# ---------------------------------------------------------------------------
 # probe-only (dry-run) classification against the persisted indexes
 
 
