@@ -2391,6 +2391,77 @@ def _q_dedup_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("doc_id", "fingerprint")
 
 
+def _q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only classification under the exact gate (born round 9 —
+    the dry-run dedup REPORT a curation review wants before committing a
+    crawl increment): build the index from the even-id half of
+    documents, then ``dedup_index_probe`` the odd-id half uncapped and
+    return its ``(doc_id, verdict)`` rows — verdict in exact /
+    in_batch_exact / near / in_batch_near / fresh, the upsert's exact
+    precedence.  The oracle replays the identical CTE stages but
+    CLASSIFIES instead of filters (``incdedup_oracle_sql(final=
+    "probe")``), so the gate partitions every odd doc: one verdict
+    swapped anywhere — a probe that admits what the upsert would drop,
+    or vice versa — flips the hash.  The index itself must come back
+    byte-identical (probe is read-only; mtime-asserted in
+    tests/test_round9.py)."""
+    import shutil
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        dedup_index_probe,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incdedup_probe_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    build_dedup_index(docs.filter("doc_id % 2 = 0"), path)
+    return dedup_index_probe(
+        spark, docs.filter("doc_id % 2 = 1"), path, max_bucket_size=None
+    ).select("doc_id", "verdict")
+
+
+def _q_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the exact gate (born round 9): the
+    roundtrip choreography — build even half, upsert odd half uncapped —
+    then ``compact_dedup_index(min_files=1)`` rewrites every id_bucket
+    partition the build+append left with more than one part file, and
+    the gate returns the persisted fingerprints read AFTER the rewrite.
+    Compaction is content-preserving by contract, so the oracle is the
+    roundtrip twin verbatim: any row the tmp+swap rewrite drops,
+    duplicates, or mutates flips the hash.  The gate also asserts the
+    rewrite actually ran and shrank the file count (a no-op compactor
+    must not adjudicate as green)."""
+    import shutil
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_index_upsert,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incdedup_compact_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    # odd bucket count: under the default 32, the even-id build and the
+    # odd-id upsert land in DISJOINT pmod residues (even ids -> even
+    # buckets), so no partition would ever hold two part files and the
+    # compactor would correctly no-op; 31 makes both halves cover every
+    # bucket and the rewrite touch all of them
+    build_dedup_index(docs.filter("doc_id % 2 = 0"), path, id_buckets=31)
+    dedup_index_upsert(
+        spark, docs.filter("doc_id % 2 = 1"), path, max_bucket_size=None
+    )
+    stats = compact_dedup_index(spark, path, min_files=1)
+    fp = stats["fingerprints"]
+    if fp["buckets_compacted"] == 0 or fp["files_after"] >= fp["files_before"]:
+        raise AssertionError(f"compaction did not run/shrink: {stats}")
+    idx = spark.read.parquet(os.path.join(path, "fingerprints"))
+    return idx.select("doc_id", "fingerprint")
+
+
 def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup under the exact gate: per document a seeded
     24x24 grayscale PNG; every fourth document also plants a
@@ -3379,12 +3450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sits in round N's window head, and (b) the named stable laggards
     # LEAD the next round's window.
     #
-    # ROUND-9 WINDOW: the two gates born this round
-    # (media_index_av_roundtrip, doc_similar_w2v_exact), the 8 r8-named
-    # laggards (rule b, VERDICT r8 #1), the two touched-path index gates
-    # (media_index_roundtrip: guard defaults + hash_matches fix;
-    # dedup_index_roundtrip: empty-survivor/static-overwrite write
-    # path), then the 38 oldest-evidence r7 gates.  NAMED LAGGARDS for
+    # ROUND-9 WINDOW: the four gates born this round
+    # (media_index_av_roundtrip, doc_similar_w2v_exact,
+    # dedup_index_probe, dedup_index_compaction — the last two
+    # re-adjudicate the touched probe/upsert shared path and the
+    # roundtrip write path end to end, strictly stronger than the
+    # r8-green roundtrip gates they displace to the tail), the 8
+    # r8-named laggards (rule b, VERDICT r8 #1), then the 38
+    # oldest-evidence r7 gates.  NAMED LAGGARDS for
     # r10 (r7-green, untouched, parity-run every session; they lead the
     # r10 window): union_distinct, values_lookup, anti_join,
     # sql_passthrough, flux_to_mag, keyword_search, topk_per_group,
@@ -3396,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 window (first 50) ------------------------------
         "media_index_av_roundtrip": _q_media_index_av_roundtrip,
         "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
+        "dedup_index_probe": _q_dedup_index_probe,
+        "dedup_index_compaction": _q_dedup_index_compaction,
         # the 8 r8-named laggards (rule b)
         "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
@@ -3405,9 +3480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "alert_reconstruct": _q_alert_reconstruct,
-        # touched-path index gates re-adjudicated this round
-        "media_index_roundtrip": _q_media_index_roundtrip,
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         # oldest-evidence r7 gates rotated back in
         "mix_report": _q_mix_report,
         "ann_exhaustive_exact": _q_ann_exhaustive,
@@ -3464,7 +3536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "sessionize": _q_sessionize,
         "broker_info": _q_broker_info,
-        # r8-window gates (driver-green in CORRECTNESS_r08)
+        # r8-window gates (driver-green in CORRECTNESS_r08) — the two
+        # roundtrip index gates rotate here from the r9 window head,
+        # displaced by the strictly-stronger probe/compaction gates
+        "media_index_roundtrip": _q_media_index_roundtrip,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         "image_banded_neardup": _q_image_banded_neardup,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
@@ -3831,6 +3907,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "timescale_functions": _timescale_oracle(),
         "dedup_index_roundtrip": po.incdedup_oracle_sql(),
+        "dedup_index_probe": po.incdedup_oracle_sql(final="probe"),
+        # compaction is content-preserving by contract: same twin as the
+        # roundtrip, read back AFTER the partition rewrite
+        "dedup_index_compaction": po.incdedup_oracle_sql(),
         "dedup_index_takedown": po.incdedup_oracle_sql(
             remove_pred="doc_id % 10 = 0"
         ),

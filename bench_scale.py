@@ -669,6 +669,110 @@ def bench_compaction(spark) -> dict:
     return out
 
 
+def bench_media_index(spark) -> dict:
+    """Scale row for the persisted perceptual media index (round-9
+    plan #3): the text index's build/takedown/upsert series exists at
+    1M-10M docs; this runs the SAME engine through the media hashes
+    table at SCALE_MEDIA_INDEX_N fingerprints (default 5M) via
+    ``method="precomputed"`` — the decode-free re-indexing path (the
+    decode pass is pure map work a hasher fleet runs ahead of time; the
+    index engine is what needs the distributed choreography, so it is
+    what this row measures).  Series: id-bucketed build, takedown at
+    16 / 1k / 10k ids (min-of-2 disjoint batches — removals mutate
+    state), a 100k hamming-0 upsert with 10% planted dups of indexed
+    content, the probe-only classification of the same shape, and
+    compaction after the appends."""
+    import glob
+    import tempfile
+
+    from fastdb_spark.pipeline.incmedia import (
+        build_media_index,
+        compact_media_index,
+        media_index_probe,
+        media_index_remove,
+        media_index_upsert,
+    )
+
+    n = int(os.environ.get("SCALE_MEDIA_INDEX_N", 5_000_000))
+    out = {"media_index_n": n}
+
+    def synth_hashes(lo: int, hi: int, dup_pct: int = 0):
+        # deterministic unique-ish 64-bit fingerprints; dup_pct% of the
+        # batch reuses an INDEXED id's fingerprint (vs-index dups)
+        base = spark.range(lo, hi).select(
+            F.col("id").alias("media_id"),
+            F.when(
+                F.col("id") % 100 < dup_pct,
+                F.xxhash64((F.col("id") % n).cast("string")),
+            )
+            .otherwise(F.xxhash64(F.col("id").cast("string")))
+            .alias("fp"),
+        )
+        return base
+
+    path = tempfile.mkdtemp(prefix="fastdb_media_index_scale_")
+    try:
+        t0 = time.perf_counter()
+        n_idx = build_media_index(
+            synth_hashes(0, n),
+            path,
+            payload_col="fp",
+            method="precomputed",
+            id_buckets=64,
+        )
+        out["build_s"] = round(time.perf_counter() - t0, 2)
+        out["build_indexed"] = n_idx
+
+        step = max(n // 52_000, 1)
+        pool = list(range(1, n, step))
+        shapes = [
+            ("takedown_16", [pool[:16], pool[16:32]]),
+            ("takedown_1k", [pool[32:1032], pool[1032:2032]]),
+            ("takedown_10k", [pool[2032:12032], pool[12032:22032]]),
+        ]
+        for label, batches in shapes:
+            times = []
+            for batch in batches:
+                if len(batch) < (16 if label.endswith("16") else 1000):
+                    continue
+                t0 = time.perf_counter()
+                media_index_remove(spark, batch, path)
+                times.append(round(time.perf_counter() - t0, 2))
+            if times:
+                out[f"{label}_s"] = min(times)
+                out[f"{label}_trials"] = times
+
+        probe_batch = synth_hashes(n, n + 100_000, dup_pct=10)
+        t0 = time.perf_counter()
+        verdicts = {
+            r["verdict"]: r["n"]
+            for r in media_index_probe(
+                spark, probe_batch, path, payload_col="fp"
+            )
+            .groupBy("verdict")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        out["probe_100k_s"] = round(time.perf_counter() - t0, 2)
+        out["probe_100k_verdicts"] = verdicts
+
+        t0 = time.perf_counter()
+        ids = media_index_upsert(spark, probe_batch, path, payload_col="fp")
+        out["upsert_100k_s"] = round(time.perf_counter() - t0, 2)
+        out["upsert_100k_survivors"] = len(ids) if ids is not None else -1
+
+        out["files_before_compact"] = len(
+            glob.glob(os.path.join(path, "hashes", "*", "part-*"))
+        )
+        t0 = time.perf_counter()
+        stats = compact_media_index(spark, path, min_files=1)
+        out["compact_s"] = round(time.perf_counter() - t0, 2)
+        out["files_after_compact"] = stats["hashes"]["files_after"]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -699,6 +803,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_COMPACT_ONLY", "0") == "1":
         out["compaction"] = bench_compaction(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_MEDIA_INDEX_ONLY", "0") == "1":
+        out["media_index"] = bench_media_index(spark)
         print(json.dumps(out))
         return
 

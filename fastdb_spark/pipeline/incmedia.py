@@ -94,7 +94,22 @@ def _hash_frame(
     """Dispatch the per-modality fingerprint mapInPandas; the hash
     column is normalized to ``phash`` so every downstream join/band/
     takedown shape is modality-agnostic.  Undecodable payloads are
-    skipped in every leg (the shared torn-payload contract)."""
+    skipped in every leg (the shared torn-payload contract).
+
+    ``method="precomputed"`` skips hashing entirely: ``payload_col``
+    already holds the int64 fingerprint (an external hasher, a GPU
+    fleet, or a previous index's hashes table).  This is how a 100 TB
+    corpus re-bands without re-decoding — the decode pass costs days
+    and is pure map work anyone can run ahead of time; the index engine
+    (band/probe/takedown/compaction) is the part that needs the
+    distributed choreography.  Recorded in the index metadata like any
+    other method, so every later upsert/probe must supply fingerprints
+    too — mixing a precomputed index with decoded batches would silently
+    compare different hash families."""
+    if method == "precomputed":
+        return media.select(
+            F.col(id_col), F.col(payload_col).cast("long").alias("phash")
+        )
     if method in ("phash", "dhash"):
         return perceptual_hashes(media, id_col, payload_col, method)
     if method == "video":
@@ -111,7 +126,7 @@ def _hash_frame(
         ).withColumnRenamed("afp", "phash")
     raise ValueError(
         f"unknown media index method {method!r} "
-        "(phash | dhash | video | audio)"
+        "(phash | dhash | video | audio | precomputed)"
     )
 
 
@@ -200,7 +215,9 @@ def build_media_index(
     ``method`` picks the modality: ``"phash"``/``"dhash"`` (images),
     ``"video"`` (sampled-frame clip fingerprints, ``every_ms`` cadence),
     ``"audio"`` (Haitsma-Kalker spectral fingerprints, ``audio_kw``
-    forwarded to the fingerprinter).  ``method`` and every fingerprint
+    forwarded to the fingerprinter), ``"precomputed"`` (``payload_col``
+    already holds the int64 fingerprint — decode-free re-indexing; see
+    :func:`_hash_frame`).  ``method`` and every fingerprint
     parameter are RECORDED IN THE INDEX METADATA so every later upsert
     probes identically (mixing methods or thresholds would silently
     miss duplicates).

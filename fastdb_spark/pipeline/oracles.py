@@ -398,6 +398,7 @@ def incdedup_oracle_sql(
     bands: int = 4,
     threshold: float = 0.5,
     remove_pred: str | None = None,
+    final: str = "index",
 ) -> str:
     """duckdb twin of the UNCAPPED incremental dedup-index choreography
     (``incdedup.build_dedup_index`` on the even-id half of documents,
@@ -412,7 +413,16 @@ def incdedup_oracle_sql(
     ``remove_pred`` (a SQL predicate over ``doc_id``) replays a
     ``dedup_index_remove`` BETWEEN the build and the upsert: matching
     batch-1 index entries vanish from the index batch 2 is checked
-    against — the takedown-gate choreography."""
+    against — the takedown-gate choreography.
+
+    ``final="probe"`` swaps the final SELECT for the dry-run REPORT
+    :func:`incdedup.dedup_index_probe` emits over batch 2: one
+    ``(doc_id, verdict)`` row per odd doc, verdict in ``exact`` (its
+    fingerprint is already indexed) / ``in_batch_exact`` (fingerprint
+    collides in the batch, not min id) / ``near`` (Jaccard vs an
+    indexed doc >= threshold) / ``in_batch_near`` (dropped by the
+    greedy in-batch pass) / ``fresh`` (an upsert would append it) —
+    the identical CTE stages, classified instead of filtered."""
     rows = n_hashes // bands
     keep = f"NOT ({remove_pred})" if remove_pred else "TRUE"
     sig = _md5x_sig_elems(n_hashes)
@@ -424,62 +434,96 @@ def incdedup_oracle_sql(
         "round(len(list_intersect(x.sh, y.sh))"
         " / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)"
     )
+    # Every CTE is MATERIALIZED: duckdb inlines CTEs by default, and
+    # this choreography references each stage several times (the jac
+    # refine joins its stage twice; the probe final touches six stages)
+    # — inlined, the evaluation tree re-runs the md5x signature chain
+    # exponentially with stage depth (measured: the roundtrip twin went
+    # >8 min at 500 docs; materialized it is seconds).
     return f"""
-        WITH fp AS (
+        WITH fp AS MATERIALIZED (
           SELECT doc_id, text,
                  md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fingerprint
           FROM documents),
-        sig_all AS (
+        sig_all AS MATERIALIZED (
           SELECT doc_id, fingerprint, sh, [{sig}] AS sig
           FROM (SELECT doc_id, fingerprint, sh, {_MD5X_XS} AS xs
                 FROM (SELECT doc_id, fingerprint,
                              {_word_shingles(shingle_k)} AS sh FROM fp))),
-        b1 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 0),
-        b1canon AS (SELECT fingerprint, min(doc_id) AS doc_id
+        b1 AS MATERIALIZED (SELECT * FROM sig_all WHERE doc_id % 2 = 0),
+        b1canon AS MATERIALIZED (SELECT fingerprint, min(doc_id) AS doc_id
                     FROM b1 GROUP BY fingerprint),
-        b1k AS (SELECT b1.* FROM b1 JOIN b1canon c
+        b1k AS MATERIALIZED (SELECT b1.* FROM b1 JOIN b1canon c
                 ON b1.doc_id = c.doc_id AND b1.fingerprint = c.fingerprint),
-        b1bands AS ({band_sel('b1k')}),
-        b1cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        b1bands AS MATERIALIZED ({band_sel('b1k')}),
+        b1cand AS MATERIALIZED (
+                   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM b1bands a JOIN b1bands b
                      ON a.band = b.band AND a.doc_id < b.doc_id),
-        b1drop AS (SELECT DISTINCT c.id_b AS doc_id
+        b1drop AS MATERIALIZED (SELECT DISTINCT c.id_b AS doc_id
                    FROM b1cand c JOIN b1k x ON x.doc_id = c.id_a
                                  JOIN b1k y ON y.doc_id = c.id_b
                    WHERE {jac} >= {threshold}),
-        idx0 AS (SELECT * FROM b1k
+        idx0 AS MATERIALIZED (SELECT * FROM b1k
                  WHERE doc_id NOT IN (SELECT doc_id FROM b1drop)),
-        idx1 AS (SELECT * FROM idx0 WHERE {keep}),
-        b2 AS (SELECT * FROM sig_all WHERE doc_id % 2 = 1),
-        b2f AS (SELECT * FROM b2 WHERE fingerprint NOT IN
+        idx1 AS MATERIALIZED (SELECT * FROM idx0 WHERE {keep}),
+        b2 AS MATERIALIZED (SELECT * FROM sig_all WHERE doc_id % 2 = 1),
+        b2f AS MATERIALIZED (SELECT * FROM b2 WHERE fingerprint NOT IN
                   (SELECT fingerprint FROM idx1)),
-        b2canon AS (SELECT fingerprint, min(doc_id) AS doc_id
+        b2canon AS MATERIALIZED (SELECT fingerprint, min(doc_id) AS doc_id
                     FROM b2f GROUP BY fingerprint),
-        b2k AS (SELECT b2f.* FROM b2f JOIN b2canon c
+        b2k AS MATERIALIZED (SELECT b2f.* FROM b2f JOIN b2canon c
                 ON b2f.doc_id = c.doc_id AND b2f.fingerprint = c.fingerprint),
-        b2bands AS ({band_sel('b2k')}),
-        idxbands AS ({band_sel('idx1')}),
-        xcand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        b2bands AS MATERIALIZED ({band_sel('b2k')}),
+        idxbands AS MATERIALIZED ({band_sel('idx1')}),
+        xcand AS MATERIALIZED (
+                  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
                   FROM b2bands n JOIN idxbands o ON n.band = o.band),
-        xdrop AS (SELECT DISTINCT c.id_new AS doc_id
+        xdrop AS MATERIALIZED (SELECT DISTINCT c.id_new AS doc_id
                   FROM xcand c JOIN b2k x ON x.doc_id = c.id_new
                                JOIN idx1 y ON y.doc_id = c.id_old
                   WHERE {jac} >= {threshold}),
-        b2r AS (SELECT * FROM b2k
+        b2r AS MATERIALIZED (SELECT * FROM b2k
                 WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)),
-        b2rbands AS ({band_sel('b2r')}),
-        b2rcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        b2rbands AS MATERIALIZED ({band_sel('b2r')}),
+        b2rcand AS MATERIALIZED (
+                    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                     FROM b2rbands a JOIN b2rbands b
                       ON a.band = b.band AND a.doc_id < b.doc_id),
-        b2drop AS (SELECT DISTINCT c.id_b AS doc_id
+        b2drop AS MATERIALIZED (SELECT DISTINCT c.id_b AS doc_id
                    FROM b2rcand c JOIN b2r x ON x.doc_id = c.id_a
                                   JOIN b2r y ON y.doc_id = c.id_b
                    WHERE {jac} >= {threshold})
+        {_INCDEDUP_FINALS[final]}
+    """
+
+
+# Final SELECTs over the shared incdedup CTE stages: "index" is the
+# persisted (doc_id, fingerprint) membership (roundtrip / takedown /
+# compaction gates — compaction is content-preserving by contract, so it
+# shares the roundtrip's twin verbatim); "probe" is the dry-run verdict
+# REPORT over batch 2 — the same stages classified instead of filtered,
+# a partition of the odd ids by construction.
+_INCDEDUP_FINALS = {
+    "index": """
         SELECT doc_id, fingerprint FROM idx1
         UNION ALL
         SELECT doc_id, fingerprint FROM b2r
-        WHERE doc_id NOT IN (SELECT doc_id FROM b2drop)
-    """
+        WHERE doc_id NOT IN (SELECT doc_id FROM b2drop)""",
+    "probe": """
+        SELECT doc_id, 'exact' AS verdict FROM b2
+        WHERE fingerprint IN (SELECT fingerprint FROM idx1)
+        UNION ALL
+        SELECT doc_id, 'in_batch_exact' AS verdict FROM b2f
+        WHERE doc_id NOT IN (SELECT doc_id FROM b2k)
+        UNION ALL
+        SELECT doc_id, 'near' AS verdict FROM xdrop
+        UNION ALL
+        SELECT doc_id, 'in_batch_near' AS verdict FROM b2drop
+        UNION ALL
+        SELECT doc_id, 'fresh' AS verdict FROM b2r
+        WHERE doc_id NOT IN (SELECT doc_id FROM b2drop)""",
+}
 
 
 # ---------------------------------------------------------------------------

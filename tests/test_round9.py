@@ -782,21 +782,29 @@ def test_rotation_invariant_r9():
         window_r8 = set(json.load(f))
     uncovered = set(registry) - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
-    # rule (a): gates born this round lead the window
-    assert registry[:2] == [
+    # rule (a): gates born this round lead the window.  The probe and
+    # compaction gates (born late in r9) re-adjudicate the touched
+    # probe/upsert shared path and the roundtrip write path end to end
+    # — strictly stronger than the r8-green roundtrip gates they
+    # displace to the tail (coverage invariant above still holds:
+    # both displaced gates are in window_r8).
+    assert registry[:4] == [
         "media_index_av_roundtrip",
         "doc_similar_w2v_exact",
+        "dedup_index_probe",
+        "dedup_index_compaction",
     ]
+    assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r8
     # rule (b): the r8-named laggards follow immediately
-    assert set(registry[2:10]) == LAGGARDS_R8
-    # touched-path index gates re-adjudicated this round
-    assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r9
+    assert set(registry[4:12]) == LAGGARDS_R8
     # the named r10 laggards head the tail
     assert set(registry[50:62]) == LAGGARDS_R10
-    # both new gates carry exact oracles
+    # all four new gates carry exact oracles
     oracles = em.oracle_sql()
     assert "media_index_av_roundtrip" in oracles
     assert "doc_similar_w2v_exact" in oracles
+    assert "dedup_index_probe" in oracles
+    assert "dedup_index_compaction" in oracles
 
 
 # ---------------------------------------------------------------------------
@@ -848,3 +856,100 @@ def test_tune_micro_batch_shuffle_small_value_kept():
     s = _FakeSpark("16")
     tune_micro_batch_shuffle(s)
     assert s.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
+# ---------------------------------------------------------------------------
+# 7. precomputed-fingerprint media index (decode-free re-indexing)
+
+
+def test_media_index_precomputed_roundtrip(spark, tmp_path):
+    """method="precomputed": payload_col already holds the int64
+    fingerprint, so build/upsert/probe run the index engine with no
+    decode stage — the 100 TB re-banding path.  Same keep-min /
+    vs-index semantics as every other method."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "midx_pre")
+    b1 = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(10)] + [(20, 1003)],  # 20 dups 3
+        "media_id long, fp long",
+    )
+    n = im.build_media_index(
+        b1, path, payload_col="fp", method="precomputed", id_buckets=4
+    )
+    assert n == 10  # keep-min dropped id 20
+    assert im._load_params(path)["method"] == "precomputed"
+    b2 = spark.createDataFrame(
+        [
+            (100, 1007),  # dup of indexed id 7 -> dropped
+            (101, 5000),  # fresh
+            (102, 6000),  # fresh
+            (103, 6000),  # in-batch dup of 102 -> dropped (keep min)
+        ],
+        "media_id long, fp long",
+    )
+    surv = im.media_index_upsert(spark, b2, path, payload_col="fp")
+    assert surv == [101, 102]
+    idx = {
+        r["media_id"]: r["phash"]
+        for r in spark.read.parquet(path + "/hashes").collect()
+    }
+    assert set(idx) == set(range(10)) | {101, 102}
+    assert idx[101] == 5000
+
+
+def test_media_index_precomputed_equals_phash_index(spark, tmp_path):
+    """Feeding perceptual_hashes() output through a precomputed index
+    reproduces the phash index exactly — the contract that lets a
+    decode fleet run ahead of the index engine."""
+    from fastdb_spark.pipeline import incmedia as im
+    from fastdb_spark.pipeline.imagededup import perceptual_hashes
+
+    b1 = _media_df(spark, [(i, i, 0) for i in range(8)] + [(9, 3, 4)])
+    p_img = str(tmp_path / "by_img")
+    p_pre = str(tmp_path / "by_fp")
+    im.build_media_index(b1, p_img, id_buckets=4)
+    fps = perceptual_hashes(b1, "media_id", "payload", "phash")
+    im.build_media_index(
+        fps, p_pre, payload_col="phash", method="precomputed", id_buckets=4
+    )
+    a = {
+        (r["media_id"], r["phash"])
+        for r in spark.read.parquet(p_img + "/hashes").collect()
+    }
+    b = {
+        (r["media_id"], r["phash"])
+        for r in spark.read.parquet(p_pre + "/hashes").collect()
+    }
+    assert a == b and len(a) == 8  # brightness twin 9 dropped both ways
+
+
+def test_media_index_precomputed_probe_banded(spark, tmp_path):
+    """Banded (max_hamming>0) probe over a precomputed index: verdicts
+    follow hamming distance, and probe fresh == upsert survivors."""
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = str(tmp_path / "midx_pre_band")
+    b1 = spark.createDataFrame(
+        [(1, 0x0F0F0F0F), (2, 0x12345678)], "media_id long, fp long"
+    )
+    im.build_media_index(
+        b1, path, payload_col="fp", method="precomputed",
+        max_hamming=2, bands=8, id_buckets=4,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, 0x0F0F0F0E),  # hamming 1 from indexed 1 -> dup
+            (11, 0x0F0F00F0),  # hamming 8 -> fresh
+            (12, 0x0F0F00F1),  # hamming 1 from 11 -> in_batch_dup
+        ],
+        "media_id long, fp long",
+    )
+    verdicts = {
+        r["media_id"]: r["verdict"]
+        for r in im.media_index_probe(
+            spark, b2, path, payload_col="fp"
+        ).collect()
+    }
+    assert verdicts == {10: "dup", 11: "fresh", 12: "in_batch_dup"}
+    assert im.media_index_upsert(spark, b2, path, payload_col="fp") == [11]
