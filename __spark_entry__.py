@@ -2719,6 +2719,83 @@ def _q_image_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(media, max_hamming=3, bands=8)
 
 
+def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only classification for the MEDIA index under the exact
+    gate (born round 9) — and the driver adjudication of
+    ``method="precomputed"`` (decode-free re-indexing: the fingerprints
+    are literal int64 columns, so the oracle is plain arithmetic with no
+    codec in the loop).  Build indexes every ``doc_id % 3 == 0`` with
+    ``fp = doc_id`` (all unique — all survive); the probe batch is every
+    ``doc_id % 3 == 1`` with a planted verdict per residue class mod 15
+    (all of which are ≡ 1 mod 3, so the five classes partition the
+    batch):
+
+    - ``% 15 == 1``  -> ``fp = doc_id - 1`` (≡ 0 mod 3: indexed) -> dup
+    - ``% 15 ∈ {7, 13}`` -> ``fp = 10^9 + doc_id // 15`` — the 7 and 13
+      of one 15-block share a fingerprint that is NOT indexed: the 7
+      (min id) is fresh, the 13 is in_batch_dup (keep-min)
+    - ``% 15 ∈ {4, 10}`` -> ``fp = 2*10^9 + doc_id`` (unique) -> fresh
+
+    One verdict swapped anywhere — the vs-index representative probe,
+    the in-batch keep-min, the precedence between them — flips the
+    hash; the probe must also leave the index untouched (read-only
+    contract, mtime-asserted in tests for the text twin, shared
+    engine)."""
+    import shutil
+
+    from fastdb_spark.pipeline.incmedia import (
+        build_media_index,
+        media_index_probe,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incmedia_probe_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    b1 = docs.filter("doc_id % 3 = 0").select(
+        "doc_id", F.col("doc_id").alias("fp")
+    )
+    build_media_index(
+        b1, path, id_col="doc_id", payload_col="fp", method="precomputed"
+    )
+    b2 = docs.filter("doc_id % 3 = 1").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 15 == 1, F.col("doc_id") - 1)
+        .when(
+            (F.col("doc_id") % 15).isin(7, 13),
+            F.lit(1_000_000_000) + F.floor(F.col("doc_id") / 15),
+        )
+        .otherwise(F.lit(2_000_000_000) + F.col("doc_id"))
+        .cast("long")
+        .alias("fp"),
+    )
+    return media_index_probe(spark, b2, path, payload_col="fp").select(
+        "doc_id", "verdict"
+    )
+
+
+_MEDIA_PROBE_ORACLE = """
+    WITH b2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 15 = 1 THEN doc_id - 1
+                  WHEN doc_id % 15 IN (7, 13)
+                    THEN 1000000000 + (doc_id // 15)
+                  ELSE 2000000000 + doc_id END AS fp
+      FROM documents WHERE doc_id % 3 = 1),
+    idx AS (SELECT doc_id AS fp FROM documents WHERE doc_id % 3 = 0),
+    dup AS (SELECT doc_id FROM b2 WHERE fp IN (SELECT fp FROM idx)),
+    rest AS (SELECT * FROM b2
+             WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM rest GROUP BY fp)
+    SELECT doc_id, 'dup' AS verdict FROM dup
+    UNION ALL
+    SELECT doc_id, 'in_batch_dup' AS verdict FROM rest
+    WHERE doc_id NOT IN (SELECT doc_id FROM keep)
+    UNION ALL
+    SELECT doc_id, 'fresh' AS verdict FROM keep
+"""
+
+
 def _q_media_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted perceptual media index under the exact gate —
     build -> takedown -> upsert -> readback, every decision arithmetic:
@@ -3471,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
         "dedup_index_probe": _q_dedup_index_probe,
         "dedup_index_compaction": _q_dedup_index_compaction,
+        "media_index_probe": _q_media_index_probe,
         # the 8 r8-named laggards (rule b)
         "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
@@ -3502,7 +3580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_count": _q_versioned_count,
         "hot_ltcvs": _q_hot_ltcvs,
         "skewed_aggregate": _q_skewed_aggregate,
-        "rolling_fingerprint": _q_rolling_fingerprint,
         "corpus_quantiles": _q_corpus_quantiles,
         "corpus_rollup": _q_corpus_rollup,
         "vocab_topk": _q_vocab_topk,
@@ -3536,6 +3613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "sessionize": _q_sessionize,
         "broker_info": _q_broker_info,
+        # 13th laggard: displaced from the r9 window by the
+        # media_index_probe gate born this round (r7-green, pure
+        # deterministic function — lowest drift risk in the window)
+        "rolling_fingerprint": _q_rolling_fingerprint,
         # r8-window gates (driver-green in CORRECTNESS_r08) — the two
         # roundtrip index gates rotate here from the r9 window head,
         # displaced by the strictly-stronger probe/compaction gates
@@ -3908,6 +3989,7 @@ def oracle_sql() -> dict[str, str]:
         "timescale_functions": _timescale_oracle(),
         "dedup_index_roundtrip": po.incdedup_oracle_sql(),
         "dedup_index_probe": po.incdedup_oracle_sql(final="probe"),
+        "media_index_probe": _MEDIA_PROBE_ORACLE,
         # compaction is content-preserving by contract: same twin as the
         # roundtrip, read back AFTER the partition rewrite
         "dedup_index_compaction": po.incdedup_oracle_sql(),

@@ -760,6 +760,9 @@ LAGGARDS_R10 = {
     "union_distinct", "values_lookup", "anti_join", "sql_passthrough",
     "flux_to_mag", "keyword_search", "topk_per_group", "pricing_summary",
     "revenue_by_nation", "doc_stats", "sessionize", "broker_info",
+    # displaced from the r9 window by the born-this-round
+    # media_index_probe gate; r7-green, pure deterministic function
+    "rolling_fingerprint",
 }
 
 
@@ -788,23 +791,28 @@ def test_rotation_invariant_r9():
     # — strictly stronger than the r8-green roundtrip gates they
     # displace to the tail (coverage invariant above still holds:
     # both displaced gates are in window_r8).
-    assert registry[:4] == [
+    assert registry[:5] == [
         "media_index_av_roundtrip",
         "doc_similar_w2v_exact",
         "dedup_index_probe",
         "dedup_index_compaction",
+        "media_index_probe",
     ]
     assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r8
     # rule (b): the r8-named laggards follow immediately
-    assert set(registry[4:12]) == LAGGARDS_R8
+    assert set(registry[5:13]) == LAGGARDS_R8
     # the named r10 laggards head the tail
-    assert set(registry[50:62]) == LAGGARDS_R10
-    # all four new gates carry exact oracles
+    assert set(registry[50:63]) == LAGGARDS_R10
+    # all five new gates carry exact oracles
     oracles = em.oracle_sql()
-    assert "media_index_av_roundtrip" in oracles
-    assert "doc_similar_w2v_exact" in oracles
-    assert "dedup_index_probe" in oracles
-    assert "dedup_index_compaction" in oracles
+    for g in (
+        "media_index_av_roundtrip",
+        "doc_similar_w2v_exact",
+        "dedup_index_probe",
+        "dedup_index_compaction",
+        "media_index_probe",
+    ):
+        assert g in oracles
 
 
 # ---------------------------------------------------------------------------
