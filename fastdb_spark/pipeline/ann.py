@@ -400,6 +400,7 @@ def ivf_index_upsert(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_ids: bool = False,
 ) -> int:
     """Append a vector batch to an existing ``build_ivf_index`` layout
     WITHOUT retraining or a rebuild — the incremental-maintenance half of
@@ -413,7 +414,17 @@ def ivf_index_upsert(
     would see codes from mixed codebooks).  Concurrent upserts serialize
     on the index's write lock; callers supply new ids (idempotency via
     deterministic ids, same policy as the ingest path).  Returns the
-    number of rows appended."""
+    number of rows appended.
+
+    ``dedup_ids=True`` drops batch rows whose id is ALREADY stored
+    before appending — the at-least-once replay guard
+    :func:`stream_ivf_index` needs (a torn checkpoint re-delivers a
+    micro-batch; a bare append would double every vector in it, and
+    duplicated rows skew every top-k).  The check is partition-pruned:
+    cluster assignment is deterministic under the frozen centroids, so a
+    replayed row lands in the same ``cluster=N/`` partition it was
+    stored in, and the anti-join reads ONLY the batch's own clusters —
+    never the whole index."""
     import os
 
     from fastdb_spark.locks import table_write_lock
@@ -430,6 +441,21 @@ def ivf_index_upsert(
             F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
         )
         tagged = with_ivf_cluster(base, cents, vec_col)
+        if dedup_ids:
+            clusters = [
+                r["cluster"]
+                for r in tagged.select("cluster").distinct().collect()
+            ]  # bounded by n_clusters
+            stored = (
+                spark.read.parquet(os.path.join(path, "vectors"))
+                .filter(F.col("cluster").isin(clusters))  # partition-pruned
+                .select(id_col)
+            )
+            # sever lineage: the anti-join READS vectors/ and the append
+            # below WRITES it — the refreshByPath recomputation hazard
+            tagged = tagged.join(
+                stored, on=id_col, how="left_anti"
+            ).localCheckpoint(eager=True)
         if os.path.exists(os.path.join(path, "codebooks")):
             _, books, residual = _read_ivfpq_index(spark, path)
             if residual:
@@ -458,8 +484,11 @@ def ivf_index_upsert(
                 "payload columns before upserting"
             )
         # count the cheap projection, not `out` — counting the encoded
-        # frame would run the Arrow encode pass twice
-        n = base.count()
+        # frame would run the Arrow encode pass twice.  Under dedup_ids
+        # the count must be the SURVIVORS (tagged is checkpointed, so
+        # this is a local count, and `out` derives from the same
+        # checkpoint — no recompute)
+        n = tagged.count() if dedup_ids else base.count()
         out.write.partitionBy("cluster").mode("append").parquet(
             os.path.join(path, "vectors")
         )
@@ -614,6 +643,80 @@ def ivf_index_compact(
         min_files,
         part_col="cluster",
     )
+
+
+def stream_ivf_index(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_type: str = "array<float>",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_min_files: int = 8,
+):
+    """Structured-Streaming vector ingest into the persisted IVF(-PQ)
+    index — the third index family's stream, completing the set
+    (``incdedup.stream_dedup_index``, ``incmedia.stream_media_index``):
+    ``readStream`` over a parquet file source of ``(id, vector)`` rows,
+    ``foreachBatch`` applying :func:`ivf_index_upsert` per micro-batch
+    under the index write lock.  The checkpoint gives exactly-once over
+    the transport; re-delivery of a torn micro-batch is absorbed by the
+    upsert's ``dedup_ids`` guard (partition-pruned id anti-join — the
+    text/media streams absorb replays by content fingerprint, vectors
+    by id), so at-least-once delivery leaves the index unchanged.
+    Quantizers stay frozen: every micro-batch is assigned and encoded
+    with the index's stored centroids/codebooks, never retrained.
+
+    The index must already exist (``build_ivf_index`` on the seed
+    corpus).  ``vec_type`` is the stored element type of the incoming
+    vector column (file-source streams need an explicit schema).
+    ``compact_every=N`` runs :func:`ivf_index_compact` after every Nth
+    micro-batch — each upsert appends one part file per touched cluster
+    partition, so a long-running stream otherwise fragments the index
+    without bound (same discipline as the other two index streams).
+    Returns the started ``StreamingQuery``."""
+    import os
+
+    if not os.path.exists(os.path.join(index_path, "centroids")):
+        raise ValueError(
+            f"no IVF index at {index_path}; build_ivf_index first"
+        )
+
+    # micro-batches are batch-sized, not table-sized ('auto'-safe
+    # shared helper, ADVICE r8)
+    from fastdb_spark.session import tune_micro_batch_shuffle
+
+    tune_micro_batch_shuffle(spark)
+
+    n_batches = {"n": 0}
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_index_upsert(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            dedup_ids=True,
+        )
+        n_batches["n"] += 1
+        if compact_every and n_batches["n"] % compact_every == 0:
+            ivf_index_compact(spark, index_path, min_files=compact_min_files)
+
+    reader = spark.readStream.schema(f"{id_col} long, {vec_col} {vec_type}")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(vectors_path)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
 
 
 def _adc_score(

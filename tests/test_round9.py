@@ -961,3 +961,118 @@ def test_media_index_precomputed_probe_banded(spark, tmp_path):
     }
     assert verdicts == {10: "dup", 11: "fresh", 12: "in_batch_dup"}
     assert im.media_index_upsert(spark, b2, path, payload_col="fp") == [11]
+
+
+# ---------------------------------------------------------------------------
+# 8. IVF index streaming ingest (third index family's stream) + replay guard
+
+
+def _vec_df(spark, ids, dim=8):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i,) for i in ids], "vec_id long"
+    ).select(
+        "vec_id",
+        F.array(
+            *[
+                ((F.col("vec_id") * 31 + j * 7) % 13).cast("double")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_ivf_upsert_dedup_ids_absorbs_replay(spark, tmp_path):
+    """dedup_ids=True: re-upserting the same batch (the torn-checkpoint
+    re-delivery) appends nothing — membership and row COUNT unchanged
+    (a bare append would double every vector and skew every top-k)."""
+    import os
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_upsert
+
+    path = str(tmp_path / "ivfidx")
+    build_ivf_index(_vec_df(spark, range(40)), path, n_clusters=4)
+    batch = _vec_df(spark, range(100, 110))
+    assert ivf_index_upsert(batch, path, dedup_ids=True) == 10
+    assert ivf_index_upsert(batch, path, dedup_ids=True) == 0  # replay
+    rows = spark.read.parquet(os.path.join(path, "vectors")).collect()
+    assert len(rows) == 50  # no duplicated rows
+    assert {r["vec_id"] for r in rows} == set(range(40)) | set(
+        range(100, 110)
+    )
+
+
+def test_ivf_upsert_dedup_ids_partial_overlap(spark, tmp_path):
+    """A batch mixing stored and fresh ids appends exactly the fresh
+    ones (the guard is per-row, not per-batch)."""
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_upsert
+
+    path = str(tmp_path / "ivfidx2")
+    build_ivf_index(_vec_df(spark, range(20)), path, n_clusters=4)
+    n = ivf_index_upsert(
+        _vec_df(spark, [5, 15, 200, 201]), path, dedup_ids=True
+    )
+    assert n == 2
+
+
+def test_stream_ivf_index_end_to_end_with_compaction(spark, tmp_path):
+    """Streamed micro-batches land in the index (assigned under the
+    frozen centroids), a second stream over the same files is a no-op
+    (checkpoint + dedup_ids), and periodic compaction bounds the
+    per-cluster file count."""
+    import glob
+    import os
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, stream_ivf_index
+
+    path = str(tmp_path / "sivf")
+    build_ivf_index(_vec_df(spark, range(30)), path, n_clusters=4)
+    src = str(tmp_path / "vec_in")
+    os.makedirs(src)
+    for k in range(6):
+        _vec_df(spark, [100 + k]).coalesce(1).write.mode("append").parquet(
+            src
+        )
+    q = stream_ivf_index(
+        spark,
+        src,
+        path,
+        str(tmp_path / "ckpt"),
+        vec_type="array<double>",
+        max_files_per_trigger=1,
+        compact_every=2,
+        compact_min_files=1,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
+    }
+    assert got == set(range(30)) | {100 + k for k in range(6)}
+    for cdir in glob.glob(os.path.join(path, "vectors", "cluster=*")):
+        files = [f for f in os.listdir(cdir) if f.startswith("part-")]
+        assert len(files) <= 3, (cdir, files)
+    # a fresh stream over the SAME source dir: dedup_ids absorbs it
+    q2 = stream_ivf_index(
+        spark,
+        src,
+        path,
+        str(tmp_path / "ckpt2"),
+        vec_type="array<double>",
+    )
+    q2.awaitTermination(300)
+    rows = spark.read.parquet(os.path.join(path, "vectors")).collect()
+    assert len(rows) == 36  # unchanged — no duplicated vectors
+
+
+def test_stream_ivf_index_requires_built_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from fastdb_spark.pipeline.ann import stream_ivf_index
+
+    with _pytest.raises(ValueError, match="build_ivf_index first"):
+        stream_ivf_index(
+            spark, str(tmp_path / "nope_in"), str(tmp_path / "nope_idx"),
+            str(tmp_path / "ckpt"),
+        )
