@@ -2721,26 +2721,35 @@ def _q_image_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only classification for the MEDIA index under the exact
-    gate (born round 9) — and the driver adjudication of
-    ``method="precomputed"`` (decode-free re-indexing: the fingerprints
-    are literal int64 columns, so the oracle is plain arithmetic with no
-    codec in the loop).  Build indexes every ``doc_id % 3 == 0`` with
-    ``fp = doc_id`` (all unique — all survive); the probe batch is every
-    ``doc_id % 3 == 1`` with a planted verdict per residue class mod 15
-    (all of which are ≡ 1 mod 3, so the five classes partition the
-    batch):
+    gate, through the BANDED (``max_hamming=2, bands=8``) leg — the one
+    index path with no prior driver row — and simultaneously the driver
+    adjudication of ``method="precomputed"`` (decode-free re-indexing:
+    fingerprints are literal int64 arithmetic, no codec in the loop).
 
-    - ``% 15 == 1``  -> ``fp = doc_id - 1`` (≡ 0 mod 3: indexed) -> dup
-    - ``% 15 ∈ {7, 13}`` -> ``fp = 10^9 + doc_id // 15`` — the 7 and 13
-      of one 15-block share a fingerprint that is NOT indexed: the 7
-      (min id) is fresh, the 13 is in_batch_dup (keep-min)
-    - ``% 15 ∈ {4, 10}`` -> ``fp = 2*10^9 + doc_id`` (unique) -> fresh
+    Why a plain-SQL twin is exact here: with 8 disjoint 8-bit bands over
+    the 64-bit hash and a hamming budget of 2, a within-threshold pair
+    differs in at most 2 bands, so at least one band matches (pigeonhole)
+    — banding is LOSSLESS and ground truth is just
+    ``bit_count(xor(a, b)) <= 2`` over all pairs.  The gate therefore
+    adjudicates the whole banded machinery (band derivation, bucket
+    join, refine, keep-min precedence) against the arithmetic
+    definition.
 
-    One verdict swapped anywhere — the vs-index representative probe,
-    the in-batch keep-min, the precedence between them — flips the
-    hash; the probe must also leave the index untouched (read-only
-    contract, mtime-asserted in tests for the text twin, shared
-    engine)."""
+    Construction (``mix(x) = x * 2654435761 mod 2^32``, a Knuth
+    multiplicative mix both engines evaluate in int64):
+
+    - index = ``doc_id % 3 == 0`` with ``fp = mix(doc_id)`` (the build's
+      own in-batch banded dedup may drop accidental near pairs — the
+      oracle replays that);
+    - probe batch = ``doc_id % 3 == 1``, planted per residue mod 15:
+      ``1`` -> xor 5 off an indexed fp (hamming 2 -> dup),
+      ``4`` -> xor 21 off an indexed fp (hamming 3 -> just OUTSIDE the
+      threshold — the refine boundary), ``7``/``13`` -> a shared fresh
+      fp, the 13 xor 1 (hamming 1 in-batch pair: 7 fresh, 13
+      in_batch_dup), else a fresh unique fp.
+
+    Uncapped (``max_bucket_size=None``) for exact pair semantics; the
+    probe leaves the index untouched (read-only contract)."""
     import shutil
 
     from fastdb_spark.pipeline.incmedia import (
@@ -2752,47 +2761,82 @@ def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     path = _scratch("fastdb_incmedia_probe_gate", tag)
     shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+
+    def mix(col):
+        return (col * F.lit(2654435761)) % F.lit(4294967296)
+
     b1 = docs.filter("doc_id % 3 = 0").select(
-        "doc_id", F.col("doc_id").alias("fp")
+        "doc_id", mix(F.col("doc_id")).cast("long").alias("fp")
     )
     build_media_index(
-        b1, path, id_col="doc_id", payload_col="fp", method="precomputed"
+        b1,
+        path,
+        id_col="doc_id",
+        payload_col="fp",
+        method="precomputed",
+        max_hamming=2,
+        bands=8,
+        max_bucket_size=None,
     )
+    d = F.col("doc_id")
     b2 = docs.filter("doc_id % 3 = 1").select(
         "doc_id",
-        F.when(F.col("doc_id") % 15 == 1, F.col("doc_id") - 1)
+        F.when(d % 15 == 1, mix(d - 1).bitwiseXOR(F.lit(5)))
+        .when(d % 15 == 4, mix(d - 1).bitwiseXOR(F.lit(21)))
+        .when(d % 15 == 7, mix(F.lit(1_000_000_000) + F.floor(d / 15)))
         .when(
-            (F.col("doc_id") % 15).isin(7, 13),
-            F.lit(1_000_000_000) + F.floor(F.col("doc_id") / 15),
+            d % 15 == 13,
+            mix(F.lit(1_000_000_000) + F.floor(d / 15)).bitwiseXOR(F.lit(1)),
         )
-        .otherwise(F.lit(2_000_000_000) + F.col("doc_id"))
+        .otherwise(mix(F.lit(2_000_000_000) + d))
         .cast("long")
         .alias("fp"),
     )
-    return media_index_probe(spark, b2, path, payload_col="fp").select(
-        "doc_id", "verdict"
-    )
+    return media_index_probe(
+        spark, b2, path, payload_col="fp", max_bucket_size=None
+    ).select("doc_id", "verdict")
 
 
+# ground truth for the banded probe: hamming <= 2 over all pairs (see
+# the gate docstring for why banding is lossless at bands=8, h=2)
 _MEDIA_PROBE_ORACLE = """
-    WITH b2 AS (
+    WITH idx0 AS MATERIALIZED (
+      SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS fp
+      FROM documents WHERE doc_id % 3 = 0),
+    idxdrop AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id FROM idx0 a JOIN idx0 b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 2),
+    idx AS MATERIALIZED (SELECT * FROM idx0
+      WHERE doc_id NOT IN (SELECT doc_id FROM idxdrop)),
+    b2 AS MATERIALIZED (
       SELECT doc_id,
-             CASE WHEN doc_id % 15 = 1 THEN doc_id - 1
-                  WHEN doc_id % 15 IN (7, 13)
-                    THEN 1000000000 + (doc_id // 15)
-                  ELSE 2000000000 + doc_id END AS fp
+        CASE
+          WHEN doc_id % 15 = 1
+            THEN xor(((doc_id - 1) * 2654435761) % 4294967296, 5)
+          WHEN doc_id % 15 = 4
+            THEN xor(((doc_id - 1) * 2654435761) % 4294967296, 21)
+          WHEN doc_id % 15 = 7
+            THEN ((1000000000 + doc_id // 15) * 2654435761) % 4294967296
+          WHEN doc_id % 15 = 13
+            THEN xor(((1000000000 + doc_id // 15) * 2654435761)
+                     % 4294967296, 1)
+          ELSE ((2000000000 + doc_id) * 2654435761) % 4294967296
+        END AS fp
       FROM documents WHERE doc_id % 3 = 1),
-    idx AS (SELECT doc_id AS fp FROM documents WHERE doc_id % 3 = 0),
-    dup AS (SELECT doc_id FROM b2 WHERE fp IN (SELECT fp FROM idx)),
-    rest AS (SELECT * FROM b2
-             WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
-    keep AS (SELECT fp, min(doc_id) AS doc_id FROM rest GROUP BY fp)
+    dup AS MATERIALIZED (
+      SELECT DISTINCT b2.doc_id FROM b2 JOIN idx
+        ON bit_count(xor(b2.fp, idx.fp)) <= 2),
+    rest AS MATERIALIZED (SELECT * FROM b2
+      WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+    ibd AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id FROM rest a JOIN rest b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 2)
     SELECT doc_id, 'dup' AS verdict FROM dup
     UNION ALL
-    SELECT doc_id, 'in_batch_dup' AS verdict FROM rest
-    WHERE doc_id NOT IN (SELECT doc_id FROM keep)
+    SELECT doc_id, 'in_batch_dup' AS verdict FROM ibd
     UNION ALL
-    SELECT doc_id, 'fresh' AS verdict FROM keep
+    SELECT doc_id, 'fresh' AS verdict FROM rest
+    WHERE doc_id NOT IN (SELECT doc_id FROM ibd)
 """
 
 
