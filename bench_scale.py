@@ -773,6 +773,63 @@ def bench_media_index(spark) -> dict:
     return out
 
 
+def bench_ivf_guard(spark) -> dict:
+    """Scale row for the IVF replay guard (round 9): price
+    ``ivf_index_upsert(dedup_ids=True)`` against the bare append at a
+    1M-vector index.  The guard's stored-ids read is partition-pruned to
+    the batch's own clusters, so its cost should track the touched
+    fraction, not the index size; a 50k batch over seeded synthetic
+    vectors touches most of 64 clusters (worst case for pruning) and the
+    delta is the honest upper bound on what a stream pays per
+    micro-batch for replay safety."""
+    import tempfile
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_upsert
+
+    n = int(os.environ.get("SCALE_IVF_GUARD_N", 1_000_000))
+    dim = 16
+    out = {"ivf_guard_n": n, "ivf_guard_dim": dim}
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * 31 + j * 7) % 97).cast("double")
+                    for j in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+
+    path = tempfile.mkdtemp(prefix="fastdb_ivf_guard_")
+    try:
+        t0 = time.perf_counter()
+        build_ivf_index(vecs(0, n), path, n_clusters=64, strategy="seed")
+        out["build_s"] = round(time.perf_counter() - t0, 2)
+        # two disjoint fresh batches per mode (min-of-2; appends mutate)
+        base = n
+        for mode, flag in (("bare", False), ("guarded", True)):
+            times = []
+            for k in range(2):
+                b = vecs(base, base + 50_000)
+                base += 50_000
+                t0 = time.perf_counter()
+                ivf_index_upsert(b, path, dedup_ids=flag)
+                times.append(round(time.perf_counter() - t0, 2))
+            out[f"upsert_50k_{mode}_s"] = min(times)
+            out[f"upsert_50k_{mode}_trials"] = times
+        # the replay itself: re-upsert the last batch guarded — must
+        # append nothing
+        replay = vecs(base - 50_000, base)
+        t0 = time.perf_counter()
+        appended = ivf_index_upsert(replay, path, dedup_ids=True)
+        out["replay_50k_s"] = round(time.perf_counter() - t0, 2)
+        out["replay_50k_appended"] = appended
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -808,6 +865,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_MEDIA_INDEX_ONLY", "0") == "1":
         out["media_index"] = bench_media_index(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_IVF_GUARD_ONLY", "0") == "1":
+        out["ivf_guard"] = bench_ivf_guard(spark)
         print(json.dumps(out))
         return
 

@@ -395,6 +395,24 @@ def build_ivf_index(
     )
 
 
+def _stored_ids_for_clusters(
+    spark: SparkSession, path: str, clusters: list, id_col: str
+) -> DataFrame:
+    """The ids already stored in the given ``cluster=N/`` partitions —
+    the read side of :func:`ivf_index_upsert`'s ``dedup_ids`` replay
+    guard.  The ``isin`` filter lands in the scan's PartitionFilters
+    (plan-audited in tests/test_round9.py): at a 100 TB index the guard
+    reads only the batch's own clusters and only the id column, never
+    the whole table."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("cluster").isin(clusters))  # partition-pruned
+        .select(id_col)
+    )
+
+
 def ivf_index_upsert(
     new_vectors: DataFrame,
     path: str,
@@ -446,11 +464,7 @@ def ivf_index_upsert(
                 r["cluster"]
                 for r in tagged.select("cluster").distinct().collect()
             ]  # bounded by n_clusters
-            stored = (
-                spark.read.parquet(os.path.join(path, "vectors"))
-                .filter(F.col("cluster").isin(clusters))  # partition-pruned
-                .select(id_col)
-            )
+            stored = _stored_ids_for_clusters(spark, path, clusters, id_col)
             # sever lineage: the anti-join READS vectors/ and the append
             # below WRITES it — the refreshByPath recomputation hazard
             tagged = tagged.join(

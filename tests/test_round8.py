@@ -376,7 +376,14 @@ def test_rotation_invariant():
         window_r8 = set(json.load(f))
     with open(os.path.join(root, "CORRECTNESS_r07.json")) as f:
         window_r7 = set(json.load(f))
-    born_r9 = {"media_index_av_roundtrip", "doc_similar_w2v_exact"}
+    born_r9 = {
+        "media_index_av_roundtrip",
+        "doc_similar_w2v_exact",
+        # born late in round 9 (probe/compaction adjudication wave)
+        "dedup_index_probe",
+        "dedup_index_compaction",
+        "media_index_probe",
+    }
     registry_r8 = set(em.queries()) - born_r9
     uncovered = registry_r8 - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8

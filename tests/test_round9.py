@@ -1076,3 +1076,23 @@ def test_stream_ivf_index_requires_built_index(spark, tmp_path):
             spark, str(tmp_path / "nope_in"), str(tmp_path / "nope_idx"),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_ivf_dedup_guard_read_is_partition_pruned(spark, tmp_path):
+    """The replay guard's stored-ids read must prune to the batch's own
+    cluster partitions (PartitionFilters on cluster) and project only
+    the id column (ReadSchema) — at 100 TB the guard never scans the
+    whole vectors table."""
+    from fastdb_spark.pipeline.ann import (
+        _stored_ids_for_clusters,
+        build_ivf_index,
+    )
+
+    path = str(tmp_path / "pivf")
+    build_ivf_index(_vec_df(spark, range(40)), path, n_clusters=4)
+    stored = _stored_ids_for_clusters(spark, path, [0, 2], "vec_id")
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    assert "struct<vec_id:bigint>" in plan.replace(" ", ""), plan
