@@ -2735,8 +2735,13 @@ def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, refine, keep-min precedence) against the arithmetic
     definition.
 
-    Construction (``mix(x) = x * 2654435761 mod 2^32``, a Knuth
-    multiplicative mix both engines evaluate in int64):
+    Construction (``mix(x) = (x*2654435761 mod 2^32) +
+    (x*98765431 mod (2^31-1)) * 2^32`` — two multiplicative mixes
+    packed into the low/high halves, spreading fingerprints over 63
+    bits while every intermediate stays inside int64 for BOTH engines;
+    a single 32-bit mix left the top four 8-bit bands all-zero, making
+    every fingerprint a band-candidate of every other — an 11M-pair
+    refine at sf0.1, 17.7 s of pure degenerate-band tax):
 
     - index = ``doc_id % 3 == 0`` with ``fp = mix(doc_id)`` (the build's
       own in-batch banded dedup may drop accidental near pairs — the
@@ -2763,7 +2768,9 @@ def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
 
     def mix(col):
-        return (col * F.lit(2654435761)) % F.lit(4294967296)
+        lo = (col * F.lit(2654435761)) % F.lit(4294967296)
+        hi = (col * F.lit(98765431)) % F.lit(2147483647)
+        return lo + hi * F.lit(4294967296)
 
     b1 = docs.filter("doc_id % 3 = 0").select(
         "doc_id", mix(F.col("doc_id")).cast("long").alias("fp")
@@ -2797,11 +2804,20 @@ def _q_media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "verdict")
 
 
+def _mix_sql(x: str) -> str:
+    """The gate's 63-bit fingerprint mix, duckdb spelling (see the
+    ``_q_media_index_probe`` docstring)."""
+    return (
+        f"((({x}) * 2654435761) % 4294967296"
+        f" + ((({x}) * 98765431) % 2147483647) * 4294967296)"
+    )
+
+
 # ground truth for the banded probe: hamming <= 2 over all pairs (see
 # the gate docstring for why banding is lossless at bands=8, h=2)
-_MEDIA_PROBE_ORACLE = """
+_MEDIA_PROBE_ORACLE = f"""
     WITH idx0 AS MATERIALIZED (
-      SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS fp
+      SELECT doc_id, {_mix_sql('doc_id')} AS fp
       FROM documents WHERE doc_id % 3 = 0),
     idxdrop AS MATERIALIZED (
       SELECT DISTINCT b.doc_id FROM idx0 a JOIN idx0 b
@@ -2812,15 +2828,14 @@ _MEDIA_PROBE_ORACLE = """
       SELECT doc_id,
         CASE
           WHEN doc_id % 15 = 1
-            THEN xor(((doc_id - 1) * 2654435761) % 4294967296, 5)
+            THEN xor({_mix_sql('doc_id - 1')}, 5)
           WHEN doc_id % 15 = 4
-            THEN xor(((doc_id - 1) * 2654435761) % 4294967296, 21)
+            THEN xor({_mix_sql('doc_id - 1')}, 21)
           WHEN doc_id % 15 = 7
-            THEN ((1000000000 + doc_id // 15) * 2654435761) % 4294967296
+            THEN {_mix_sql('1000000000 + doc_id // 15')}
           WHEN doc_id % 15 = 13
-            THEN xor(((1000000000 + doc_id // 15) * 2654435761)
-                     % 4294967296, 1)
-          ELSE ((2000000000 + doc_id) * 2654435761) % 4294967296
+            THEN xor({_mix_sql('1000000000 + doc_id // 15')}, 1)
+          ELSE {_mix_sql('2000000000 + doc_id')}
         END AS fp
       FROM documents WHERE doc_id % 3 = 1),
     dup AS MATERIALIZED (
