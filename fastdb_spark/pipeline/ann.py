@@ -659,6 +659,79 @@ def ivf_index_compact(
     )
 
 
+def ivf_index_stats(
+    spark: SparkSession,
+    path: str,
+    vec_col: str = "embedding",
+    with_drift: bool = True,
+) -> DataFrame:
+    """Operational health report for a persisted IVF index — the
+    "when to retrain" signal the frozen-quantizer model needs (FAISS
+    practice: quantizers never mutate per batch; drift is handled by
+    periodic retrain, and THIS is how an operator notices it's due).
+    Returns one row per cluster:
+
+    - ``n_rows`` — fill count.  A long-lived index whose upserts skew
+      into a few clusters degrades nprobe pruning (a probe of the hot
+      cluster scans a growing fraction of the corpus);
+      ``max/mean n_rows`` is the skew headline.
+    - ``mean_dist`` (``with_drift=True``) — mean Euclidean distance of
+      stored vectors to their own centroid.  Rising distance vs the
+      build-time value means the data moved under the frozen centroids
+      (assignment is still consistent — every batch uses the same
+      quantizer — but the partitions are getting baggy and recall at a
+      given nprobe decays).
+
+    One partition-parallel aggregate over the vectors table (the
+    centroid map rides as a broadcast literal); no driver loops, no
+    mutation, no lock — safe to run against a live index."""
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    if not with_drift or vec_col not in vecs.columns:
+        return (
+            vecs.groupBy("cluster")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("cluster")
+        )
+    # centroid as an inline array literal per cluster: CASE on the
+    # partition column folds to a constant per partition under
+    # whole-stage codegen — no join, no shuffle beyond the final agg
+    cent_expr = None
+    for r in cents_rows:
+        arr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+        cond = F.col("cluster") == int(r["cluster"])
+        cent_expr = (
+            F.when(cond, arr) if cent_expr is None
+            else cent_expr.when(cond, arr)
+        )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                as_double_array(F.col(vec_col)),
+                cent_expr,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        vecs.withColumn("_d", dist)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg("_d"), 6).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def stream_ivf_index(
     spark: SparkSession,
     vectors_path: str,

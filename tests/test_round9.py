@@ -1096,3 +1096,115 @@ def test_ivf_dedup_guard_read_is_partition_pruned(spark, tmp_path):
         "PartitionFilters", 1
     )[1].split("]", 1)[0], plan
     assert "struct<vec_id:bigint>" in plan.replace(" ", ""), plan
+
+
+# ---------------------------------------------------------------------------
+# 9. property test: precomputed media probe == pandas ground truth
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_FPS = st.integers(-(2**63), 2**63 - 1)
+_IDX_ROWS = st.lists(_FPS, min_size=1, max_size=12)
+_BATCH_ROWS = st.lists(_FPS, min_size=1, max_size=12)
+
+
+@given(idx_fps=_IDX_ROWS, batch_fps=_BATCH_ROWS)
+@hyp_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_media_probe_precomputed_matches_ground_truth(
+    spark, idx_fps, batch_fps
+):
+    """Random int64 fingerprints (full range, negatives included — real
+    64-bit hashes are signed in both engines): the hamming-0 probe's
+    verdicts equal the pandas ground truth, the fresh set equals the
+    upsert's survivors, and the post-upsert membership is index plus
+    fresh.  Ids are disjoint by construction (index 0.., batch 1000..)."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.pipeline import incmedia as im
+
+    path = tempfile.mkdtemp(prefix="fastdb_prop_midx_")
+    try:
+        b1 = spark.createDataFrame(
+            [(i, f) for i, f in enumerate(idx_fps)],
+            "media_id long, fp long",
+        )
+        im.build_media_index(
+            b1, path, payload_col="fp", method="precomputed", id_buckets=4
+        )
+        # ground truth: index survivors = keep-min per fingerprint
+        surv_fp = {}
+        for i, f in enumerate(idx_fps):
+            surv_fp.setdefault(f, i)
+        batch = [(1000 + j, f) for j, f in enumerate(batch_fps)]
+        expected = {}
+        seen_batch_fp = {}
+        for bid, f in batch:
+            if f in surv_fp:
+                expected[bid] = "dup"
+            elif f in seen_batch_fp:
+                expected[bid] = "in_batch_dup"
+            else:
+                seen_batch_fp[f] = bid
+                expected[bid] = "fresh"
+        b2 = spark.createDataFrame(batch, "media_id long, fp long")
+        got = {
+            r["media_id"]: r["verdict"]
+            for r in im.media_index_probe(
+                spark, b2, path, payload_col="fp"
+            ).collect()
+        }
+        assert got == expected
+        fresh = sorted(b for b, v in expected.items() if v == "fresh")
+        assert im.media_index_upsert(spark, b2, path, payload_col="fp") == fresh
+        import os
+
+        stored = {
+            r["media_id"]
+            for r in spark.read.parquet(os.path.join(path, "hashes")).collect()
+        }
+        assert stored == set(surv_fp.values()) | set(fresh)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_index_stats_counts_and_drift(spark, tmp_path):
+    """Fill counts match the stored layout; mean centroid distance is
+    near zero for vectors AT their centroid and grows when a drifted
+    batch is upserted — the retrain signal."""
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivf_index_stats,
+        ivf_index_upsert,
+    )
+
+    path = str(tmp_path / "sividx")
+    build_ivf_index(_vec_df(spark, range(40)), path, n_clusters=4)
+    s0 = {r["cluster"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert sum(r["n_rows"] for r in s0.values()) == 40
+    assert all(r["mean_dist"] >= 0 for r in s0.values())
+    # a drifted batch: same assignment space, vectors offset by +50 on
+    # every component -> distances to the frozen centroids jump
+    drifted = _vec_df(spark, range(100, 140)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias(
+            "embedding"
+        ),
+    )
+    ivf_index_upsert(drifted, path)
+    s1 = {r["cluster"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert sum(r["n_rows"] for r in s1.values()) == 80
+    assert max(r["mean_dist"] for r in s1.values()) > max(
+        r["mean_dist"] for r in s0.values()
+    )
+    # counts-only mode works without the vector column math
+    s2 = ivf_index_stats(spark, path, with_drift=False)
+    assert s2.columns == ["cluster", "n_rows"]
