@@ -721,6 +721,30 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(neardup_embs(embs))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): frozen-
+    centroid assignment, within-cluster cosine epsilon graph (one Arrow
+    GEMM per cluster — the production path), transitive closure, and
+    the paper's farthest-from-centroid keeper election.  Corpus is the
+    clustered derivation at spread 0.8 (within-cluster cosines straddle
+    eps=0.92: ~370 groups of size 1-20 at sf0.01, with multi-hop chains
+    that make the closure non-trivial); centroids are the 25 generating
+    centers as frozen literals, so the oracle reproduces the quantizer
+    exactly."""
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.corpus import clustered_embs
+    from fastdb_spark.pipeline.semdedup import semantic_dedup
+
+    embs = Catalog(spark, sf_dir).table("embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    corpus = clustered_embs(embs, spread=0.8)
+    centroids = [_hyperplane(1000 + c, 64) for c in range(25)]
+    return semantic_dedup(
+        corpus, centroids, eps=0.92, keep="farthest", strategy="gemm"
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the vec_id=0 query vector."""
     from fastdb_spark.pipeline.ann import cosine_topk
@@ -3586,21 +3610,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sits in round N's window head, and (b) the named stable laggards
     # LEAD the next round's window.
     #
-    # ROUND-9 WINDOW: the four gates born this round
+    # ROUND-9 WINDOW: the six gates born this round
     # (media_index_av_roundtrip, doc_similar_w2v_exact,
-    # dedup_index_probe, dedup_index_compaction — the last two
-    # re-adjudicate the touched probe/upsert shared path and the
-    # roundtrip write path end to end, strictly stronger than the
-    # r8-green roundtrip gates they displace to the tail), the 8
-    # r8-named laggards (rule b, VERDICT r8 #1), then the 38
-    # oldest-evidence r7 gates.  NAMED LAGGARDS for
+    # dedup_index_probe, dedup_index_compaction, media_index_probe,
+    # semantic_dedup — probe/compaction re-adjudicate the touched
+    # probe/upsert shared path and the roundtrip write path end to end,
+    # strictly stronger than the r8-green roundtrip gates they displace
+    # to the tail), the 8 r8-named laggards (rule b, VERDICT r8 #1),
+    # then the oldest-evidence r7 gates.  NAMED LAGGARDS for
     # r10 (r7-green, untouched, parity-run every session; they lead the
     # r10 window): union_distinct, values_lookup, anti_join,
     # sql_passthrough, flux_to_mag, keyword_search, topk_per_group,
     # pricing_summary, revenue_by_nation, doc_stats, sessionize,
-    # broker_info.  tests/test_round9.py::test_rotation_invariant_r9
-    # asserts the r8 union r9 windows cover everything except exactly
-    # that set.
+    # broker_info, rolling_fingerprint, vocab_topk.
+    # tests/test_round9.py::test_rotation_invariant_r9 asserts the r8
+    # union r9 windows cover everything except exactly that set.
     return {
         # --- round-9 window (first 50) ------------------------------
         "media_index_av_roundtrip": _q_media_index_av_roundtrip,
@@ -3608,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_probe": _q_dedup_index_probe,
         "dedup_index_compaction": _q_dedup_index_compaction,
         "media_index_probe": _q_media_index_probe,
+        "semantic_dedup": _q_semantic_dedup,
         # the 8 r8-named laggards (rule b)
         "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
@@ -3641,7 +3666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_aggregate": _q_skewed_aggregate,
         "corpus_quantiles": _q_corpus_quantiles,
         "corpus_rollup": _q_corpus_rollup,
-        "vocab_topk": _q_vocab_topk,
         "pii_redaction": _q_pii_redaction,
         "bm25_search": _q_bm25_search,
         "multimodal_codec_roundtrip": _q_multimodal_codec,
@@ -3676,6 +3700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_index_probe gate born this round (r7-green, pure
         # deterministic function — lowest drift risk in the window)
         "rolling_fingerprint": _q_rolling_fingerprint,
+        # 14th laggard: displaced from the r9 window by the
+        # semantic_dedup gate born this round (r7-green, pure token
+        # histogram — lowest drift risk in the remaining window)
+        "vocab_topk": _q_vocab_topk,
         # r8-window gates (driver-green in CORRECTNESS_r08) — the two
         # roundtrip index gates rotate here from the r9 window head,
         # displaced by the strictly-stronger probe/compaction gates
@@ -4590,6 +4618,10 @@ def oracle_sql() -> dict[str, str]:
         # parameters, exact-equal at exhaustive ones
         "ann_exhaustive_exact": po.ann_exhaustive_sql(_ANN_EXHAUSTIVE_METHODS),
         "ann_batch_topk": po.ann_batch_topk_sql(),
+        # SemDeDup (born r9): frozen literal centroids, so the oracle
+        # replays assignment + epsilon graph + recursive-CTE closure +
+        # keeper election exactly (pipeline/oracles.py:semdedup_sql)
+        "semantic_dedup": po.semdedup_sql(),
         "decontaminate": _decontam_oracle(),
         "bm25_search": _bm25_oracle(),
         # ann_lsh_topk: approximate by design -> rows-only check

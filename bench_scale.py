@@ -830,6 +830,91 @@ def bench_ivf_guard(spark) -> dict:
     return out
 
 
+def bench_semdedup(spark) -> dict:
+    """Scale row for SemDeDup (round 9): 1M vectors, 256 frozen
+    clusters (~3.9k members each — the paper's cluster-size regime), a
+    planted 2% twin fraction, full assignment -> per-cluster GEMM ->
+    transitive closure -> keeper election.  Also prices the degenerate
+    case the guard exists for: one corpus where every vector lands in
+    ONE cluster (a 1M-member GEMM task would be 10^12 cosines / a
+    multi-TB score matrix) — the guard skips it in one window pass and
+    audits the skip."""
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.semdedup import (
+        LAST_SEMDEDUP_AUDIT,
+        semantic_dedup,
+        semantic_pairs,
+    )
+
+    n = int(os.environ.get("SCALE_SEMDEDUP_N", 1_000_000))
+    dim, k = 32, 256
+    out = {"semdedup_n": n, "semdedup_dim": dim, "semdedup_k": k}
+    cents = [_hyperplane(5000 + c, dim) for c in range(k)]
+    carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])
+    own = F.element_at(carr, (F.pmod(F.col("base"), F.lit(k)) + 1).cast("int"))
+
+    # base vector: own center + deterministic noise; ids with id%50==1
+    # are near-twins of id-1 (tiny extra perturbation) -> ~2% dup rate
+    def corpus():
+        # id-unique noise (xxhash64 per (id, dim) — a modular-arithmetic
+        # pattern like (id*31+j*7)%97 has period 97 and collapses the
+        # corpus into exact-duplicate classes, measured 40M pairs)
+        noise = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("base"), F.lit(j)), F.lit(1000003))
+                    .cast("double")
+                    / F.lit(1000003.0)
+                    - F.lit(0.5)
+                )
+                for j in range(dim)
+            ]
+        )
+        twin = (F.col("id") % 50 == 1) & (F.col("id") > 0)
+        eps_v = F.when(twin, F.lit(1e-4)).otherwise(F.lit(0.0))
+        return (
+            spark.range(n)
+            .withColumn("base", F.when(twin, F.col("id") - 1).otherwise(F.col("id")))
+            .select(
+                F.col("id").alias("vec_id"),
+                F.zip_with(
+                    own, noise, lambda c, e: c + F.lit(0.35) * e + eps_v
+                ).alias("embedding"),
+            )
+        )
+
+    t0 = time.perf_counter()
+    res = semantic_dedup(
+        corpus(), cents, eps=0.99, strategy="gemm", assign_strategy="gemm"
+    )
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
+    ).collect()[0]
+    out["semdedup_1m_s"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_1m_rows"] = int(agg["rows"])
+    out["semdedup_1m_keepers"] = int(agg["keepers"])
+    out["semdedup_1m_dropped"] = int(agg["rows"]) - int(agg["keepers"])
+    release_staged()
+
+    # degenerate clustering: every vector in cluster 0 (single frozen
+    # centroid).  Uncapped this is one 10^12-cosine task; the guard
+    # turns it into a window pass + an audited no-op.
+    t0 = time.perf_counter()
+    npairs = semantic_pairs(
+        corpus(), [cents[0]], eps=0.99, strategy="gemm",
+        max_cluster_size=100_000, assign_strategy="gemm",
+    ).count()
+    out["semdedup_degenerate_guard_s"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_degenerate_pairs"] = int(npairs)
+    out["semdedup_degenerate_skipped"] = LAST_SEMDEDUP_AUDIT[
+        "skipped_clusters"
+    ]
+    release_staged()
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -870,6 +955,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_IVF_GUARD_ONLY", "0") == "1":
         out["ivf_guard"] = bench_ivf_guard(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_SEMDEDUP_ONLY", "0") == "1":
+        out["semdedup"] = bench_semdedup(spark)
         print(json.dumps(out))
         return
 

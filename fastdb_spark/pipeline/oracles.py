@@ -602,6 +602,66 @@ def ann_takedown_sql(
     """
 
 
+def semdedup_sql(
+    eps: float = 0.92,
+    n_centers: int = 25,
+    spread: float = 0.8,
+    dim: int = 64,
+) -> str:
+    """duckdb twin of ``pipeline.semdedup.semantic_dedup`` over the
+    clustered-corpus derivation at ``spread``.
+
+    Stage-for-stage: assignment is the row_number twin of
+    ``with_ivf_cluster``'s argmax (round-9 cosine DESC, centroid id ASC);
+    within-cluster pairs use the same round-6 cosine filter; the
+    transitive closure is the recursive-CTE reach labeling (the SQL twin
+    of large-star/small-star, same labels); keeper election is the
+    ``row_number() = 1`` twin of the ``min(struct(cos_c, id))``
+    aggregate.  Every non-recursive CTE is MATERIALIZED (duckdb inlines
+    CTEs per reference site; the scored/pairs stages are each referenced
+    twice)."""
+    cosc = _COS.format(a="ce.cemb", b="centers.cv").replace(", 6)", ", 9)")
+    cosp = _COS.format(a="a.cemb", b="b.cemb")
+    return f"""
+        WITH RECURSIVE {_clustered_ctes(n_centers, spread, dim)},
+        scored AS MATERIALIZED (
+          SELECT ce.vec_id, ce.cemb, centers.c, {cosc} AS cosc
+          FROM ce CROSS JOIN centers),
+        asg AS MATERIALIZED (
+          SELECT vec_id, cemb, c AS cluster, cosc FROM (
+            SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cosc DESC, c ASC) AS rk
+            FROM scored)
+          WHERE rk = 1),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {cosp} >= {eps}),
+        edges AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS MATERIALIZED (
+          SELECT u AS vec_id, least(u, min(v)) AS group_id
+          FROM reach GROUP BY u),
+        grp AS MATERIALIZED (
+          SELECT asg.vec_id, asg.cluster, asg.cosc,
+                 COALESCE(lab.group_id, asg.vec_id) AS group_id
+          FROM asg LEFT JOIN lab ON lab.vec_id = asg.vec_id)
+        SELECT vec_id, cluster, cosc AS cos_c, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY cosc ASC, vec_id ASC) = 1
+                 AS is_keeper
+        FROM grp
+    """
+
+
 # ---------------------------------------------------------------------------
 # BPE trainer literal-VALUES oracle (VERDICT r6 #5)
 

@@ -1,0 +1,353 @@
+"""SemDeDup-style semantic deduplication over an embedding corpus.
+
+The method (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540): cluster
+the corpus embeddings with k-means, call two items *semantic
+duplicates* when their cosine similarity exceeds ``eps`` **within the
+same cluster** (the clustering exists precisely so the epsilon graph is
+never built across the whole corpus), close the epsilon graph
+transitively, and keep ONE exemplar per group — the paper keeps the
+item with the LOWEST cosine to its cluster centroid (the most atypical
+member, preserving diversity at the cluster boundary).
+
+Spark-first decomposition — every stage reuses an already-proven shape:
+
+1. **Assignment** is a map: the frozen centroid list rides along as
+   literals (:func:`ann.with_ivf_cluster` — argmax cosine, tie to the
+   lowest centroid id); no join, no shuffle, scan-stage only.
+2. **Within-cluster pairs** shuffle once on the cluster key.  The
+   production path is one Arrow ``applyInPandas`` GEMM per cluster
+   (same kernel shape as ``dedup.embedding_neardup_pairs``); per-task
+   memory is O(m·d) and compute O(m²·d) for an m-member cluster, so k
+   is the knob that bounds the task (the paper runs 110k clusters over
+   LAION-440M ≈ 4k rows each).  ``max_cluster_size`` guards degenerate
+   clusterings: oversized clusters are skipped (members stay
+   singletons) and the skip is surfaced in ``LAST_SEMDEDUP_AUDIT`` —
+   never a silent cap.  ``strategy='expr'`` is the pure
+   column-expression twin (bit-exact with the duckdb oracle's
+   ``list_dot_product`` fold; ~100x slower per pair) used for
+   adjudication and as the portable fallback.
+3. **Transitive closure** reuses :func:`cluster.connected_components`
+   (large-star/small-star map-reduce CC); the epsilon graph inside an
+   epsilon-ball cluster is near-clique, so it collapses in ~2 rounds.
+4. **Keeper election** is one ``min(struct(...))`` aggregate per group
+   — ``keep='farthest'`` orders by (cos-to-centroid, id), the paper
+   semantics; ``keep='min_id'`` by id alone.
+
+100 TB notes: the epsilon graph never leaves a cluster, so the pair
+stage's shuffle is the corpus once (by cluster id) and its output is
+bounded by the per-cluster epsilon-ball density, not n².  CC shuffles
+only the edge set.  At scale, persist ``cluster`` as the embedding
+table's partition key (the IVF layout — ``ann.build_ivf_index`` stores
+exactly this) and the pair stage reads pre-bucketed data with no
+exchange at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.vectors import as_double_array, cosine
+
+#: GEMM-task guard default, matching ``embedding_neardup_pairs``'s LSH
+#: bucket cap: one 65536-member cluster is a ~2 GiB float64 task at
+#: d=4096 — above that, fix the clustering (raise k), don't widen tasks.
+DEFAULT_MAX_CLUSTER = 65536
+
+#: Truncation audit (reset per :func:`semantic_pairs` call): clusters
+#: whose size exceeded ``max_cluster_size`` and were therefore skipped —
+#: their members surface as singletons, which UNDER-deduplicates.
+#: ``skipped_clusters`` floor-caps at 101 (bounded collect), ``sample``
+#: holds up to 100 ``(cluster, size)`` pairs.
+LAST_SEMDEDUP_AUDIT: dict = {"skipped_clusters": 0, "sample": []}
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "expr",
+) -> DataFrame:
+    """Frozen-centroid assignment plus the paper's ranking signal.
+
+    Adds ``cluster`` (argmax round-9 cosine over the centroid list, tie
+    to the lowest centroid id) and ``cos_c`` (cosine to the OWN
+    centroid, rounded at 9 like the argmax saw it).
+
+    ``strategy='expr'`` (default, the oracle twin): pure column
+    expressions via :func:`ann.with_ivf_cluster` — no join, no shuffle,
+    bit-exact with duckdb, but the k cosines per row are interpreted
+    catalyst folds: measured 136 s for 1M rows at k=256/dim=32.
+    ``strategy='gemm'`` (the scale path): one Arrow ``mapInPandas``
+    batch GEMM (``V_n @ C_n.T``, round 9, argmax — numpy's first-max
+    tie rule equals the expr path's lowest-centroid-id rule): same
+    1M-row assignment in ~3 s.  Emits ONLY ``(id, vec, cluster,
+    cos_c)`` (mapInPandas declares its schema); last-ULP GEMM-vs-fold
+    differences can survive round 9, so the adjudicated gate keeps
+    'expr' while equality on real corpora is regression-tested.
+    """
+    if strategy == "expr":
+        from fastdb_spark.pipeline.ann import with_ivf_cluster
+
+        out = with_ivf_cluster(df, centroids, vec_col, "cluster")
+        cent = F.array(*[F.lit(c).cast("array<double>") for c in centroids])
+        own = F.element_at(cent, (F.col("cluster") + F.lit(1)).cast("int"))
+        v = as_double_array(F.col(vec_col))
+        return out.withColumn("cos_c", F.round(cosine(v, own), 9))
+    if strategy != "gemm":
+        raise ValueError(f"unknown assignment strategy {strategy!r}")
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ Cn.T, 9)
+            cl = S.argmax(axis=1)  # first max == lowest centroid id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster": cl.astype(np.int32),
+                    "cos_c": S[np.arange(len(cl)), cl],
+                }
+            )
+
+    keyed = df.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+    )
+    return keyed.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, {vec_col} array<double>, "
+            "cluster int, cos_c double"
+        ),
+    )
+
+
+def _pairs_expr(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
+    """Column-expression within-cluster pairs — the oracle twin.
+
+    ``zip_with``/``aggregate`` evaluate the dot product as the same
+    left-to-right double fold duckdb's ``list_dot_product`` runs, so
+    pair cosines are bit-identical cross-engine before the round."""
+    a = keyed.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = keyed.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, ["cluster"]).where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(eps))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _pairs_gemm(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
+    """One Arrow GEMM task per cluster — the production path.
+
+    Same scoring arithmetic as ``dedup.embedding_neardup_pairs``'s
+    kernel (float64 matmul, round 6): driver-adjudicated against
+    ``list_dot_product`` since round 7 on the neardup gate."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(n, n), 6)
+        keep = (cos >= eps) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[r], "id_b": ids[c], "cos": cos[r, c]}
+        )
+
+    return keyed.groupBy("cluster").applyInPandas(
+        per_cluster, schema="id_a long, id_b long, cos double"
+    )
+
+
+def _guarded_keyed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    max_cluster_size: int | None,
+    assign_strategy: str = "expr",
+) -> tuple[DataFrame, DataFrame]:
+    """Assignment + the oversized-cluster guard, computed ONCE.
+
+    Returns ``(full, pair_side)`` — both ``(id, v, cluster, cos_c)``.
+    ``full`` keeps every member (the per-item report needs skipped
+    members too — as singletons); ``pair_side`` has guarded clusters
+    filtered out, with the skip audited in ``LAST_SEMDEDUP_AUDIT``.
+    With the guard on, both views read ONE staged (cached) frame, so
+    assignment is computed once."""
+    LAST_SEMDEDUP_AUDIT["skipped_clusters"] = 0
+    LAST_SEMDEDUP_AUDIT["sample"] = []
+    keyed = assign_clusters(
+        df, centroids, id_col, vec_col, assign_strategy
+    ).select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("v"),
+        "cluster",
+        "cos_c",
+    )
+    if max_cluster_size is None:
+        return keyed, keyed
+    # The frame is cachereg-staged so the size job, the pair job, and
+    # the report all share ONE assignment computation (the hash_matches
+    # audit shape; the consumer's release_staged() frees it).  Sizes
+    # come from a groupBy COUNT — map-side partial aggregation, SKEW-
+    # IMMUNE, output bounded by the centroid count — NOT a COUNT window:
+    # a window partitioned by cluster funnels a degenerate cluster's
+    # every row into one task, hot-keying the guard on exactly the input
+    # it exists to guard (measured 31 s vs 4 s at a 1M-row single-
+    # cluster corpus).  When clusters survive, the keep set (<= k rows)
+    # broadcast-joins back — a map-side filter, no extra shuffle.
+    from fastdb_spark.cachereg import stage
+
+    full = stage(keyed)
+    over = (
+        full.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .filter(F.col("_csz") > max_cluster_size)
+        .limit(101)  # bounded: sample at most 101 clusters
+        .collect()
+    )
+    LAST_SEMDEDUP_AUDIT["skipped_clusters"] = len(over)
+    LAST_SEMDEDUP_AUDIT["sample"] = sorted(
+        (int(r["cluster"]), int(r["_csz"])) for r in over
+    )[:100]
+    if not over:
+        return full, full
+    skipped = F.array(*[F.lit(int(r["cluster"])) for r in over])
+    if len(over) <= 100:
+        # the audit saw every oversized cluster (bounded collect hit at
+        # 101): filter by literal list — no join at all
+        pair_side = full.filter(~F.array_contains(skipped, F.col("cluster")))
+    else:
+        # >101 oversized clusters: re-derive the full keep set and
+        # broadcast it (bounded by the centroid count)
+        keep = (
+            full.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") <= max_cluster_size)
+            .select("cluster")
+        )
+        pair_side = full.join(F.broadcast(keep), "cluster")
+    return full, pair_side
+
+
+def _pairs(keyed: DataFrame, id_col: str, eps: float, strategy: str):
+    k = keyed.select(id_col, "v", "cluster")
+    if strategy == "expr":
+        return _pairs_expr(k, id_col, eps)
+    if strategy == "gemm":
+        return _pairs_gemm(k, id_col, eps)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def semantic_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.92,
+    strategy: str = "gemm",
+    max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
+    assign_strategy: str = "expr",
+) -> DataFrame:
+    """Within-cluster cosine pairs above ``eps``: (id_a, id_b, cos).
+
+    ``strategy='gemm'`` (default): Arrow matmul per cluster.
+    ``strategy='expr'``: pure column expressions, the oracle twin.
+    Oversized clusters (> ``max_cluster_size``) are skipped and audited
+    in ``LAST_SEMDEDUP_AUDIT`` — their members come out as singletons.
+    """
+    _, pair_side = _guarded_keyed(
+        df, centroids, id_col, vec_col, max_cluster_size, assign_strategy
+    )
+    return _pairs(pair_side, id_col, eps, strategy)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.92,
+    keep: str = "farthest",
+    strategy: str = "gemm",
+    max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
+    assign_strategy: str = "expr",
+) -> DataFrame:
+    """Per-item SemDeDup report: one row per input item with
+    ``(id, cluster, cos_c, group_id, group_size, is_keeper)``.
+
+    ``group_id`` labels the transitive epsilon-graph component (minimum
+    member id; singletons label themselves).  ``keep='farthest'`` keeps
+    the member with the LOWEST (cos-to-centroid, id) — the paper's
+    diversity-preserving exemplar; ``keep='min_id'`` keeps the minimum
+    id.  Filter ``is_keeper`` to materialize the deduplicated corpus;
+    ``1 - is_keeper`` rows are the semantic duplicates to drop.
+    """
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    from fastdb_spark.pipeline.cluster import connected_components
+
+    # one assignment pass feeds both the pair stage and the per-item
+    # report; with the guard on, both read one staged (cached) frame.
+    # Guarded clusters are filtered from PAIRING only — their members
+    # still appear in the report, as singletons.
+    full, pair_side = _guarded_keyed(
+        df, centroids, id_col, vec_col, max_cluster_size, assign_strategy
+    )
+    asg = full.select(F.col(id_col), "cluster", "cos_c")
+    pairs = _pairs(pair_side, id_col, eps, strategy)
+    labels = connected_components(pairs)  # (node, component); no singletons
+    grp = asg.join(
+        labels.withColumnRenamed("node", id_col), [id_col], "left"
+    ).withColumn("group_id", F.coalesce(F.col("component"), F.col(id_col)))
+    if keep == "farthest":
+        pick = F.min(F.struct(F.col("cos_c"), F.col(id_col))).alias("_k")
+        keeper = F.col("_k")[id_col]
+    else:
+        pick = F.min(F.col(id_col)).alias("_k")
+        keeper = F.col("_k")
+    stats = grp.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size"), pick
+    ).select("group_id", "group_size", keeper.alias("_keeper"))
+    # plain equi-join on group_id: AQE broadcasts `stats` while it is
+    # small; at scale group count ~ corpus size, so no forced broadcast
+    return (
+        grp.join(stats, "group_id")
+        .select(
+            F.col(id_col),
+            "cluster",
+            "cos_c",
+            "group_id",
+            "group_size",
+            (F.col(id_col) == F.col("_keeper")).alias("is_keeper"),
+        )
+    )

@@ -404,3 +404,32 @@ def test_media_probe_cap_rides_new_id_window(spark):
     plan0 = _plan(hash_matches(new, old, max_hamming=0, max_bucket_size=3))
     assert "row_number" not in plan0
     assert "HashAggregate" in plan0, plan0
+
+
+def test_semantic_pairs_single_exchange_skew_immune_guard(spark):
+    """The guarded pair stage: ONE exchange total (the per-cluster GEMM
+    cogroup's own), reading the staged (cached) assignment; the guard's
+    size check is a groupBy COUNT (map-side partial, skew-immune — a
+    COUNT window would funnel a degenerate cluster into one task), and
+    with no skipped clusters it adds no join and no window at all."""
+    import re as _re
+
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.corpus import clustered_embs
+    from fastdb_spark.pipeline.semdedup import semantic_pairs
+
+    embs = Catalog(spark, SF_DIR).table("embeddings")
+    cents = [_hyperplane(1000 + c, 64) for c in range(25)]
+    try:
+        pairs = semantic_pairs(
+            clustered_embs(embs, spread=0.8), cents, eps=0.92
+        )
+        plan = _plan(pairs)
+        assert "InMemoryTableScan" in plan, plan
+        assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+        for bad in ("CartesianProduct", "Window", "Join"):
+            assert bad not in plan, plan
+    finally:
+        release_staged()
