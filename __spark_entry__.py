@@ -745,6 +745,53 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental semantic index (SemDeDup admission over the IVF
+    layout — ONE embedding store serves ANN search and dedup) under the
+    exact gate: build -> takedown -> upsert -> membership readback.
+
+    - build admits the EVEN half of the clustered corpus (one-shot
+      in-batch rule at eps=0.92, frozen literal centroids);
+    - ``semantic_index_remove`` takes down ``vec_id % 10 == 0`` (all
+      even — partition-pruned per-cluster rewrites);
+    - the upsert admits the ODD half: vs-index eps-neighbor drops
+      (against the post-takedown index — non-retroactive semantics:
+      odd twins of removed evens must be ACCEPTED), then the one-shot
+      in-batch rule among the survivors.
+
+    The oracle (``oracles.semindex_sql``) replays assignment, both
+    admission passes, and the takedown in SQL; one wrong drop anywhere
+    flips the membership hash."""
+    import shutil
+
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.corpus import clustered_embs
+    from fastdb_spark.pipeline.incsem import (
+        build_semantic_index,
+        semantic_index_remove,
+        semantic_index_upsert,
+    )
+
+    embs = Catalog(spark, sf_dir).table("embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    corpus = clustered_embs(embs, spread=0.8)
+    centroids = [_hyperplane(1000 + c, 64) for c in range(25)]
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _scratch("fastdb_incsem_gate", tag)
+    shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    build_semantic_index(
+        corpus.filter("vec_id % 2 = 0"), path, eps=0.92, centroids=centroids
+    )
+    semantic_index_remove(
+        spark, embs.filter("vec_id % 10 = 0").select("vec_id"), path
+    )
+    semantic_index_upsert(corpus.filter("vec_id % 2 = 1"), path)
+    return spark.read.parquet(os.path.join(path, "vectors")).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the vec_id=0 query vector."""
     from fastdb_spark.pipeline.ann import cosine_topk
@@ -3633,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_compaction": _q_dedup_index_compaction,
         "media_index_probe": _q_media_index_probe,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_index_roundtrip": _q_semantic_index_roundtrip,
         # the 8 r8-named laggards (rule b)
         "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
@@ -3665,7 +3713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_ltcvs": _q_hot_ltcvs,
         "skewed_aggregate": _q_skewed_aggregate,
         "corpus_quantiles": _q_corpus_quantiles,
-        "corpus_rollup": _q_corpus_rollup,
         "pii_redaction": _q_pii_redaction,
         "bm25_search": _q_bm25_search,
         "multimodal_codec_roundtrip": _q_multimodal_codec,
@@ -3704,6 +3751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup gate born this round (r7-green, pure token
         # histogram — lowest drift risk in the remaining window)
         "vocab_topk": _q_vocab_topk,
+        # 15th laggard: displaced from the r9 window by the
+        # semantic_index_roundtrip gate born this round (r7-green, pure
+        # aggregate — lowest drift risk in the remaining window)
+        "corpus_rollup": _q_corpus_rollup,
         # r8-window gates (driver-green in CORRECTNESS_r08) — the two
         # roundtrip index gates rotate here from the r9 window head,
         # displaced by the strictly-stronger probe/compaction gates
@@ -4622,6 +4673,12 @@ def oracle_sql() -> dict[str, str]:
         # replays assignment + epsilon graph + recursive-CTE closure +
         # keeper election exactly (pipeline/oracles.py:semdedup_sql)
         "semantic_dedup": po.semdedup_sql(),
+        # semantic index (born r9): duckdb computes assignment + the
+        # eps-edge list bit-exactly; an independent sequential greedy
+        # replays the build -> takedown -> upsert choreography and the
+        # membership rides as literal VALUES (the bpe_train_values_sql
+        # pattern — greedy-MIS admission is iterative, not SQL)
+        "semantic_index_roundtrip": po.semindex_values_sql(),
         "decontaminate": _decontam_oracle(),
         "bm25_search": _bm25_oracle(),
         # ann_lsh_topk: approximate by design -> rows-only check

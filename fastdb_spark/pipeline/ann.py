@@ -326,10 +326,17 @@ def build_ivf_index(
     pq_m: int | None = None,
     pq_k: int = 16,
     pq_residual: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF index as an engine-owned layout: a tiny
     ``centroids`` parquet table plus the corpus rewritten partitioned by
     its nearest-centroid id (``vectors/cluster=N/``).
+
+    ``centroids`` (optional) skips the ``ivf_centroids`` fit and freezes
+    the given quantizer directly — callers that already own a trained or
+    deterministic centroid set (the semantic dedup index trains BEFORE
+    its admission pass so admission and layout share one quantizer)
+    persist it unchanged.
 
     Train-once/query-many: the coarse quantizer is fit ONCE here (one
     k-means job, or the deterministic seed pick) instead of per query, and
@@ -347,7 +354,7 @@ def build_ivf_index(
     more accurate at the same budget) vs raw-vector codebooks."""
     import os
 
-    cents = ivf_centroids(
+    cents = centroids if centroids is not None else ivf_centroids(
         embeddings, n_clusters, id_col, vec_col, strategy=strategy, seed=seed
     )
     spark = embeddings.sparkSession
@@ -443,70 +450,85 @@ def ivf_index_upsert(
     replayed row lands in the same ``cluster=N/`` partition it was
     stored in, and the anti-join reads ONLY the batch's own clusters —
     never the whole index."""
-    import os
-
     from fastdb_spark.locks import table_write_lock
 
-    spark = new_vectors.sparkSession
     with table_write_lock(path):
-        cents_rows = (
-            spark.read.parquet(os.path.join(path, "centroids"))
-            .orderBy("cluster")
-            .collect()
+        return _ivf_upsert_unlocked(
+            new_vectors, path, id_col, vec_col, dedup_ids
         )
-        cents = [list(map(float, r["centroid"])) for r in cents_rows]
-        base = new_vectors.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
-        )
-        tagged = with_ivf_cluster(base, cents, vec_col)
-        if dedup_ids:
-            clusters = [
-                r["cluster"]
-                for r in tagged.select("cluster").distinct().collect()
-            ]  # bounded by n_clusters
-            stored = _stored_ids_for_clusters(spark, path, clusters, id_col)
-            # sever lineage: the anti-join READS vectors/ and the append
-            # below WRITES it — the refreshByPath recomputation hazard
-            tagged = tagged.join(
-                stored, on=id_col, how="left_anti"
-            ).localCheckpoint(eager=True)
-        if os.path.exists(os.path.join(path, "codebooks")):
-            _, books, residual = _read_ivfpq_index(spark, path)
-            if residual:
-                out = encode_pq_residual(
-                    tagged, cents, books, id_col=id_col, vec_col=vec_col,
-                    cluster_col="cluster", keep_vec=vec_col,
-                )
-            else:
-                out = encode_pq(
-                    tagged, books, id_col=id_col, vec_col=vec_col,
-                    keep=["cluster"], keep_vec=vec_col,
-                )
-        else:
-            out = tagged
-        # the stored layout may carry payload columns beyond
-        # (id, vector, cluster[, pq_code]) — an append missing them would
-        # leave files with diverging schemas that read back inconsistently
-        existing = set(
-            spark.read.parquet(os.path.join(path, "vectors")).columns
-        )
-        missing = existing - set(out.columns)
-        if missing:
-            raise ValueError(
-                f"index layout at {path} stores columns {sorted(missing)} "
-                "the upsert batch does not provide; select the same "
-                "payload columns before upserting"
+
+
+def _ivf_upsert_unlocked(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_ids: bool = False,
+) -> int:
+    """:func:`ivf_index_upsert` body for callers that ALREADY hold the
+    index write lock (``incsem.semantic_index_upsert`` classifies and
+    appends under one lock — the file lock is not reentrant)."""
+    import os
+
+    spark = new_vectors.sparkSession
+    cents_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cents = [list(map(float, r["centroid"])) for r in cents_rows]
+    base = new_vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+    )
+    tagged = with_ivf_cluster(base, cents, vec_col)
+    if dedup_ids:
+        clusters = [
+            r["cluster"]
+            for r in tagged.select("cluster").distinct().collect()
+        ]  # bounded by n_clusters
+        stored = _stored_ids_for_clusters(spark, path, clusters, id_col)
+        # sever lineage: the anti-join READS vectors/ and the append
+        # below WRITES it — the refreshByPath recomputation hazard
+        tagged = tagged.join(
+            stored, on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+    if os.path.exists(os.path.join(path, "codebooks")):
+        _, books, residual = _read_ivfpq_index(spark, path)
+        if residual:
+            out = encode_pq_residual(
+                tagged, cents, books, id_col=id_col, vec_col=vec_col,
+                cluster_col="cluster", keep_vec=vec_col,
             )
-        # count the cheap projection, not `out` — counting the encoded
-        # frame would run the Arrow encode pass twice.  Under dedup_ids
-        # the count must be the SURVIVORS (tagged is checkpointed, so
-        # this is a local count, and `out` derives from the same
-        # checkpoint — no recompute)
-        n = tagged.count() if dedup_ids else base.count()
-        out.write.partitionBy("cluster").mode("append").parquet(
-            os.path.join(path, "vectors")
+        else:
+            out = encode_pq(
+                tagged, books, id_col=id_col, vec_col=vec_col,
+                keep=["cluster"], keep_vec=vec_col,
+            )
+    else:
+        out = tagged
+    # the stored layout may carry payload columns beyond
+    # (id, vector, cluster[, pq_code]) — an append missing them would
+    # leave files with diverging schemas that read back inconsistently
+    existing = set(
+        spark.read.parquet(os.path.join(path, "vectors")).columns
+    )
+    missing = existing - set(out.columns)
+    if missing:
+        raise ValueError(
+            f"index layout at {path} stores columns {sorted(missing)} "
+            "the upsert batch does not provide; select the same "
+            "payload columns before upserting"
         )
-        return n
+    # count the cheap projection, not `out` — counting the encoded
+    # frame would run the Arrow encode pass twice.  Under dedup_ids
+    # the count must be the SURVIVORS (tagged is checkpointed, so
+    # this is a local count, and `out` derives from the same
+    # checkpoint — no recompute)
+    n = tagged.count() if dedup_ids else base.count()
+    out.write.partitionBy("cluster").mode("append").parquet(
+        os.path.join(path, "vectors")
+    )
+    return n
 
 
 def ivf_index_remove(

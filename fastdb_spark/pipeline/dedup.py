@@ -152,6 +152,59 @@ def _candidate_pairs(
 DEFAULT_MAX_BUCKET = 4096
 
 
+def greedy_mis_drops(
+    pairs: DataFrame, id_col: str, max_rounds: int = 50
+) -> DataFrame:
+    """Ids dropped by SEQUENTIAL-GREEDY admission over a near-dup edge
+    list ``(id_a, id_b)`` with ``id_a < id_b``: process ids ascending,
+    keep x iff no already-KEPT neighbor precedes it (the greedy maximal
+    independent set), return the dropped ids as one ``id_col`` column.
+
+    This — not the older one-shot "drop the higher id of every pair" —
+    is the in-batch rule that makes an at-least-once index upsert
+    IDEMPOTENT.  Greedy-MIS invariant: every dropped item has a KEPT
+    (hence indexed) neighbor, so a torn-checkpoint replay classifies
+    every row as a duplicate.  The one-shot rule over-drops chain tails
+    (A<B<C with only A~B and B~C: C is dropped by the never-admitted
+    B), and on replay the tail has NO indexed neighbor and is suddenly
+    admitted — reproduced on all three index families (round 9, second
+    extension session).  On the CLIQUES real duplicate families form,
+    the two rules coincide (every member neighbors the minimum).
+
+    Computed as a fixpoint on the EDGE list only (never the payloads):
+    round r drops every ``id_b`` whose ``id_a`` is currently kept.  The
+    iteration is antitone, consecutive iterates are nested, and the
+    DAG-ordered edges give a unique fixpoint — the greedy set — reached
+    in O(longest dropped-kept alternation) rounds: 1 for cliques, a few
+    for chains.  Each round is one anti-join + distinct on the edge
+    frame, lineage truncated per round; equal consecutive drop-counts
+    imply equal sets (nesting), so the count is a sound stop signal."""
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    dropped = None
+    prev = -1
+    for _ in range(max_rounds):
+        if dropped is None:
+            cand = edges
+        else:
+            cand = edges.join(
+                dropped.withColumnRenamed(id_col, "id_a"),
+                on="id_a",
+                how="left_anti",
+            )
+        nxt = (
+            cand.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        if n == prev:
+            break
+        dropped, prev = nxt, n
+    if dropped is None:
+        return pairs.sparkSession.createDataFrame([], f"{id_col} long")
+    return dropped
+
+
 def cap_bucket_sizes(
     df: DataFrame,
     bucket_cols: list[str],

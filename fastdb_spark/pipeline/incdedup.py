@@ -24,8 +24,10 @@ Index layout (``path/``):
 Incremental semantics (stated precisely, tested): a new document is
 dropped iff (a) its fingerprint already exists in the index or collides
 within the batch (keep min id), or (b) its Jaccard vs ANY indexed
-document >= threshold, or (c) the in-batch greedy near-dup pass
-(identical to ``curate_corpus``: drop the higher id of every pair)
+document >= threshold, or (c) the in-batch greedy-MIS near-dup pass
+(keep x iff no KEPT lower-id near neighbor — replay-idempotent,
+``dedup.greedy_mis_drops``; ``curate_corpus`` keeps the simpler
+one-shot rule, which coincides on clique-shaped duplicate families)
 drops it.  Concurrent upserts serialize on the table write lock
 (``locks.table_write_lock``) — same lost-update story as storage.py.
 """
@@ -199,9 +201,16 @@ def _inbatch_drops(
     threshold: float,
     max_bucket_size: int | None,
 ) -> DataFrame:
-    """Ids dropped by the in-batch greedy near-dup pass (the
-    ``curate_corpus`` rule: drop the higher id of every refined pair).
-    ``frame`` carries (id, sh, bands) from :func:`_sketch`."""
+    """Ids dropped by the in-batch greedy-MIS near-dup pass: keep x iff
+    no KEPT lower-id neighbor (``dedup.greedy_mis_drops``).  Round-9
+    second-extension fix: the old one-shot rule (drop the higher id of
+    every refined pair) over-dropped chain tails, and a torn-checkpoint
+    REPLAY then admitted them (their only near neighbor was never
+    indexed) — reproduced with a jaccard chain A~B~C, jac(A,C) below
+    threshold: upsert admitted {A}, the replay phantom-admitted {C}.
+    On clique-shaped duplicate families (every gate corpus) the two
+    rules coincide.  ``frame`` carries (id, sh, bands) from
+    :func:`_sketch`."""
     pairs = _candidate_pairs(
         frame.select(id_col, F.explode("bands").alias("band")),
         frame.select(id_col, "sh"),
@@ -212,7 +221,9 @@ def _inbatch_drops(
     pairs = pairs.withColumn(
         "jac", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     ).filter(F.col("jac") >= threshold)
-    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+    from fastdb_spark.pipeline.dedup import greedy_mis_drops
+
+    return greedy_mis_drops(pairs, id_col)
 
 
 def _has_part_files(tdir: str) -> bool:
@@ -1109,7 +1120,7 @@ def dedup_index_upsert(
                 audit=LAST_UPSERT_AUDIT,
             )
             fresh = fresh.join(dup_vs_index, on=id_col, how="left_anti")
-            # (c) in-batch greedy near-dup (same rule as curate_corpus)
+            # (c) in-batch greedy-MIS near-dup (replay-idempotent rule)
             surv = fresh.join(
                 _inbatch_drops(fresh, id_col, p["threshold"], max_bucket_size),
                 on=id_col,

@@ -26,9 +26,10 @@ Index layout (``path/``):
 
 Incremental semantics (stated precisely, tested): a new item is dropped
 iff (a) some INDEXED item's fingerprint is within ``max_hamming`` of
-its own, or (b) the in-batch greedy pass drops it (drop the higher id
-of every in-batch pair within ``max_hamming`` — the ``curate_corpus``
-rule).  Removal is NOT retroactive: items dropped in earlier batches
+its own, or (b) the in-batch greedy-MIS pass drops it (keep x iff no
+KEPT lower-id item is within ``max_hamming`` — the replay-idempotent
+rule, ``dedup.greedy_mis_drops``; at hamming 0 this is exactly
+keep-min-per-fingerprint).  Removal is NOT retroactive: items dropped in earlier batches
 because they duplicated a now-removed item stay dropped; a re-ingest of
 the removed content is accepted again.  Concurrent upserts serialize on
 the table write lock.
@@ -191,7 +192,14 @@ def _dedup_batch(
     pairs = hash_pairs(
         hashes, id_col, "phash", max_hamming, bands, max_bucket_size
     )
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # greedy-MIS, not one-shot drop-the-higher-id: hamming chains
+    # (h(A,B)=h(B,C)=2, h(A,C)=4) made the one-shot rule non-idempotent
+    # under replay (round 9, second extension — see
+    # ``dedup.greedy_mis_drops``); on hamming-0-style cliques the rules
+    # coincide
+    from fastdb_spark.pipeline.dedup import greedy_mis_drops
+
+    drops = greedy_mis_drops(pairs, id_col)
     return hashes.join(drops, on=id_col, how="left_anti")
 
 

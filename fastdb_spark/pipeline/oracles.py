@@ -403,9 +403,13 @@ def incdedup_oracle_sql(
     """duckdb twin of the UNCAPPED incremental dedup-index choreography
     (``incdedup.build_dedup_index`` on the even-id half of documents,
     then ``dedup_index_upsert(max_bucket_size=None)`` with the odd-id
-    half): batch-1 exact keep-min + in-batch greedy near-dup, then for
+    half): batch-1 exact keep-min + in-batch near-dup, then for
     batch 2 (a) exact-vs-index anti + in-batch exact keep-min, (b)
-    near-dup-vs-index drop, (c) in-batch greedy near-dup — the final
+    near-dup-vs-index drop, (c) in-batch near-dup — the final
+    SELECT spells the in-batch rule as the one-shot EXISTS form, which
+    EQUALS the engine's greedy-MIS rule on this corpus (its planted
+    near-dup families are cliques; the rules differ only on chains,
+    covered by tests/test_replay_chains.py) — the final
     SELECT is the indexed (doc_id, fingerprint) set.  Shingle/minhash/
     band arithmetic is identical to :func:`_minhash_pair_ctes` (already
     hash-green vs the Spark sketches).
@@ -660,6 +664,109 @@ def semdedup_sql(
                  AS is_keeper
         FROM grp
     """
+
+
+#: memo for :func:`semindex_values_sql` — the duckdb pair pass is
+#: seconds; keyed by every input that changes the output
+_SEMINDEX_CACHE: dict = {}
+
+
+def semindex_values_sql(
+    eps: float = 0.92,
+    n_centers: int = 25,
+    spread: float = 0.8,
+    dim: int = 64,
+    sf_dir: str | None = None,
+) -> str:
+    """Literal-VALUES oracle for the semantic-index roundtrip
+    choreography (``incsem``: build on the even-id half, take down
+    ``vec_id % 10 == 0``, upsert the odd half), generated by an
+    INDEPENDENT implementation — the :func:`bpe_train_values_sql`
+    pattern for iterative, non-SQL-expressible semantics:
+
+    - duckdb computes every NUMBER bit-exactly from the parquet corpus
+      (assignment = the row_number twin of the round-9 argmax; the
+      within-cluster round-6 cosine edge list — ``list_dot_product``
+      matches Spark's ``zip_with`` fold bit for bit);
+    - a pure-python SEQUENTIAL greedy replays the admission (keep x iff
+      no KEPT eps-neighbor with a lower id — the definitionally-ordered
+      form, independently of the engine's parallel fixpoint), the
+      takedown, the vs-index drops, and the second admission.
+
+    Greedy-MIS admission (not the one-shot drop-every-pair's-higher-id
+    rule) is what the engine ships because it makes replays idempotent;
+    this oracle is the sequential definition of the same rule."""
+    import os
+
+    import duckdb
+
+    sf_dir = (
+        sf_dir
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or os.environ.get("SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    key = (eps, n_centers, spread, dim, sf_dir)
+    if key in _SEMINDEX_CACHE:
+        return _SEMINDEX_CACHE[key]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    cosc = _COS.format(a="ce.cemb", b="centers.cv").replace(", 6)", ", 9)")
+    cosp = _COS.format(a="a.cemb", b="b.cemb")
+    base = f"""
+        WITH {_clustered_ctes(n_centers, spread, dim)},
+        scored AS MATERIALIZED (
+          SELECT ce.vec_id, ce.cemb, centers.c, {cosc} AS cosc
+          FROM ce CROSS JOIN centers),
+        asg AS MATERIALIZED (
+          SELECT vec_id, cemb, c AS cluster FROM (
+            SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cosc DESC, c ASC) AS rk
+            FROM scored)
+          WHERE rk = 1)
+    """
+    cluster = dict(
+        con.execute(base + "SELECT vec_id, cluster FROM asg").fetchall()
+    )
+    edges = con.execute(
+        base
+        + f"""
+        SELECT a.vec_id, b.vec_id FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {cosp} >= {eps}"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # sequential definition, spelled directly: keep x iff no kept y < x
+    def greedy(ids: list[int]) -> set[int]:
+        kept: set[int] = set()
+        for x in sorted(ids):
+            if not (adj.get(x, set()) & kept):
+                kept.add(x)
+        return kept
+
+    b1 = [v for v in cluster if v % 2 == 0]
+    idx1 = greedy(b1)
+    idxr = {v for v in idx1 if v % 10 != 0}
+    b2 = [v for v in cluster if v % 2 == 1]
+    b2rest = [v for v in b2 if not (adj.get(v, set()) & idxr)]
+    final = sorted(idxr | greedy(b2rest))
+    rows = ",\n          ".join(
+        f"({v}, {cluster[v]})" for v in final
+    )
+    sql = f"""
+        SELECT CAST(c0 AS BIGINT) AS vec_id, CAST(c1 AS INTEGER) AS cluster
+        FROM (VALUES {rows}) AS t(c0, c1)
+    """
+    _SEMINDEX_CACHE[key] = sql
+    return sql
 
 
 # ---------------------------------------------------------------------------

@@ -384,6 +384,7 @@ def test_rotation_invariant():
         "dedup_index_compaction",
         "media_index_probe",
         "semantic_dedup",
+        "semantic_index_roundtrip",
     }
     registry_r8 = set(em.queries()) - born_r9
     uncovered = registry_r8 - window_r7 - window_r8

@@ -766,6 +766,9 @@ LAGGARDS_R10 = {
     # displaced from the r9 window by the born-this-round
     # semantic_dedup gate; r7-green, pure token histogram
     "vocab_topk",
+    # displaced from the r9 window by the born-this-round
+    # semantic_index_roundtrip gate; r7-green, pure aggregate
+    "corpus_rollup",
 }
 
 
@@ -794,20 +797,21 @@ def test_rotation_invariant_r9():
     # — strictly stronger than the r8-green roundtrip gates they
     # displace to the tail (coverage invariant above still holds:
     # both displaced gates are in window_r8).
-    assert registry[:6] == [
+    assert registry[:7] == [
         "media_index_av_roundtrip",
         "doc_similar_w2v_exact",
         "dedup_index_probe",
         "dedup_index_compaction",
         "media_index_probe",
         "semantic_dedup",
+        "semantic_index_roundtrip",
     ]
     assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r8
     # rule (b): the r8-named laggards follow immediately
-    assert set(registry[6:14]) == LAGGARDS_R8
+    assert set(registry[7:15]) == LAGGARDS_R8
     # the named r10 laggards head the tail
-    assert set(registry[50:64]) == LAGGARDS_R10
-    # all six new gates carry exact oracles
+    assert set(registry[50:65]) == LAGGARDS_R10
+    # all seven new gates carry exact oracles
     oracles = em.oracle_sql()
     for g in (
         "media_index_av_roundtrip",
@@ -816,6 +820,7 @@ def test_rotation_invariant_r9():
         "dedup_index_compaction",
         "media_index_probe",
         "semantic_dedup",
+        "semantic_index_roundtrip",
     ):
         assert g in oracles
 
