@@ -915,6 +915,108 @@ def bench_semdedup(spark) -> dict:
     return out
 
 
+def bench_semindex(spark) -> dict:
+    """Scale row for the incremental semantic index (round 9): build at
+    1M vectors / 256 clusters, dry-run probe + admission upsert of a
+    100k increment (2% planted twins of stored vectors), full replay,
+    1k-id takedown, compaction.  The vs-index probe reads only touched
+    cluster partitions; admission GEMM tasks are bounded by n/k."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.incsem import (
+        build_semantic_index,
+        compact_semantic_index,
+        semantic_index_probe,
+        semantic_index_remove,
+        semantic_index_upsert,
+    )
+
+    n = int(os.environ.get("SCALE_SEMINDEX_N", 1_000_000))
+    dim, k, inc = 32, 256, 100_000
+    out = {"semindex_n": n, "semindex_dim": dim, "semindex_k": k}
+    cents = [_hyperplane(5000 + c, dim) for c in range(k)]
+    carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])
+    own = F.element_at(carr, (F.pmod(F.col("base"), F.lit(k)) + 1).cast("int"))
+
+    def vecs(lo, hi, twin_of=None):
+        # id-unique noise around the id's center; twin_of plants every
+        # 50th row as a near-copy of a BASE-range vector (a stored twin)
+        noise_of = F.col("base")
+        df = spark.range(lo, hi)
+        if twin_of is not None:
+            twin = F.col("id") % 50 == 1
+            df = df.withColumn(
+                "base", F.when(twin, (F.col("id") - lo) % twin_of).otherwise(F.col("id")))
+        else:
+            df = df.withColumn("base", F.col("id"))
+        noise = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("base"), F.lit(j)), F.lit(1000003))
+                    .cast("double") / F.lit(1000003.0) - F.lit(0.5)
+                )
+                for j in range(dim)
+            ]
+        )
+        return df.select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(own, noise, lambda c, e: c + F.lit(0.35) * e).alias(
+                "embedding"
+            ),
+        )
+
+    path = tempfile.mkdtemp(prefix="fastdb_semindex_")
+    try:
+        t0 = time.perf_counter()
+        n_built = build_semantic_index(
+            vecs(0, n), path, eps=0.99, centroids=cents,
+            strategy="gemm", assign_strategy="gemm",
+        )
+        out["build_1m_s"] = round(time.perf_counter() - t0, 2)
+        out["build_1m_admitted"] = n_built
+        batch = vecs(n, n + inc, twin_of=n)
+        t0 = time.perf_counter()
+        verdicts = semantic_index_probe(
+            spark, batch, path, assign_strategy="gemm"
+        )
+        hist = {
+            r["verdict"]: r["n"]
+            for r in verdicts.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out["probe_100k_s"] = round(time.perf_counter() - t0, 2)
+        out["probe_100k_verdicts"] = hist
+        t0 = time.perf_counter()
+        appended = semantic_index_upsert(
+            batch, path, assign_strategy="gemm"
+        )
+        out["upsert_100k_s"] = round(time.perf_counter() - t0, 2)
+        out["upsert_100k_appended"] = appended
+        t0 = time.perf_counter()
+        replayed = semantic_index_upsert(
+            batch, path, assign_strategy="gemm", dedup_ids=True
+        )
+        out["replay_100k_s"] = round(time.perf_counter() - t0, 2)
+        out["replay_100k_appended"] = replayed
+        t0 = time.perf_counter()
+        out["takedown_1k_removed"] = semantic_index_remove(
+            spark, list(range(0, 100_000, 100)), path
+        )
+        out["takedown_1k_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        c = compact_semantic_index(spark, path, min_files=1)
+        out["compact_s"] = round(time.perf_counter() - t0, 2)
+        out["compact_files"] = (
+            f"{c['vectors']['files_before']}->{c['vectors']['files_after']}"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fastdb-scale-bench",
@@ -960,6 +1062,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_SEMDEDUP_ONLY", "0") == "1":
         out["semdedup"] = bench_semdedup(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_SEMINDEX_ONLY", "0") == "1":
+        out["semindex"] = bench_semindex(spark)
         print(json.dumps(out))
         return
 

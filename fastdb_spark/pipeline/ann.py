@@ -327,6 +327,7 @@ def build_ivf_index(
     pq_k: int = 16,
     pq_residual: bool = True,
     centroids: list[list[float]] | None = None,
+    assign_strategy: str = "expr",
 ) -> None:
     """Materialize the IVF index as an engine-owned layout: a tiny
     ``centroids`` parquet table plus the corpus rewritten partitioned by
@@ -337,6 +338,12 @@ def build_ivf_index(
     deterministic centroid set (the semantic dedup index trains BEFORE
     its admission pass so admission and layout share one quantizer)
     persist it unchanged.
+
+    ``assign_strategy='gemm'`` assigns via the vectorized Arrow batch
+    GEMM (``semdedup.assign_clusters`` — measured 136 s -> ~3 s per 1M
+    rows at k=256) instead of the column-expression argmax; it KEEPS
+    ONLY ``(id, vector, cluster)`` (mapInPandas declares its schema),
+    so use it only when the layout carries no extra payload columns.
 
     Train-once/query-many: the coarse quantizer is fit ONCE here (one
     k-means job, or the deterministic seed pick) instead of per query, and
@@ -364,7 +371,7 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    tagged = with_ivf_cluster(embeddings, cents, vec_col)
+    tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
     if pq_m is None:
         tagged.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(path, "vectors")
@@ -402,6 +409,24 @@ def build_ivf_index(
     )
 
 
+def _assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    assign_strategy: str,
+) -> DataFrame:
+    """Nearest-centroid tagging for the index build/upsert paths:
+    ``'expr'`` keeps every input column (``with_ivf_cluster``);
+    ``'gemm'`` is the Arrow batch GEMM and keeps only
+    ``(id, vector, cluster)``."""
+    if assign_strategy == "expr":
+        return with_ivf_cluster(df, cents, vec_col)
+    from fastdb_spark.pipeline.semdedup import assign_clusters
+
+    return assign_clusters(df, cents, id_col, vec_col, "gemm").drop("cos_c")
+
+
 def _stored_ids_for_clusters(
     spark: SparkSession, path: str, clusters: list, id_col: str
 ) -> DataFrame:
@@ -426,6 +451,7 @@ def ivf_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
+    assign_strategy: str = "expr",
 ) -> int:
     """Append a vector batch to an existing ``build_ivf_index`` layout
     WITHOUT retraining or a rebuild — the incremental-maintenance half of
@@ -454,7 +480,7 @@ def ivf_index_upsert(
 
     with table_write_lock(path):
         return _ivf_upsert_unlocked(
-            new_vectors, path, id_col, vec_col, dedup_ids
+            new_vectors, path, id_col, vec_col, dedup_ids, assign_strategy
         )
 
 
@@ -464,6 +490,7 @@ def _ivf_upsert_unlocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
+    assign_strategy: str = "expr",
 ) -> int:
     """:func:`ivf_index_upsert` body for callers that ALREADY hold the
     index write lock (``incsem.semantic_index_upsert`` classifies and
@@ -480,7 +507,7 @@ def _ivf_upsert_unlocked(
     base = new_vectors.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
     )
-    tagged = with_ivf_cluster(base, cents, vec_col)
+    tagged = _assign(base, cents, id_col, vec_col, assign_strategy)
     if dedup_ids:
         clusters = [
             r["cluster"]
@@ -621,23 +648,51 @@ def ivf_index_remove(
         }
         affected = sorted(hit_counts)
         removed = sum(hit_counts.values())
-        for cl in affected:
-            cdir = os.path.join(vec_dir, f"cluster={cl}")
-            if total_counts[cl] == hit_counts[cl]:
-                shutil.rmtree(cdir, ignore_errors=True)
-                continue
-            # partition col lives in the path; checkpoint severs the read
-            # from the directory the swap below replaces
-            kept = drop(spark.read.parquet(cdir)).localCheckpoint(eager=True)
-            # tmp AND old live OUTSIDE the partitioned tree: a transient
-            # "cluster=N_old" sibling would corrupt partition-column
-            # inference for any concurrent reader
-            tmp = os.path.join(path, f"_rm_tmp_cluster_{cl}")
-            kept.write.mode("overwrite").parquet(tmp)
-            old = os.path.join(path, f"_rm_old_cluster_{cl}")
-            os.rename(cdir, old)
-            os.rename(tmp, cdir)
-            shutil.rmtree(old, ignore_errors=True)
+        emptied = [cl for cl in affected if total_counts[cl] == hit_counts[cl]]
+        partial = [cl for cl in affected if total_counts[cl] > hit_counts[cl]]
+        for cl in emptied:
+            shutil.rmtree(
+                os.path.join(vec_dir, f"cluster={cl}"), ignore_errors=True
+            )
+        if len(partial) > 32:
+            # wide takedown (ids spread over many clusters): the
+            # per-cluster tmp+swap loop is SERIAL in the driver — at 256
+            # affected clusters it measured 70 s for a 1k-id removal
+            # where the data work is trivial.  One dynamic-partition-
+            # overwrite job rewrites every partially-affected partition
+            # at once; only partitions PRESENT in the written frame are
+            # replaced, and `partial` clusters all keep >= 1 row by
+            # construction, so nothing is silently left stale (emptied
+            # clusters were rmtree'd above).  Checkpoint severs the read
+            # from the directories the write replaces.
+            kept = drop(
+                spark.read.parquet(vec_dir).filter(
+                    F.col("cluster").isin(partial)
+                )
+            ).localCheckpoint(eager=True)
+            (
+                kept.write.partitionBy("cluster")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(vec_dir)
+            )
+        else:
+            for cl in partial:
+                cdir = os.path.join(vec_dir, f"cluster={cl}")
+                # partition col lives in the path; checkpoint severs the
+                # read from the directory the swap below replaces
+                kept = drop(spark.read.parquet(cdir)).localCheckpoint(
+                    eager=True
+                )
+                # tmp AND old live OUTSIDE the partitioned tree: a
+                # transient "cluster=N_old" sibling would corrupt
+                # partition-column inference for any concurrent reader
+                tmp = os.path.join(path, f"_rm_tmp_cluster_{cl}")
+                kept.write.mode("overwrite").parquet(tmp)
+                old = os.path.join(path, f"_rm_old_cluster_{cl}")
+                os.rename(cdir, old)
+                os.rename(tmp, cdir)
+                shutil.rmtree(old, ignore_errors=True)
         # a takedown that wipes EVERY cluster leaves vectors/ with no
         # part files — unreadable (UNABLE_TO_INFER_SCHEMA) for the next
         # probe or upsert; re-seed one cluster dir with a zero-row

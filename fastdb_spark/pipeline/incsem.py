@@ -13,13 +13,12 @@ iff
 
 - (a) some INDEXED vector in its assigned cluster has round-6 cosine
   >= ``eps`` with it (verdict ``dup``), or
-- (b) the one-shot in-batch rule drops it: some batch item with a
-  LOWER id, same cluster, not itself a ``dup``, is within ``eps``
-  (verdict ``in_batch_dup`` — the ``incdedup``/``curate_corpus``
-  drop-the-higher-id rule, NOT the batch operator
-  :func:`semdedup.semantic_dedup`'s transitive keeper election: index
-  admission is per-increment and order-free, so the one-shot rule is
-  the family convention and the SQL-expressible one).
+- (b) the in-batch greedy-MIS pass drops it: some KEPT batch item with
+  a LOWER id, same cluster, not itself a ``dup``, is within ``eps``
+  (verdict ``in_batch_dup`` — the replay-idempotent rule shared by all
+  index families, ``dedup.greedy_mis_drops``; NOT the batch operator
+  :func:`semdedup.semantic_dedup`'s transitive keeper election, which
+  is not idempotent under increments).
 
 Removal is NOT retroactive (items dropped for duplicating a
 now-removed vector stay dropped; a re-ingest is accepted again), and
@@ -242,6 +241,7 @@ def build_semantic_index(
     build_ivf_index(
         survivors, path, n_clusters=len(cents), id_col=id_col,
         vec_col=vec_col, centroids=cents, pq_m=pq_m,
+        assign_strategy=assign_strategy,
     )
     with open(os.path.join(path, _SEM_META), "w") as f:
         json.dump({"eps": eps, "n_clusters": len(cents)}, f)
@@ -314,7 +314,7 @@ def semantic_index_upsert(
         release_staged()
         return _ivf_upsert_unlocked(
             fresh, path, id_col=id_col, vec_col=vec_col,
-            dedup_ids=dedup_ids,
+            dedup_ids=dedup_ids, assign_strategy=assign_strategy,
         )
 
 

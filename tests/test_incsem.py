@@ -221,3 +221,121 @@ def test_compact_preserves_membership(spark, built):
         for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
     )
     assert before == after
+
+
+def test_semantic_index_upsert_vs_remove_two_processes(spark, tmp_path):
+    """Two separate Spark PROCESSES race an admission upsert (fresh,
+    far-from-everything vectors) against a takedown (stored ids) on the
+    SAME semantic index.  The shared write lock must serialize
+    classify-then-append vs the per-cluster partition swaps: whatever
+    the interleaving, the final index holds exactly the untouched
+    survivors plus the admitted items, stays readable, and loses no
+    cluster partition."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from fastdb_spark.pipeline.incsem import build_semantic_index
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "raceidx")
+    # 4 well-separated axis centroids, one stored vector per cluster
+    cents = [[3.0 if j == c else 0.0 for j in range(4)] for c in range(4)]
+    seed = spark.createDataFrame(
+        [(i, [3.0 if j == i else 0.01 for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    n = build_semantic_index(seed, path, eps=0.95, centroids=cents)
+    assert n == 4
+    script = textwrap.dedent(
+        """
+        import sys
+        op, path = sys.argv[1], sys.argv[2]
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from fastdb_spark.pipeline import incsem
+        if op == "upsert":
+            # fresh vectors: same clusters, orthogonal-ish offsets keep
+            # cosine vs stored below eps
+            rows = [
+                (100 + c, [3.0 if j == c else (2.5 if j == (c + 1) % 4
+                 else 0.0) for j in range(4)])
+                for c in range(4)
+            ]
+            batch = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            )
+            n = incsem.semantic_index_upsert(batch, path)
+            assert n == 4, n
+        else:
+            n = incsem.semantic_index_remove(spark, [0, 1], path)
+            assert n == 2, n
+        print("DONE", op)
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, op, path],
+            cwd=repo,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for op in ("upsert", "remove")
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    got = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
+    )
+    assert got == [2, 3, 100, 101, 102, 103]
+
+
+def test_wide_takedown_bulk_path(spark, tmp_path):
+    """A takedown spread over >32 clusters takes the one-job dynamic-
+    partition-overwrite path (the serial per-cluster loop measured 70 s
+    for a 1k-id removal over 256 clusters): membership exact, emptied
+    clusters deleted, partially-affected clusters rewritten, untouched
+    clusters untouched (mtime-asserted)."""
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_remove
+
+    k, per = 40, 3
+    cents = [
+        [5.0 if j == c else 0.0 for j in range(k)] for c in range(k)
+    ]
+    rows = []
+    for c in range(k):
+        for m in range(per):
+            v = [0.01 * (m + 1) if j != c else 5.0 for j in range(k)]
+            rows.append((c * 10 + m, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "wideidx")
+    build_ivf_index(df, path, n_clusters=k, centroids=cents)
+    vdir = os.path.join(path, "vectors")
+    # clusters 0..35: remove one member (partial, 36 > 32 -> bulk path);
+    # cluster 36: remove all three (emptied); 37-39 untouched
+    rm = [c * 10 for c in range(36)] + [360, 361, 362]
+    mt_untouched = {
+        c: os.path.getmtime(os.path.join(vdir, f"cluster={c}"))
+        for c in (37, 38, 39)
+    }
+    n = ivf_index_remove(spark, rm, path)
+    assert n == len(rm)
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(vdir).collect()
+    )
+    want = sorted(
+        i for i, _ in ((c * 10 + m, None) for c in range(k) for m in range(per))
+        if i not in set(rm)
+    )
+    assert got == want
+    assert not os.path.exists(os.path.join(vdir, "cluster=36"))
+    for c, mt in mt_untouched.items():
+        assert os.path.getmtime(os.path.join(vdir, f"cluster={c}")) == mt
