@@ -780,13 +780,21 @@ def _q_semantic_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     path = _scratch("fastdb_incsem_gate", tag)
     shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
+    # assign_strategy="gemm": the k=25 literal-expression argmax costs
+    # ~8 s of DRIVER-side analysis per materialization and this
+    # choreography builds it five times; the Arrow GEMM assignment is
+    # equality-tested vs the expr twin (identical cluster choice) and
+    # the gate emits only (vec_id, cluster)
     build_semantic_index(
-        corpus.filter("vec_id % 2 = 0"), path, eps=0.92, centroids=centroids
+        corpus.filter("vec_id % 2 = 0"), path, eps=0.92,
+        centroids=centroids, assign_strategy="gemm",
     )
     semantic_index_remove(
         spark, embs.filter("vec_id % 10 = 0").select("vec_id"), path
     )
-    semantic_index_upsert(corpus.filter("vec_id % 2 = 1"), path)
+    semantic_index_upsert(
+        corpus.filter("vec_id % 2 = 1"), path, assign_strategy="gemm"
+    )
     return spark.read.parquet(os.path.join(path, "vectors")).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )

@@ -197,6 +197,12 @@ def greedy_mis_drops(
             .localCheckpoint(eager=False)
         )
         n = nxt.count()
+        if dropped is None and n == 0:
+            # first round empty means the edge list itself is empty —
+            # fixpoint reached without a confirmation round (a later
+            # round going empty does NOT imply convergence: f(empty) is
+            # the full one-shot drop set)
+            return nxt
         if n == prev:
             break
         dropped, prev = nxt, n

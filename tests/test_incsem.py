@@ -339,3 +339,37 @@ def test_wide_takedown_bulk_path(spark, tmp_path):
     assert not os.path.exists(os.path.join(vdir, "cluster=36"))
     for c, mt in mt_untouched.items():
         assert os.path.getmtime(os.path.join(vdir, f"cluster={c}")) == mt
+
+
+def test_semantic_index_with_pq_codes(spark, tmp_path):
+    """The unified layout extends to IVF-PQ: a semantic index built with
+    pq_m carries codes alongside the raw vectors, admission still works
+    (probe reads the raw vector column), and the PQ search path runs on
+    the same store."""
+    from fastdb_spark.pipeline.ann import ivfpq_search_index
+
+    corpus = _corpus(spark)
+    path = str(tmp_path / "sempq")
+    n = build_semantic_index(
+        corpus.filter("vec_id % 2 = 0"), path, eps=0.92,
+        centroids=CENTS, pq_m=8,
+    )
+    assert n > 0
+    stored = spark.read.parquet(os.path.join(path, "vectors"))
+    assert "pq_code" in stored.columns
+    odds = corpus.filter("vec_id % 2 = 1")
+    v = semantic_index_probe(spark, odds, path).toPandas()
+    assert (v.verdict == "dup").any()
+    appended = semantic_index_upsert(odds, path)
+    assert appended == int((v.verdict == "fresh").sum())
+    # appended rows carry codes too (upsert encodes with the frozen
+    # codebooks), so the PQ search sees a consistent store
+    assert (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("pq_code").isNull())
+        .count()
+        == 0
+    )
+    q = corpus.filter("vec_id = 0").select("embedding").head()[0]
+    top = ivfpq_search_index(spark, path, list(q), k=5, nprobe=25)
+    assert top.count() == 5
