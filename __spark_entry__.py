@@ -740,8 +740,13 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = clustered_embs(embs, spread=0.8)
     centroids = [_hyperplane(1000 + c, 64) for c in range(25)]
+    # assign_strategy="expr" pinned BY NAME (the r10 default-flip
+    # discipline, same as max_bucket_size=None on the media gates): the
+    # gate hashes cos_c, where a last-ULP GEMM-vs-fold difference could
+    # survive round 9; production callers get the gemm default.
     return semantic_dedup(
-        corpus, centroids, eps=0.92, keep="farthest", strategy="gemm"
+        corpus, centroids, eps=0.92, keep="farthest", strategy="gemm",
+        assign_strategy="expr",
     )
 
 
@@ -780,21 +785,23 @@ def _q_semantic_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     path = _scratch("fastdb_incsem_gate", tag)
     shutil.rmtree(path, ignore_errors=True)  # fresh index per adjudication
-    # assign_strategy="gemm": the k=25 literal-expression argmax costs
-    # ~8 s of DRIVER-side analysis per materialization and this
-    # choreography builds it five times; the Arrow GEMM assignment is
-    # equality-tested vs the expr twin (identical cluster choice) and
-    # the gate emits only (vec_id, cluster)
+    # This gate runs the DEFAULT assignment path on purpose — since the
+    # round-10 default flip that is the Arrow GEMM (the k=25 literal-
+    # expression argmax costs ~8 s of DRIVER-side analysis per
+    # materialization and this choreography builds it five times), so
+    # the production-default path carries its own driver-adjudicated
+    # parity evidence (VERDICT r9 What's-missing #4).  Safe for an
+    # exact gate because the hash covers membership only (vec_id,
+    # cluster) — no cosine value — and GEMM==expr cluster equality is
+    # regression-tested in tests/test_incsem.py.
     build_semantic_index(
         corpus.filter("vec_id % 2 = 0"), path, eps=0.92,
-        centroids=centroids, assign_strategy="gemm",
+        centroids=centroids,
     )
     semantic_index_remove(
         spark, embs.filter("vec_id % 10 = 0").select("vec_id"), path
     )
-    semantic_index_upsert(
-        corpus.filter("vec_id % 2 = 1"), path, assign_strategy="gemm"
-    )
+    semantic_index_upsert(corpus.filter("vec_id % 2 = 1"), path)
     return spark.read.parquet(os.path.join(path, "vectors")).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
@@ -3659,29 +3666,101 @@ def _q_doc_similar_w2v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
-    # their oracles.  ROTATION INVARIANT (codified round 8, executed as
-    # pinned this round): every gate has a driver row within the last
-    # three rounds, plus two hard rules — (a) a gate born in round N
-    # sits in round N's window head, and (b) the named stable laggards
-    # LEAD the next round's window.
+    # their oracles.  ROTATION INVARIANT (codified round 8): every gate
+    # has a driver row within the last three rounds, plus two hard
+    # rules — (a) a gate born in round N sits in round N's window head,
+    # and (b) the named stable laggards LEAD the next round's window.
     #
-    # ROUND-9 WINDOW: the six gates born this round
-    # (media_index_av_roundtrip, doc_similar_w2v_exact,
-    # dedup_index_probe, dedup_index_compaction, media_index_probe,
-    # semantic_dedup — probe/compaction re-adjudicate the touched
-    # probe/upsert shared path and the roundtrip write path end to end,
-    # strictly stronger than the r8-green roundtrip gates they displace
-    # to the tail), the 8 r8-named laggards (rule b, VERDICT r8 #1),
-    # then the oldest-evidence r7 gates.  NAMED LAGGARDS for
-    # r10 (r7-green, untouched, parity-run every session; they lead the
-    # r10 window): union_distinct, values_lookup, anti_join,
-    # sql_passthrough, flux_to_mag, keyword_search, topk_per_group,
-    # pricing_summary, revenue_by_nation, doc_stats, sessionize,
-    # broker_info, rolling_fingerprint, vocab_topk.
-    # tests/test_round9.py::test_rotation_invariant_r9 asserts the r8
-    # union r9 windows cover everything except exactly that set.
+    # ROUND-10 WINDOW (executed exactly as pinned in ROUND_NOTES r9 /
+    # VERDICT r9 #2): no gates were born this round, so the FIFTEEN
+    # r10-named laggards (r7-green, parity-run every session) LEAD the
+    # window, followed by the 35 oldest-evidence gates (newest driver
+    # row r8) — which is also exactly the set touched by this round's
+    # assign_strategy="gemm" default flip (ann_*, dedup_index_*,
+    # media_index_roundtrip), so the flipped default path gets fresh
+    # driver adjudication.  NAMED LAGGARDS for r11 (r8-green, pure
+    # deterministic shapes — lowest drift risk; they lead the r11
+    # window): boilerplate_removal, chunk_docs, corpus_card,
+    # doc_repetition, duplicate_spans, intra_doc_dedup, json_extract,
+    # latest_mag_per_band, pagination, pagination_ranged,
+    # pseudorandom_sample, shuffle_shards, timescale_functions,
+    # token_budget_select, uuid_minting.
+    # tests/test_round10.py::test_rotation_invariant_r10 asserts the
+    # r9 union r10 windows cover everything except exactly that set.
     return {
-        # --- round-9 window (first 50) ------------------------------
+        # --- round-10 window (first 50): the 15 named laggards -------
+        "union_distinct": _q_union_distinct,
+        "values_lookup": _q_values_lookup,
+        "anti_join": _q_anti_join,
+        "sql_passthrough": _q_sql_passthrough,
+        "flux_to_mag": _q_flux_to_mag,
+        "keyword_search": _q_keyword_search,
+        "topk_per_group": _q_topk_per_group,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "doc_stats": _q_doc_stats,
+        "sessionize": _q_sessionize,
+        "broker_info": _q_broker_info,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "vocab_topk": _q_vocab_topk,
+        "corpus_rollup": _q_corpus_rollup,
+        # then the 35 oldest-evidence gates (newest row r8) ----------
+        "media_index_roundtrip": _q_media_index_roundtrip,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        "image_banded_neardup": _q_image_banded_neardup,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "audio_afp_dedup": _q_audio_afp_dedup,
+        "video_phash_dedup": _q_video_phash_dedup,
+        "video_frame_sample": _q_video_frame_sample,
+        "media_probe": _q_media_probe,
+        "dedup_index_takedown": _q_dedup_index_takedown,
+        "ann_index_takedown": _q_ann_index_takedown,
+        "epoch_mix": _q_epoch_mix,
+        "dp1_load": _q_dp1_load,
+        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
+        "export_sinks_roundtrip": _q_export_sinks,
+        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
+        "load_alert_batch": _q_load_alert_batch,
+        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
+        "tfidf_topk": _q_tfidf_topk,
+        "doc_similar_w2v": _q_doc_similar_w2v,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "pack_materialize": _q_pack_materialize,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_perplexity": _q_doc_perplexity,
+        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        # --- adjudication tail (position >50): first the 15 NAMED
+        # r11 LAGGARDS that lead the r11 window, then the r9-window
+        # gates (driver-green in CORRECTNESS_r09); every tail gate
+        # still runs in tests/test_oracle_parity.py and
+        # tools/stock_sweep.py every session --------------------------
+        "boilerplate_removal": _q_boilerplate_removal,
+        "chunk_docs": _q_chunk_docs,
+        "corpus_card": _q_corpus_card,
+        "doc_repetition": _q_doc_repetition,
+        "duplicate_spans": _q_duplicate_spans,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination": _q_pagination,
+        "pagination_ranged": _q_pagination_ranged,
+        "pseudorandom_sample": _q_pseudorandom_sample,
+        "shuffle_shards": _q_shuffle_shards,
+        "timescale_functions": _q_timescale_functions,
+        "token_budget_select": _q_token_budget,
+        "uuid_minting": _q_uuid_minting,
+        # r9-window gates (driver-green in CORRECTNESS_r09)
         "media_index_av_roundtrip": _q_media_index_av_roundtrip,
         "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
         "dedup_index_probe": _q_dedup_index_probe,
@@ -3689,7 +3768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_index_probe": _q_media_index_probe,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_index_roundtrip": _q_semantic_index_roundtrip,
-        # the 8 r8-named laggards (rule b)
         "ann_cosine_topk": _q_ann_topk,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
@@ -3698,7 +3776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "alert_reconstruct": _q_alert_reconstruct,
-        # oldest-evidence r7 gates rotated back in
         "mix_report": _q_mix_report,
         "ann_exhaustive_exact": _q_ann_exhaustive,
         "ann_batch_topk": _q_ann_batch_topk,
@@ -3734,88 +3811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "exact_dedup": _q_exact_dedup,
         "embedding_neardup": _q_embedding_neardup,
-        # --- adjudication tail (position >50): first the 12 NAMED
-        # LAGGARDS that lead the r10 window, then the r8-window gates
-        # (driver-green in CORRECTNESS_r08); every tail gate still
-        # runs in tests/test_oracle_parity.py and tools/stock_sweep.py
-        # every session -----------------------------------------------
-        "union_distinct": _q_union_distinct,
-        "values_lookup": _q_values_lookup,
-        "anti_join": _q_anti_join,
-        "sql_passthrough": _q_sql_passthrough,
-        "flux_to_mag": _q_flux_to_mag,
-        "keyword_search": _q_keyword_search,
-        "topk_per_group": _q_topk_per_group,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "doc_stats": _q_doc_stats,
-        "sessionize": _q_sessionize,
-        "broker_info": _q_broker_info,
-        # 13th laggard: displaced from the r9 window by the
-        # media_index_probe gate born this round (r7-green, pure
-        # deterministic function — lowest drift risk in the window)
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        # 14th laggard: displaced from the r9 window by the
-        # semantic_dedup gate born this round (r7-green, pure token
-        # histogram — lowest drift risk in the remaining window)
-        "vocab_topk": _q_vocab_topk,
-        # 15th laggard: displaced from the r9 window by the
-        # semantic_index_roundtrip gate born this round (r7-green, pure
-        # aggregate — lowest drift risk in the remaining window)
-        "corpus_rollup": _q_corpus_rollup,
-        # r8-window gates (driver-green in CORRECTNESS_r08) — the two
-        # roundtrip index gates rotate here from the r9 window head,
-        # displaced by the strictly-stronger probe/compaction gates
-        "media_index_roundtrip": _q_media_index_roundtrip,
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
-        "image_banded_neardup": _q_image_banded_neardup,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "audio_afp_dedup": _q_audio_afp_dedup,
-        "video_phash_dedup": _q_video_phash_dedup,
-        "video_frame_sample": _q_video_frame_sample,
-        "media_probe": _q_media_probe,
-        "dedup_index_takedown": _q_dedup_index_takedown,
-        "ann_index_takedown": _q_ann_index_takedown,
-        "epoch_mix": _q_epoch_mix,
-        "dp1_load": _q_dp1_load,
-        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
-        "export_sinks_roundtrip": _q_export_sinks,
-        "timescale_functions": _q_timescale_functions,
-        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
-        "uuid_minting": _q_uuid_minting,
-        "pagination": _q_pagination,
-        "pseudorandom_sample": _q_pseudorandom_sample,
-        "load_alert_batch": _q_load_alert_batch,
-        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
-        "shuffle_shards": _q_shuffle_shards,
-        "token_budget_select": _q_token_budget,
-        "tfidf_topk": _q_tfidf_topk,
-        "doc_similar_w2v": _q_doc_similar_w2v,
-        "intra_doc_dedup": _q_intra_doc_dedup,
-        "corpus_card": _q_corpus_card,
-        "chunk_docs": _q_chunk_docs,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "pack_materialize": _q_pack_materialize,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "domain_mix_sample": _q_domain_mix,
-        "doc_repetition": _q_doc_repetition,
-        "doc_perplexity": _q_doc_perplexity,
-        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
-        "duplicate_spans": _q_duplicate_spans,
-        "json_extract": _q_json_extract,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "pagination_ranged": _q_pagination_ranged,
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
     }
 
 # ---------------------------------------------------------------------------

@@ -934,7 +934,12 @@ def bench_semindex(spark) -> dict:
     )
 
     n = int(os.environ.get("SCALE_SEMINDEX_N", 1_000_000))
-    dim, k, inc = 32, 256, 100_000
+    dim, inc = 32, 100_000
+    # k scales with n (~4k vectors per cluster, the SemDeDup-paper
+    # shape): a fixed k=256 at 10M means 39k-row clusters whose
+    # in-batch pair GEMM is a 39k x 39k = 12 GB task — k is the knob
+    # that bounds the task, so the bench turns it like production would
+    k = int(os.environ.get("SCALE_SEMINDEX_K", max(256, n // 4000)))
     out = {"semindex_n": n, "semindex_dim": dim, "semindex_k": k}
     cents = [_hyperplane(5000 + c, dim) for c in range(k)]
     carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])

@@ -327,7 +327,7 @@ def build_ivf_index(
     pq_k: int = 16,
     pq_residual: bool = True,
     centroids: list[list[float]] | None = None,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> None:
     """Materialize the IVF index as an engine-owned layout: a tiny
     ``centroids`` parquet table plus the corpus rewritten partitioned by
@@ -339,11 +339,17 @@ def build_ivf_index(
     its admission pass so admission and layout share one quantizer)
     persist it unchanged.
 
-    ``assign_strategy='gemm'`` assigns via the vectorized Arrow batch
-    GEMM (``semdedup.assign_clusters`` — measured 136 s -> ~3 s per 1M
-    rows at k=256) instead of the column-expression argmax; it KEEPS
-    ONLY ``(id, vector, cluster)`` (mapInPandas declares its schema),
-    so use it only when the layout carries no extra payload columns.
+    ``assign_strategy='gemm'`` (the default since round 10 — the expr
+    argmax embeds k array literals in the plan, measured 136 s vs ~3 s
+    per 1M rows at k=256 plus ~8 s of driver-side plan analysis per
+    materialization even at k=25; at SemDeDup-paper scale, 110k
+    clusters, the expr plan is unbuildable) assigns via the vectorized
+    Arrow batch GEMM (``semdedup.assign_clusters``); every input column
+    passes through, so payload columns survive either strategy.
+    ``assign_strategy='expr'`` is the column-expression twin, bit-exact
+    with the duckdb oracle fold — adjudication gates that hash cosine
+    values pin it by name (equality on membership is regression-tested
+    gemm==expr).
 
     Train-once/query-many: the coarse quantizer is fit ONCE here (one
     k-means job, or the deterministic seed pick) instead of per query, and
@@ -373,7 +379,9 @@ def build_ivf_index(
     )
     tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
     if pq_m is None:
-        tagged.write.mode("overwrite").partitionBy("cluster").parquet(
+        _align(tagged).write.option(
+            "maxRecordsPerFile", 10_000_000
+        ).mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(path, "vectors")
         )
         return
@@ -404,9 +412,26 @@ def build_ivf_index(
     book_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    enc.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "vectors")
-    )
+    _align(enc).write.option("maxRecordsPerFile", 10_000_000).mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(os.path.join(path, "vectors"))
+
+
+def _align(df: DataFrame) -> DataFrame:
+    """Shuffle on the cluster key before a ``partitionBy("cluster")``
+    write so each cluster's rows land in ONE writer task — file count
+    per write becomes (touched clusters), not (tasks x touched
+    clusters).  Without it a 100k-row upsert at k=2500 writes up to
+    32 x 2500 = 80,000 sliver files, and build fragmentation grows with
+    the task count (the round-9 1M/256 series ended at 11,165 files
+    before compaction; the text-index 10M A/B measured the same
+    alignment shuffle PAYING for itself even at build time, 634 s
+    bucketed vs 759 s flat).  Cost: one hash shuffle of the written
+    batch.  Pathologically large clusters are re-split by the writes'
+    ``maxRecordsPerFile`` (the incdedup discipline); clusters are
+    k-bounded by construction (raise k, the same knob that bounds the
+    GEMM task), so whole-cluster writers are the right default."""
+    return df.repartition("cluster")
 
 
 def _assign(
@@ -417,9 +442,9 @@ def _assign(
     assign_strategy: str,
 ) -> DataFrame:
     """Nearest-centroid tagging for the index build/upsert paths:
-    ``'expr'`` keeps every input column (``with_ivf_cluster``);
-    ``'gemm'`` is the Arrow batch GEMM and keeps only
-    ``(id, vector, cluster)``."""
+    ``'expr'`` is the column-expression argmax (``with_ivf_cluster``),
+    ``'gemm'`` the Arrow batch GEMM; BOTH keep every input column
+    (the gemm path passes payload columns through since round 10)."""
     if assign_strategy == "expr":
         return with_ivf_cluster(df, cents, vec_col)
     from fastdb_spark.pipeline.semdedup import assign_clusters
@@ -451,7 +476,7 @@ def ivf_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> int:
     """Append a vector batch to an existing ``build_ivf_index`` layout
     WITHOUT retraining or a rebuild — the incremental-maintenance half of
@@ -490,7 +515,7 @@ def _ivf_upsert_unlocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> int:
     """:func:`ivf_index_upsert` body for callers that ALREADY hold the
     index write lock (``incsem.semantic_index_upsert`` classifies and
@@ -552,9 +577,9 @@ def _ivf_upsert_unlocked(
     # this is a local count, and `out` derives from the same
     # checkpoint — no recompute)
     n = tagged.count() if dedup_ids else base.count()
-    out.write.partitionBy("cluster").mode("append").parquet(
-        os.path.join(path, "vectors")
-    )
+    _align(out).write.option("maxRecordsPerFile", 10_000_000).partitionBy(
+        "cluster"
+    ).mode("append").parquet(os.path.join(path, "vectors"))
     return n
 
 
@@ -579,7 +604,24 @@ def ivf_index_remove(
     the probe paths already tolerate — an empty cluster is just a probe
     that returns no candidates).  Centroids and codebooks are untouched:
     quantizers stay frozen between rebuilds, and removal never changes
-    what the remaining codes mean.  Serializes on the index write lock."""
+    what the remaining codes mean.  Serializes on the index write lock.
+
+    Reader-isolation note (ADVICE r9): the NARROW path (<= 32 partial
+    clusters) swaps each rewritten partition with two directory renames,
+    so an UNLOCKED concurrent reader can at worst observe one cluster
+    mid-swap.  The WIDE path (> 32 partial clusters) is one dynamic-
+    partition-overwrite job, and Spark's commit deletes every matched
+    ``cluster=N/`` directory before moving staged files in — an
+    unlocked concurrent probe can observe missing or partially-written
+    partitions across the whole commit window.  Readers that need a
+    consistent view during takedowns must serialize on the index write
+    lock (the engine's own probe entry points — ``semantic_index_probe``
+    and the foreachBatch stream upserts — already do); an ad-hoc
+    ``ivf_search_index`` call is snapshot-unsafe against a concurrent
+    WIDE takedown by design: the staged-rename alternative measured
+    3.7x slower at 256 affected clusters (70.5 s vs 19.2 s, BENCH_SCALE
+    r9), and a takedown that wide is an offline-maintenance shape, not
+    a serving shape."""
     import os
     import shutil
 

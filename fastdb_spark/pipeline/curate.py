@@ -2,6 +2,7 @@
 
     quality gate -> exact dedup (canonical = min id) -> MinHash near-dedup
     (drop the higher id of every candidate pair)
+    [-> SemDeDup semantic stage (optional, ``embeddings=``)]
 
 One declarative program; Catalyst pipelines the quality projection into the
 scan, and the two dedup stages reuse the shuffle-conscious operators from
@@ -36,6 +37,11 @@ def curate_corpus(
     quality_model=None,
     min_p_good: float | None = None,
     hash_impl: str = "md5",
+    embeddings: DataFrame | None = None,
+    semantic_centroids: list[list[float]] | None = None,
+    semantic_eps: float = 0.92,
+    semantic_keep: str = "farthest",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Surviving documents with their quality metrics.
 
@@ -60,6 +66,15 @@ def curate_corpus(
     - ``hash_impl``: ``"md5"`` (oracle-parity default) or ``"fast"``
       (integer MinHash permutations — the production path at scale; see
       ``pipeline.dedup.minhash_lsh_pairs``).
+    - ``embeddings``: SemDeDup semantic stage LAST (after the lexical
+      stages — semantic near-dups that survive MinHash are exactly what
+      it exists to catch): ``(id, vec)`` rows for the corpus, scored by
+      :func:`semdedup.semantic_dedup` over ``semantic_centroids`` at
+      ``semantic_eps``; non-keepers are dropped.  Documents WITHOUT an
+      embedding row pass through unscored (the stage cannot judge
+      them) — supply full coverage for a full cut.  Requires
+      ``semantic_centroids`` (the caller owns the quantizer, same
+      frozen-centroid contract as the semantic index).
     """
     if eval_docs is not None:
         from fastdb_spark.pipeline.decontam import decontaminate
@@ -133,4 +148,24 @@ def curate_corpus(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = kept.join(drops, on=id_col, how="left_anti")
-    return survivors.select(id_col, "n_tokens", "quality", "fingerprint")
+    out = survivors.select(id_col, "n_tokens", "quality", "fingerprint")
+    if embeddings is not None:
+        if semantic_centroids is None:
+            raise ValueError(
+                "semantic stage needs semantic_centroids (the caller "
+                "owns the frozen quantizer, as with the semantic index)"
+            )
+        from fastdb_spark.pipeline.semdedup import semantic_dedup
+
+        # score only the lexical survivors' embeddings; drop non-keepers
+        # (an anti-join, so docs with no embedding row pass through)
+        emb = embeddings.join(
+            out.select(id_col), on=id_col, how="left_semi"
+        )
+        report = semantic_dedup(
+            emb, semantic_centroids, id_col=id_col, vec_col=vec_col,
+            eps=semantic_eps, keep=semantic_keep,
+        )
+        sem_drops = report.filter(~F.col("is_keeper")).select(id_col)
+        out = out.join(sem_drops, on=id_col, how="left_anti")
+    return out

@@ -153,7 +153,7 @@ DEFAULT_MAX_BUCKET = 4096
 
 
 def greedy_mis_drops(
-    pairs: DataFrame, id_col: str, max_rounds: int = 50
+    pairs: DataFrame, id_col: str, max_rounds: int | None = None
 ) -> DataFrame:
     """Ids dropped by SEQUENTIAL-GREEDY admission over a near-dup edge
     list ``(id_a, id_b)`` with ``id_a < id_b``: process ids ascending,
@@ -178,11 +178,22 @@ def greedy_mis_drops(
     in O(longest dropped-kept alternation) rounds: 1 for cliques, a few
     for chains.  Each round is one anti-join + distinct on the edge
     frame, lineage truncated per round; equal consecutive drop-counts
-    imply equal sets (nesting), so the count is a sound stop signal."""
+    imply equal sets (nesting), so the count is a sound stop signal.
+
+    The loop ALWAYS runs to the count-stable fixpoint — nesting makes
+    the per-round count strictly decreasing until convergence, so
+    termination is data-bounded (<= first-round drop count, in practice
+    the dropped/kept alternation depth) and needs no truncation.
+    ``max_rounds`` is an optional circuit-breaker for callers that want
+    a hard ceiling: exhausting it RAISES rather than returning a
+    non-converged iterate (ADVICE r9 — an even iterate over-drops,
+    re-introducing the replay phantom-admission bug this function
+    exists to fix; never a silent cap)."""
     edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     dropped = None
     prev = -1
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         if dropped is None:
             cand = edges
         else:
@@ -204,11 +215,16 @@ def greedy_mis_drops(
             # the full one-shot drop set)
             return nxt
         if n == prev:
-            break
+            return dropped
         dropped, prev = nxt, n
-    if dropped is None:
-        return pairs.sparkSession.createDataFrame([], f"{id_col} long")
-    return dropped
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"greedy_mis_drops: no fixpoint within max_rounds="
+                f"{max_rounds} (drop count still moving, last {n}); "
+                "an intermediate iterate is NOT a valid drop set — "
+                "raise max_rounds or leave it unbounded"
+            )
 
 
 def cap_bucket_sizes(

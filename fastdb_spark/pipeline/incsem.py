@@ -25,6 +25,18 @@ now-removed vector stay dropped; a re-ingest is accepted again), and
 quantizers stay frozen between rebuilds — both inherited from the IVF
 layout's contract.
 
+Guarded-regime carve-out (stated, audited): items landing in a cluster
+over ``max_cluster_size`` skip the CONTENT probe — both in-batch and
+vs-index — and are admitted as singletons (UNDER-dedup, surfaced in
+``semdedup.LAST_SEMDEDUP_AUDIT``; the guard exists to bound the GEMM
+task, and the right fix for a persistently-oversized cluster is a
+higher k, not a wider task).  Replay idempotency still holds for them:
+the ID guard (partition-pruned, id column only) always runs for
+guard-skipped rows, so a re-delivered batch classifies them ``dup``
+instead of re-appending (ADVICE r9).  What the guard regime does NOT
+catch is a content duplicate under a NEW id inside an oversized
+cluster — that is the documented under-dedup, not an idempotency hole.
+
 Scale shape: assignment is a map (frozen centroid literals or the
 Arrow GEMM path); the vs-index probe reads ONLY the batch's touched
 ``cluster=N/`` partitions (plan-assertable PartitionFilters — the
@@ -163,14 +175,27 @@ def _classify(
         # assignment computation across the probe/in-batch/fresh branches
         full = stage(full)
         pair_side = full
-    touched = [
-        int(r["cluster"])
-        for r in full.select("cluster").distinct().collect()
-    ]  # bounded by the centroid count
+    from fastdb_spark.pipeline.semdedup import LAST_SEMDEDUP_AUDIT
+
+    guarded = bool(LAST_SEMDEDUP_AUDIT["skipped_clusters"])
     vec_dir = os.path.join(path, "vectors")
+    if guarded:
+        # restrict the VECTOR read to unguarded clusters — a guarded
+        # (degenerate, over-max_cluster_size) cluster's stored side can
+        # be huge, and its new side is empty by construction, so reading
+        # its embeddings would be pure waste
+        touched_pair = [
+            int(r["cluster"])
+            for r in pair_side.select("cluster").distinct().collect()
+        ]
+    else:
+        touched_pair = [
+            int(r["cluster"])
+            for r in full.select("cluster").distinct().collect()
+        ]  # bounded by the centroid count
     old = (
         spark.read.parquet(vec_dir)
-        .filter(F.col("cluster").isin(touched))  # partition-pruned read
+        .filter(F.col("cluster").isin(touched_pair))  # partition-pruned
         .select("cluster", as_double_array(F.col(vec_col)).alias("v"))
     )
     dup = _vs_index_dups(
@@ -179,15 +204,38 @@ def _classify(
     rest = pair_side.join(dup, on=id_col, how="left_anti")
     in_batch = _inbatch_drops(rest, id_col, eps, strategy)
     fresh = rest.join(in_batch, on=id_col, how="left_anti")
-    # guard-skipped items (in `full` but not `pair_side`) pass through
-    # as fresh — UNDER-dedup, audited in LAST_SEMDEDUP_AUDIT, mirroring
-    # the batch operator's singleton semantics
+    # guard-skipped items (in `full` but not `pair_side`) skip the
+    # CONTENT probe (the guard exists to bound the GEMM task) and pass
+    # through as fresh — UNDER-dedup, audited in LAST_SEMDEDUP_AUDIT,
+    # mirroring the batch operator's singleton semantics — EXCEPT that
+    # the cheap ID guard always runs for them (ADVICE r9: without it a
+    # replayed guarded batch re-appends every row under the
+    # dedup_ids=False default, silently breaking replay idempotency
+    # exactly where the content guard already can't see).  The id check
+    # is partition-pruned and reads only the id column.
     skipped = full.join(
         pair_side.select(id_col), on=id_col, how="left_anti"
     )
+    if guarded:
+        skipped_clusters = [
+            int(r["cluster"])
+            for r in skipped.select("cluster").distinct().collect()
+        ]
+        stored_ids = (
+            spark.read.parquet(vec_dir)
+            .filter(F.col("cluster").isin(skipped_clusters))
+            .select(F.col(id_col))
+        )
+        replayed = skipped.join(stored_ids, on=id_col, how="left_semi")
+        skipped = skipped.join(stored_ids, on=id_col, how="left_anti")
+        dup_verdict = dup.select(id_col).unionByName(
+            replayed.select(id_col)
+        )
+    else:
+        dup_verdict = dup.select(id_col)
     fresh_keyed = fresh.unionByName(skipped)
     verdicts = (
-        dup.select(id_col, F.lit("dup").alias("verdict"))
+        dup_verdict.select(id_col, F.lit("dup").alias("verdict"))
         .unionByName(
             in_batch.select(id_col, F.lit("in_batch_dup").alias("verdict"))
         )
@@ -206,7 +254,7 @@ def build_semantic_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
     centroid_strategy: str = "seed",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
@@ -259,7 +307,7 @@ def semantic_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """Classify ``batch`` against the index WITHOUT mutating it — the
@@ -286,7 +334,7 @@ def semantic_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
     dedup_ids: bool = False,
 ) -> int:
@@ -345,7 +393,7 @@ def stream_semantic_index(
     vec_col: str = "embedding",
     vec_type: str = "array<float>",
     strategy: str = "gemm",
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,

@@ -706,7 +706,12 @@ def semindex_values_sql(
         or os.environ.get("SF_DIR")
         or "/root/testdata/sf0.01"
     )
-    key = (eps, n_centers, spread, dim, sf_dir)
+    # cache key includes the corpus file identity (mtime+size), not just
+    # its path — a regenerated parquet at the same path must not serve a
+    # stale membership (ADVICE r9)
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = (eps, n_centers, spread, dim, sf_dir, st.st_mtime_ns, st.st_size)
     if key in _SEMINDEX_CACHE:
         return _SEMINDEX_CACHE[key]
     con = duckdb.connect()
@@ -758,13 +763,26 @@ def semindex_values_sql(
     b2 = [v for v in cluster if v % 2 == 1]
     b2rest = [v for v in b2 if not (adj.get(v, set()) & idxr)]
     final = sorted(idxr | greedy(b2rest))
-    rows = ",\n          ".join(
-        f"({v}, {cluster[v]})" for v in final
-    )
-    sql = f"""
-        SELECT CAST(c0 AS BIGINT) AS vec_id, CAST(c1 AS INTEGER) AS cluster
-        FROM (VALUES {rows}) AS t(c0, c1)
-    """
+    if final:
+        rows = ",\n          ".join(
+            f"({v}, {cluster[v]})" for v in final
+        )
+        sql = f"""
+            SELECT CAST(c0 AS BIGINT) AS vec_id,
+                   CAST(c1 AS INTEGER) AS cluster
+            FROM (VALUES {rows}) AS t(c0, c1)
+        """
+    else:
+        # 'FROM (VALUES )' is invalid SQL — an empty final membership
+        # (possible only on a degenerate corpus: admission keeps each
+        # eps-group's minimum id, so non-empty input => non-empty index
+        # unless the takedown removed everything) becomes an explicit
+        # zero-row SELECT with the same schema (ADVICE r9)
+        sql = """
+            SELECT CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS INTEGER) AS cluster
+            WHERE FALSE
+        """
     _SEMINDEX_CACHE[key] = sql
     return sql
 
@@ -808,7 +826,14 @@ def bpe_train_values_sql(
         or os.environ.get("SF_DIR")
         or "/root/testdata/sf0.01"
     )
-    key = (n_merges, max_words, min_count, sf_dir)
+    # same stale-cache discipline as semindex_values_sql: key on the
+    # corpus file identity, not just its path
+    _doc = os.path.join(sf_dir, "documents.parquet")
+    _dst = os.stat(_doc)
+    key = (
+        n_merges, max_words, min_count, sf_dir,
+        _dst.st_mtime_ns, _dst.st_size,
+    )
     if key in _BPE_VALUES_CACHE:
         return _BPE_VALUES_CACHE[key]
     hist = duckdb.sql(

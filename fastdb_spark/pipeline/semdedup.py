@@ -68,7 +68,7 @@ def assign_clusters(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    strategy: str = "expr",
+    strategy: str = "gemm",
 ) -> DataFrame:
     """Frozen-centroid assignment plus the paper's ranking signal.
 
@@ -76,17 +76,25 @@ def assign_clusters(
     to the lowest centroid id) and ``cos_c`` (cosine to the OWN
     centroid, rounded at 9 like the argmax saw it).
 
-    ``strategy='expr'`` (default, the oracle twin): pure column
-    expressions via :func:`ann.with_ivf_cluster` — no join, no shuffle,
-    bit-exact with duckdb, but the k cosines per row are interpreted
-    catalyst folds: measured 136 s for 1M rows at k=256/dim=32.
-    ``strategy='gemm'`` (the scale path): one Arrow ``mapInPandas``
-    batch GEMM (``V_n @ C_n.T``, round 9, argmax — numpy's first-max
-    tie rule equals the expr path's lowest-centroid-id rule): same
-    1M-row assignment in ~3 s.  Emits ONLY ``(id, vec, cluster,
-    cos_c)`` (mapInPandas declares its schema); last-ULP GEMM-vs-fold
-    differences can survive round 9, so the adjudicated gate keeps
-    'expr' while equality on real corpora is regression-tested.
+    ``strategy='gemm'`` (default — the scale path, production-default
+    since round 10): one Arrow ``mapInPandas`` batch GEMM (``V_n @
+    C_n.T``, round 9, argmax — numpy's first-max tie rule equals the
+    expr path's lowest-centroid-id rule): 1M-row assignment at k=256 in
+    ~3 s, and k never enters the plan, so plan analysis stays O(1) in
+    the cluster count.  Every input column passes through unchanged
+    (``vec_col`` cast to ``array<double>``); ``cluster``/``cos_c`` are
+    appended (pre-existing columns of those names are replaced).
+    ``strategy='expr'``: the oracle twin — pure column expressions via
+    :func:`ann.with_ivf_cluster`, bit-exact with duckdb's
+    ``list_dot_product`` fold, but the k cosines per row are
+    interpreted Catalyst folds (measured 136 s for 1M rows at
+    k=256/dim=32, plus ~8 s of DRIVER-side plan analysis per
+    materialization even at k=25) — adjudication gates pin it by name.
+    Last-ULP GEMM-vs-fold differences can survive round 9; the
+    ``semantic_index_roundtrip`` gate runs 'gemm' anyway (membership
+    output only — no cosine column in the hash), backed by the
+    gemm==expr equality regression test, while value-hashing gates
+    (``semantic_dedup``, which emits ``cos_c``) pin 'expr'.
     """
     if strategy == "expr":
         from fastdb_spark.pipeline.ann import with_ivf_cluster
@@ -101,6 +109,13 @@ def assign_clusters(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     C = np.array(centroids, dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -112,25 +127,25 @@ def assign_clusters(
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = np.round(Vn @ Cn.T, 9)
             cl = S.argmax(axis=1)  # first max == lowest centroid id
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cluster": cl.astype(np.int32),
-                    "cos_c": S[np.arange(len(cl)), cl],
-                }
-            )
+            out = pdf.copy()
+            out["cluster"] = cl.astype(np.int32)
+            out["cos_c"] = S[np.arange(len(cl)), cl]
+            yield out
 
-    keyed = df.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+    # all input columns pass through (payload columns survive an index
+    # build — the round-9 gemm path kept only (id, vec) and silently
+    # dropped the rest, which is why it could not be the default)
+    keyed = df.withColumn(vec_col, as_double_array(F.col(vec_col))).drop(
+        "cluster", "cos_c"
     )
-    return keyed.mapInPandas(
-        batches,
-        schema=(
-            f"{id_col} long, {vec_col} array<double>, "
-            "cluster int, cos_c double"
-        ),
+    out_schema = StructType(
+        keyed.schema.fields
+        + [
+            StructField("cluster", IntegerType()),
+            StructField("cos_c", DoubleType()),
+        ]
     )
+    return keyed.mapInPandas(batches, schema=out_schema)
 
 
 def _pairs_expr(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
@@ -193,7 +208,7 @@ def _guarded_keyed(
     id_col: str,
     vec_col: str,
     max_cluster_size: int | None,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> tuple[DataFrame, DataFrame]:
     """Assignment + the oversized-cluster guard, computed ONCE.
 
@@ -276,7 +291,7 @@ def semantic_pairs(
     eps: float = 0.92,
     strategy: str = "gemm",
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> DataFrame:
     """Within-cluster cosine pairs above ``eps``: (id_a, id_b, cos).
 
@@ -300,7 +315,7 @@ def semantic_dedup(
     keep: str = "farthest",
     strategy: str = "gemm",
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
-    assign_strategy: str = "expr",
+    assign_strategy: str = "gemm",
 ) -> DataFrame:
     """Per-item SemDeDup report: one row per input item with
     ``(id, cluster, cos_c, group_id, group_size, is_keeper)``.

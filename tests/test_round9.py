@@ -773,31 +773,27 @@ LAGGARDS_R10 = {
 
 
 def test_rotation_invariant_r9():
-    """The r8 driver window union the r9 window covers every registered
-    gate EXCEPT exactly the named r10 laggards; the gates born this
-    round lead the window (rule a); the r8-named laggards sit right
-    behind them (rule b — VERDICT r8 #1 executed); the new laggards
-    head the tail so a plain rotation forward covers them first."""
+    """Three-round coverage invariant, r9 edition (artifact-based — the
+    registry has since rotated forward to the r10 order): the r8 and r9
+    DRIVER windows, from the recorded CORRECTNESS artifacts, cover
+    every gate registered at r9 except exactly the named r10 laggards,
+    which now LEAD the r10 window (asserted structurally in
+    tests/test_round10.py).  Rule (a) held at r9: the seven gates born
+    that round all landed driver rows in its window."""
     import json
     import os
 
     import __spark_entry__ as em
-    from tests.test_round8 import LAGGARDS_R8
 
-    registry = list(em.queries())
-    window_r9 = set(registry[:50])
     root = os.path.dirname(os.path.abspath(em.__file__))
     with open(os.path.join(root, "CORRECTNESS_r08.json")) as f:
         window_r8 = set(json.load(f))
-    uncovered = set(registry) - window_r8 - window_r9
+    with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
+        window_r9 = set(json.load(f))
+    registry = set(em.queries())  # no gates born in r10
+    uncovered = registry - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
-    # rule (a): gates born this round lead the window.  The probe and
-    # compaction gates (born late in r9) re-adjudicate the touched
-    # probe/upsert shared path and the roundtrip write path end to end
-    # — strictly stronger than the r8-green roundtrip gates they
-    # displace to the tail (coverage invariant above still holds:
-    # both displaced gates are in window_r8).
-    assert registry[:7] == [
+    born_r9 = {
         "media_index_av_roundtrip",
         "doc_similar_w2v_exact",
         "dedup_index_probe",
@@ -805,24 +801,11 @@ def test_rotation_invariant_r9():
         "media_index_probe",
         "semantic_dedup",
         "semantic_index_roundtrip",
-    ]
-    assert {"media_index_roundtrip", "dedup_index_roundtrip"} <= window_r8
-    # rule (b): the r8-named laggards follow immediately
-    assert set(registry[7:15]) == LAGGARDS_R8
-    # the named r10 laggards head the tail
-    assert set(registry[50:65]) == LAGGARDS_R10
-    # all seven new gates carry exact oracles
+    }
+    assert born_r9 <= window_r9
+    # all seven r9-born gates carry exact oracles
     oracles = em.oracle_sql()
-    for g in (
-        "media_index_av_roundtrip",
-        "doc_similar_w2v_exact",
-        "dedup_index_probe",
-        "dedup_index_compaction",
-        "media_index_probe",
-        "semantic_dedup",
-        "semantic_index_roundtrip",
-    ):
-        assert g in oracles
+    assert born_r9 <= set(oracles)
 
 
 # ---------------------------------------------------------------------------
