@@ -140,6 +140,36 @@ def test_build_ivf_index_gemm_default_keeps_payload(spark, tmp_path):
     assert stored.count() == 8
 
 
+def test_ivf_writes_are_cluster_aligned(spark, tmp_path):
+    """Build and upsert both repartition on the cluster key before the
+    partitionBy write: ONE file per cluster per write, not tasks x
+    clusters (80k sliver files per 100k-row upsert at k=2500 without
+    it)."""
+    import glob
+
+    from fastdb_spark.pipeline.ann import build_ivf_index, ivf_index_upsert
+
+    df = spark.range(0, 2000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 4 as double), cast(1 - id % 4 as double)) "
+        "as embedding",
+    ).repartition(8)  # many input tasks on purpose
+    path = str(tmp_path / "aligned")
+    build_ivf_index(df, path, n_clusters=4, strategy="seed")
+    for cdir in glob.glob(os.path.join(path, "vectors", "cluster=*")):
+        files = glob.glob(os.path.join(cdir, "part-*"))
+        assert len(files) == 1, (cdir, files)
+    batch = spark.range(10_000, 12_000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 4 as double), cast(1 - id % 4 as double)) "
+        "as embedding",
+    ).repartition(8)
+    ivf_index_upsert(batch, path)
+    for cdir in glob.glob(os.path.join(path, "vectors", "cluster=*")):
+        files = glob.glob(os.path.join(cdir, "part-*"))
+        assert len(files) <= 2, (cdir, files)
+
+
 # ---------------------------------------------------------------------------
 # greedy_mis_drops fixpoint discipline (ADVICE r9)
 
