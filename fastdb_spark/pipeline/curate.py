@@ -157,8 +157,9 @@ def curate_corpus(
             )
         from fastdb_spark.pipeline.semdedup import semantic_dedup
 
-        # score only the lexical survivors' embeddings; drop non-keepers
-        # (an anti-join, so docs with no embedding row pass through)
+        # score only the lexical survivors' embeddings (left_semi);
+        # non-keepers drop via the left_anti below, so docs with no
+        # embedding row — hence no report row — pass through unscored
         emb = embeddings.join(
             out.select(id_col), on=id_col, how="left_semi"
         )

@@ -218,7 +218,11 @@ def greedy_mis_drops(
             return dropped
         dropped, prev = nxt, n
         rounds += 1
-        if max_rounds is not None and rounds >= max_rounds:
+        # `>` not `>=`: data converging in exactly max_rounds productive
+        # rounds still gets its confirmation round (n == prev above) —
+        # the ceiling only fires when the count is STILL moving after
+        # max_rounds moves (round-10 review finding)
+        if max_rounds is not None and rounds > max_rounds:
             raise RuntimeError(
                 f"greedy_mis_drops: no fixpoint within max_rounds="
                 f"{max_rounds} (drop count still moving, last {n}); "

@@ -167,7 +167,12 @@ def _classify(
     p = _sem_params(path)
     eps = p["eps"]
     cents = _load_centroids(spark, path)
-    full, pair_side = _guarded_keyed(
+    # `guarded` comes from the RETURN VALUE, never from the process-
+    # global LAST_SEMDEDUP_AUDIT: a concurrent _guarded_keyed call (a
+    # second index's stream, a batch semantic_dedup) resets the global
+    # between our computation and our read, and a wrong False here
+    # silently skips the replay id-guard (round-10 review finding)
+    full, pair_side, guarded = _guarded_keyed(
         batch, cents, id_col, vec_col, max_cluster_size, assign_strategy
     )
     if max_cluster_size is None:
@@ -175,9 +180,6 @@ def _classify(
         # assignment computation across the probe/in-batch/fresh branches
         full = stage(full)
         pair_side = full
-    from fastdb_spark.pipeline.semdedup import LAST_SEMDEDUP_AUDIT
-
-    guarded = bool(LAST_SEMDEDUP_AUDIT["skipped_clusters"])
     vec_dir = os.path.join(path, "vectors")
     if guarded:
         # restrict the VECTOR read to unguarded clusters — a guarded
@@ -217,15 +219,17 @@ def _classify(
         pair_side.select(id_col), on=id_col, how="left_anti"
     )
     if guarded:
+        from fastdb_spark.pipeline.ann import _stored_ids_for_clusters
+
         skipped_clusters = [
             int(r["cluster"])
             for r in skipped.select("cluster").distinct().collect()
         ]
-        stored_ids = (
-            spark.read.parquet(vec_dir)
-            .filter(F.col("cluster").isin(skipped_clusters))
-            .select(F.col(id_col))
-        )
+        # checkpoint: the pruned id scan feeds TWO joins (left_semi +
+        # left_anti) — materialize it once instead of scanning twice
+        stored_ids = _stored_ids_for_clusters(
+            spark, path, skipped_clusters, id_col
+        ).localCheckpoint(eager=True)
         replayed = skipped.join(stored_ids, on=id_col, how="left_semi")
         skipped = skipped.join(stored_ids, on=id_col, how="left_anti")
         dup_verdict = dup.select(id_col).unionByName(
@@ -279,7 +283,7 @@ def build_semantic_index(
         df, n_clusters, id_col, vec_col,
         strategy=centroid_strategy, seed=seed,
     )
-    full, pair_side = _guarded_keyed(
+    full, pair_side, _guarded = _guarded_keyed(
         df, cents, id_col, vec_col, max_cluster_size, assign_strategy
     )
     drops = _inbatch_drops(pair_side, id_col, eps, strategy)

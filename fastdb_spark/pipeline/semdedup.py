@@ -209,15 +209,19 @@ def _guarded_keyed(
     vec_col: str,
     max_cluster_size: int | None,
     assign_strategy: str = "gemm",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, bool]:
     """Assignment + the oversized-cluster guard, computed ONCE.
 
-    Returns ``(full, pair_side)`` — both ``(id, v, cluster, cos_c)``.
-    ``full`` keeps every member (the per-item report needs skipped
-    members too — as singletons); ``pair_side`` has guarded clusters
-    filtered out, with the skip audited in ``LAST_SEMDEDUP_AUDIT``.
-    With the guard on, both views read ONE staged (cached) frame, so
-    assignment is computed once."""
+    Returns ``(full, pair_side, guarded)`` — frames both ``(id, v,
+    cluster, cos_c)``.  ``full`` keeps every member (the per-item
+    report needs skipped members too — as singletons); ``pair_side``
+    has guarded clusters filtered out; ``guarded`` is True iff at
+    least one cluster was skipped.  Callers whose CORRECTNESS depends
+    on the guard verdict (incsem's replay id-guard) must use the
+    returned flag — ``LAST_SEMDEDUP_AUDIT`` is a process-global
+    observability channel that any concurrent call resets, never a
+    decision input.  With the guard on, both views read ONE staged
+    (cached) frame, so assignment is computed once."""
     LAST_SEMDEDUP_AUDIT["skipped_clusters"] = 0
     LAST_SEMDEDUP_AUDIT["sample"] = []
     keyed = assign_clusters(
@@ -229,7 +233,7 @@ def _guarded_keyed(
         "cos_c",
     )
     if max_cluster_size is None:
-        return keyed, keyed
+        return keyed, keyed, False
     # The frame is cachereg-staged so the size job, the pair job, and
     # the report all share ONE assignment computation (the hash_matches
     # audit shape; the consumer's release_staged() frees it).  Sizes
@@ -255,7 +259,7 @@ def _guarded_keyed(
         (int(r["cluster"]), int(r["_csz"])) for r in over
     )[:100]
     if not over:
-        return full, full
+        return full, full, False
     skipped = F.array(*[F.lit(int(r["cluster"])) for r in over])
     if len(over) <= 100:
         # the audit saw every oversized cluster (bounded collect hit at
@@ -271,7 +275,7 @@ def _guarded_keyed(
             .select("cluster")
         )
         pair_side = full.join(F.broadcast(keep), "cluster")
-    return full, pair_side
+    return full, pair_side, True
 
 
 def _pairs(keyed: DataFrame, id_col: str, eps: float, strategy: str):
@@ -300,7 +304,7 @@ def semantic_pairs(
     Oversized clusters (> ``max_cluster_size``) are skipped and audited
     in ``LAST_SEMDEDUP_AUDIT`` — their members come out as singletons.
     """
-    _, pair_side = _guarded_keyed(
+    _, pair_side, _guarded = _guarded_keyed(
         df, centroids, id_col, vec_col, max_cluster_size, assign_strategy
     )
     return _pairs(pair_side, id_col, eps, strategy)
@@ -335,7 +339,7 @@ def semantic_dedup(
     # report; with the guard on, both read one staged (cached) frame.
     # Guarded clusters are filtered from PAIRING only — their members
     # still appear in the report, as singletons.
-    full, pair_side = _guarded_keyed(
+    full, pair_side, _guarded = _guarded_keyed(
         df, centroids, id_col, vec_col, max_cluster_size, assign_strategy
     )
     asg = full.select(F.col(id_col), "cluster", "cos_c")

@@ -211,6 +211,21 @@ def test_greedy_mis_ceiling_ok_when_converged(spark):
     assert sorted(r["doc_id"] for r in drops.collect()) == [1, 2, 3]
 
 
+def test_greedy_mis_ceiling_exact_boundary_not_premature(spark):
+    """Converging in EXACTLY max_rounds productive rounds is success —
+    the confirmation round must not count against the ceiling (the
+    round-10 review's off-by-one)."""
+    from fastdb_spark.pipeline.dedup import greedy_mis_drops
+
+    # a clique's first iterate IS the fixpoint: 1 productive round
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "id_a long, id_b long",
+    )
+    drops = greedy_mis_drops(clique, "doc_id", max_rounds=1)
+    assert sorted(r["doc_id"] for r in drops.collect()) == [1, 2, 3]
+
+
 # ---------------------------------------------------------------------------
 # guarded-regime replay idempotency (ADVICE r9): the id guard always
 # runs for guard-skipped rows

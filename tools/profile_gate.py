@@ -3,15 +3,17 @@ discipline: a noisy gate needs a reproduced number with an explanation,
 not another co-tenancy shrug).
 
 Runs one named gate K times in ONE session (bench.py conditions: noop
-sink, cache released between runs), prints per-run wall times plus the
-executor-side aggregate metrics that separate "the plan got slower"
-from "the host was busy": total task time, shuffle bytes written, and
-GC time, via the SparkListener-free route of diffing
-``sc.statusTracker``-independent accumulators exposed on
-``spark.sparkContext._jsc.sc().statusStore()``... which pyspark does
-not expose portably — so instead each run records wall time AND
-process CPU time: a run where wall >> cpu-delta is host steal, a run
-where cpu-delta itself grows is a real plan cost.
+sink, cache released between runs) and prints per-run wall times.  The
+run-index PROFILE is the signal: a gate whose cost decays run-over-run
+(run0 >> run1 > steady) is paying JVM whole-stage-codegen compilation
+and JIT tiering, not plan cost; a gate whose steady state moved
+between code versions has a real plan change; and re-running at a
+different parallelism separates shuffle-width effects from both.
+``driver_cpu_s`` is the PYTHON CLI process CPU only — in local-mode
+PySpark, Catalyst analysis and task execution burn CPU in the JVM
+child and Python workers, NOT here, so this column can only show that
+the CLI itself was idle (it cannot detect a plan regression; use the
+run-index profile and cross-version steady states for that).
 
 Usage: python tools/profile_gate.py <gate> [runs] [parallelism]
        SF_DIR=/root/testdata/sf0.1 python tools/profile_gate.py alert_reconstruct 5
