@@ -437,9 +437,17 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    from fastdb_spark.pipeline import semdedup as _sd
+
+    _gemm_block = _sd.GEMM_ROW_BLOCK  # bound driver-side (see _pairs_gemm)
+
     def _score(apdf: "pd.DataFrame", bpdf: "pd.DataFrame", upper: bool):
         """GEMM one side against the other; emit (min_id, max_id, cos).
-        Sides carry distinct column names (v/rv, id/rid) — see below."""
+        Sides carry distinct column names (v/rv, id/rid) — see below.
+        Row-blocked (``semdedup.GEMM_ROW_BLOCK``) so per-task transient
+        memory is O(block * |b-side|), not O(|a| * |b|) — the cos
+        matrix, not the input rows, is what blows up on a fat block or
+        bucket (round-10 audit)."""
         if not len(apdf) or not len(bpdf):
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
@@ -450,18 +458,28 @@ def embedding_neardup_pairs(
         bid = bpdf["rid" if "rid" in bpdf else id_col].to_numpy(dtype=np.int64)
         an = np.sqrt((am * am).sum(axis=1))
         bn = np.sqrt((bm * bm).sum(axis=1))
-        cos = np.round((am @ bm.T) / np.outer(an, bn), 6)
-        # one emission per unordered pair: the diagonal block sees both
-        # orders of each pair, off-diagonal blocks see each pair once
-        keep = (cos >= threshold) & (aid[:, None] < bid[None, :])
-        if upper:
+        out = []
+        for s in range(0, len(aid), _gemm_block):
+            e = min(s + _gemm_block, len(aid))
+            cos = np.round((am[s:e] @ bm.T) / np.outer(an[s:e], bn), 6)
+            # one emission per unordered pair: the diagonal block sees
+            # both orders of each pair, off-diagonal blocks see each once
+            asl = aid[s:e]
+            keep = (cos >= threshold) & (asl[:, None] < bid[None, :])
+            if not upper:
+                keep |= (cos >= threshold) & (asl[:, None] > bid[None, :])
             r, c = np.nonzero(keep)
-        else:
-            keep |= (cos >= threshold) & (aid[:, None] > bid[None, :])
-            r, c = np.nonzero(keep)
-        lo = np.minimum(aid[r], bid[c])
-        hi = np.maximum(aid[r], bid[c])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[r, c]})
+            out.append(
+                (np.minimum(asl[r], bid[c]), np.maximum(asl[r], bid[c]),
+                 cos[r, c])
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([t[0] for t in out]),
+                "id_b": np.concatenate([t[1] for t in out]),
+                "cos": np.concatenate([t[2] for t in out]),
+            }
+        )
 
     spark = df.sparkSession
     keyed = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))

@@ -124,6 +124,10 @@ def _vs_index_dups(
     import numpy as np
     import pandas as pd
 
+    from fastdb_spark.pipeline import semdedup as _sd
+
+    block = _sd.GEMM_ROW_BLOCK  # bound driver-side (see _pairs_gemm)
+
     def kernel(key, npdf: "pd.DataFrame", opdf: "pd.DataFrame"):
         if not len(npdf) or not len(opdf):
             return pd.DataFrame({id_col: []}).astype({id_col: np.int64})
@@ -131,9 +135,16 @@ def _vs_index_dups(
         om = np.array(opdf["_ov"].tolist(), dtype=np.float64)
         nn = np.sqrt((nm * nm).sum(axis=1))
         on = np.sqrt((om * om).sum(axis=1))
-        cos = np.round((nm @ om.T) / np.outer(nn, on), 6)
-        hit = (cos >= eps).any(axis=1)
-        return pd.DataFrame({id_col: npdf[id_col].to_numpy()[hit]})
+        ids = npdf[id_col].to_numpy()
+        # blocked over the NEW side: memory O(block * stored), not
+        # O(new * stored) — a backfill batch against a fat cluster is
+        # exactly where the unblocked matrix blows up (round-10 audit)
+        hits = []
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            cos = np.round((nm[s:e] @ om.T) / np.outer(nn[s:e], on), 6)
+            hits.append(ids[s:e][(cos >= eps).any(axis=1)])
+        return pd.DataFrame({id_col: np.concatenate(hits)})
 
     return (
         new_keyed.select("cluster", id_col, "v")

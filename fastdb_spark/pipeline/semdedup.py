@@ -18,9 +18,10 @@ Spark-first decomposition — every stage reuses an already-proven shape:
 2. **Within-cluster pairs** shuffle once on the cluster key.  The
    production path is one Arrow ``applyInPandas`` GEMM per cluster
    (same kernel shape as ``dedup.embedding_neardup_pairs``); per-task
-   memory is O(m·d) and compute O(m²·d) for an m-member cluster, so k
-   is the knob that bounds the task (the paper runs 110k clusters over
-   LAION-440M ≈ 4k rows each).  ``max_cluster_size`` guards degenerate
+   memory is O(m·d + block·m) — the matmul runs in ``GEMM_ROW_BLOCK``
+   row slabs, round 10 — and compute O(m²·d) for an m-member cluster,
+   so k is the knob that bounds the task (the paper runs 110k clusters
+   over LAION-440M ≈ 4k rows each).  ``max_cluster_size`` guards degenerate
    clusterings: oversized clusters are skipped (members stay
    singletons) and the skip is surfaced in ``LAST_SEMDEDUP_AUDIT`` —
    never a silent cap.  ``strategy='expr'`` is the pure
@@ -51,8 +52,12 @@ from pyspark.sql import functions as F
 from fastdb_spark.functions.vectors import as_double_array, cosine
 
 #: GEMM-task guard default, matching ``embedding_neardup_pairs``'s LSH
-#: bucket cap: one 65536-member cluster is a ~2 GiB float64 task at
-#: d=4096 — above that, fix the clustering (raise k), don't widen tasks.
+#: bucket cap.  The guard bounds per-task INPUT (a 65536-member cluster
+#: is ~2 GiB of float64 rows at d=4096) and COMPUTE (O(m^2 * d)); the
+#: row-blocked kernels (``GEMM_ROW_BLOCK``) bound the cos-matrix
+#: transient at O(block * m) independently, so the m x m intermediate
+#: can never OOM a task whatever the guard allows.  Above the guard,
+#: fix the clustering (raise k), don't widen tasks.
 DEFAULT_MAX_CLUSTER = 65536
 
 #: Truncation audit (reset per :func:`semantic_pairs` call): clusters
@@ -173,14 +178,31 @@ def _pairs_expr(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
     )
 
 
+#: Row-block size for the per-cluster GEMM kernels: the cos matrix is
+#: computed in (block x m) slabs, so per-task transient memory is
+#: O(block * m) — ~1 GiB at the worst-case m = DEFAULT_MAX_CLUSTER —
+#: instead of the O(m^2) full matrix (34 GiB at m = 65536: the round-10
+#: audit found the cluster guard bounded the INPUT and the compute but
+#: not the m x m intermediate).  Values are identical: round-6 is
+#: applied per element.  Tests shrink this to force the multi-block
+#: path.
+GEMM_ROW_BLOCK = 2048
+
+
 def _pairs_gemm(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
     """One Arrow GEMM task per cluster — the production path.
 
     Same scoring arithmetic as ``dedup.embedding_neardup_pairs``'s
     kernel (float64 matmul, round 6): driver-adjudicated against
-    ``list_dot_product`` since round 7 on the neardup gate."""
+    ``list_dot_product`` since round 7 on the neardup gate.  The matmul
+    runs in ``GEMM_ROW_BLOCK``-row slabs so memory stays O(block * m)
+    however large the cluster."""
     import numpy as np
     import pandas as pd
+
+    # bind DRIVER-side: a worker-side module import would re-read the
+    # default and ignore test overrides (and any runtime tuning)
+    block = GEMM_ROW_BLOCK
 
     def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
@@ -190,11 +212,21 @@ def _pairs_gemm(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
         m = np.array(pdf["v"].tolist(), dtype=np.float64)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         n = np.sqrt((m * m).sum(axis=1))
-        cos = np.round((m @ m.T) / np.outer(n, n), 6)
-        keep = (cos >= eps) & (ids[:, None] < ids[None, :])
-        r, c = np.nonzero(keep)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            cos = np.round((m[s:e] @ m.T) / np.outer(n[s:e], n), 6)
+            keep = (cos >= eps) & (ids[s:e, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            out_a.append(ids[s:e][r])
+            out_b.append(ids[c])
+            out_c.append(cos[r, c])
         return pd.DataFrame(
-            {"id_a": ids[r], "id_b": ids[c], "cos": cos[r, c]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
 
     return keyed.groupBy("cluster").applyInPandas(
