@@ -123,6 +123,15 @@ def assign_clusters(
 
     C = np.array(centroids, dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # bound the (rows x k) score matrix the same way the pair kernels
+    # bound m x m (round-10 audit): row slabs x centroid chunks with a
+    # running argmax — at SemDeDup-paper scale (k=110,000) an unblocked
+    # Arrow batch of 10k rows would materialize an 8.8 GiB S matrix.
+    # Strict `>` on the running update preserves the first-max (lowest
+    # centroid id) tie rule across chunk boundaries; round-9 is applied
+    # per element exactly as before.
+    row_block = GEMM_ROW_BLOCK
+    cent_chunk = CENTROID_CHUNK
 
     def batches(it):
         for pdf in it:
@@ -130,11 +139,26 @@ def assign_clusters(
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = np.round(Vn @ Cn.T, 9)
-            cl = S.argmax(axis=1)  # first max == lowest centroid id
+            n = len(Vn)
+            cl = np.empty(n, dtype=np.int32)
+            cc = np.empty(n, dtype=np.float64)
+            for rs in range(0, n, row_block):
+                re_ = min(rs + row_block, n)
+                best = np.full(re_ - rs, -np.inf)
+                bidx = np.zeros(re_ - rs, dtype=np.int64)
+                for cs in range(0, len(Cn), cent_chunk):
+                    ce = min(cs + cent_chunk, len(Cn))
+                    S = np.round(Vn[rs:re_] @ Cn[cs:ce].T, 9)
+                    a = S.argmax(axis=1)
+                    m = S[np.arange(len(a)), a]
+                    upd = m > best  # strict: earlier chunk wins ties
+                    bidx[upd] = a[upd] + cs
+                    best[upd] = m[upd]
+                cl[rs:re_] = bidx.astype(np.int32)
+                cc[rs:re_] = best
             out = pdf.copy()
-            out["cluster"] = cl.astype(np.int32)
-            out["cos_c"] = S[np.arange(len(cl)), cl]
+            out["cluster"] = cl
+            out["cos_c"] = cc
             yield out
 
     # all input columns pass through (payload columns survive an index
@@ -187,6 +211,12 @@ def _pairs_expr(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
 #: applied per element.  Tests shrink this to force the multi-block
 #: path.
 GEMM_ROW_BLOCK = 2048
+
+#: Centroid-chunk size for the assignment GEMM's running argmax — bounds
+#: the (row-slab x k) score matrix at O(GEMM_ROW_BLOCK * CENTROID_CHUNK)
+#: (~268 MiB) however many clusters the quantizer has.  Tests shrink it
+#: to force chunk-boundary tie handling.
+CENTROID_CHUNK = 16384
 
 
 def _pairs_gemm(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:

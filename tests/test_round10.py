@@ -341,6 +341,41 @@ def test_blocked_gemm_kernels_match_unblocked(spark, monkeypatch):
     assert canon(ng) == canon(ne) and len(ng) > 3
 
 
+def test_blocked_assignment_matches_expr_across_chunk_ties(
+    spark, monkeypatch
+):
+    """Shrinking both blocking knobs forces multi-slab rows AND
+    multi-chunk centroids in the assignment GEMM; the running argmax
+    must preserve the lowest-centroid-id tie rule across chunk
+    boundaries (strict > update), matching the expr twin exactly."""
+    import math
+
+    from fastdb_spark.pipeline import semdedup as sd
+
+    monkeypatch.setattr(sd, "GEMM_ROW_BLOCK", 3)
+    monkeypatch.setattr(sd, "CENTROID_CHUNK", 2)
+    # centroids 1 and 3 are IDENTICAL (a cross-chunk tie at chunk=2);
+    # vectors near them must assign to the LOWER id (1)
+    cents = [
+        [1.0, 0.0], [0.0, 1.0], [math.sqrt(0.5), math.sqrt(0.5)],
+        [0.0, 1.0], [-1.0, 0.0],
+    ]
+    rows = [
+        (i, [math.cos(0.3 * i), abs(math.sin(0.3 * i))]) for i in range(17)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = {
+        r["vec_id"]: (r["cluster"], r["cos_c"])
+        for r in sd.assign_clusters(df, cents, strategy="gemm").collect()
+    }
+    e = {
+        r["vec_id"]: (r["cluster"], r["cos_c"])
+        for r in sd.assign_clusters(df, cents, strategy="expr").collect()
+    }
+    assert {k: v[0] for k, v in g.items()} == {k: v[0] for k, v in e.items()}
+    assert 3 not in {v[0] for v in g.values()}  # ties go to centroid 1
+
+
 def test_blocked_vs_index_probe_matches_expr(spark, tmp_path, monkeypatch):
     from fastdb_spark.pipeline import semdedup as sd
     from fastdb_spark.pipeline.incsem import (
