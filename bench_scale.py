@@ -1098,42 +1098,58 @@ def bench_semindex(spark) -> dict:
         )
         out["build_1m_s"] = round(time.perf_counter() - t0, 2)
         out["build_1m_admitted"] = n_built
+        skip = set(
+            filter(None, os.environ.get("SCALE_SEMINDEX_SKIP", "").split(","))
+        )
         batch = vecs(n, n + inc, twin_of=n)
         t0 = time.perf_counter()
-        verdicts = semantic_index_probe(
+        verdicts = None if "probe" in skip else semantic_index_probe(
             spark, batch, path, assign_strategy="gemm"
         )
-        hist = {
-            r["verdict"]: r["n"]
-            for r in verdicts.groupBy("verdict")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        out["probe_100k_s"] = round(time.perf_counter() - t0, 2)
-        out["probe_100k_verdicts"] = hist
-        t0 = time.perf_counter()
-        appended = semantic_index_upsert(
-            batch, path, assign_strategy="gemm"
-        )
-        out["upsert_100k_s"] = round(time.perf_counter() - t0, 2)
-        out["upsert_100k_appended"] = appended
-        t0 = time.perf_counter()
-        replayed = semantic_index_upsert(
-            batch, path, assign_strategy="gemm", dedup_ids=True
-        )
-        out["replay_100k_s"] = round(time.perf_counter() - t0, 2)
-        out["replay_100k_appended"] = replayed
+        if verdicts is not None:
+            hist = {
+                r["verdict"]: r["n"]
+                for r in verdicts.groupBy("verdict")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out["probe_100k_s"] = round(time.perf_counter() - t0, 2)
+            out["probe_100k_verdicts"] = hist
+        if "upsert" not in skip:
+            t0 = time.perf_counter()
+            appended = semantic_index_upsert(
+                batch, path, assign_strategy="gemm"
+            )
+            out["upsert_100k_s"] = round(time.perf_counter() - t0, 2)
+            out["upsert_100k_appended"] = appended
+        if "replay" not in skip:
+            t0 = time.perf_counter()
+            replayed = semantic_index_upsert(
+                batch, path, assign_strategy="gemm", dedup_ids=True
+            )
+            out["replay_100k_s"] = round(time.perf_counter() - t0, 2)
+            out["replay_100k_appended"] = replayed
+        # SCALE_SEMINDEX_RM_STEP picks the takedown spread: step 100
+        # lands the 1k ids on gcd-bound clusters (25 at k=2500 — the
+        # NARROW pruned path); a step coprime to k (e.g. 101) spreads
+        # them over ~min(1000, k) clusters — the WIDE bulk
+        # dynamic-overwrite path.  SCALE_SEMINDEX_SKIP="probe,upsert,
+        # replay,compact" trims the series to build+takedown.
+        rm_step = int(os.environ.get("SCALE_SEMINDEX_RM_STEP", 100))
         t0 = time.perf_counter()
         out["takedown_1k_removed"] = semantic_index_remove(
-            spark, list(range(0, 100_000, 100)), path
+            spark, list(range(0, 100_000, rm_step)), path
         )
         out["takedown_1k_s"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        c = compact_semantic_index(spark, path, min_files=1)
-        out["compact_s"] = round(time.perf_counter() - t0, 2)
-        out["compact_files"] = (
-            f"{c['vectors']['files_before']}->{c['vectors']['files_after']}"
-        )
+        out["takedown_rm_step"] = rm_step
+        if "compact" not in skip:
+            t0 = time.perf_counter()
+            c = compact_semantic_index(spark, path, min_files=1)
+            out["compact_s"] = round(time.perf_counter() - t0, 2)
+            out["compact_files"] = (
+                f"{c['vectors']['files_before']}"
+                f"->{c['vectors']['files_after']}"
+            )
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
