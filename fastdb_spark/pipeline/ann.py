@@ -1480,6 +1480,10 @@ def encode_pq_residual(
     if keep_vec:
         schema += f", {keep_vec} array<double>"
 
+    from fastdb_spark.pipeline import semdedup as _sd
+
+    _rb, _cb = _sd.GEMM_ROW_BLOCK, _sd.CENTROID_CHUNK  # bound driver-side
+
     def op(batches):
         for pdf in batches:
             vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
@@ -1489,7 +1493,25 @@ def encode_pq_residual(
             if "_c" in pdf:
                 assign = pdf["_c"].to_numpy(dtype=np.int64)
             else:
-                assign = (vmat @ cn.T).argmax(axis=1)
+                # fallback only (callers pass cluster_col at build);
+                # chunked running argmax bounds the (batch x k) score
+                # matrix like semdedup.assign_clusters (round-10 audit);
+                # strict > keeps the plain-argmax first-max tie rule
+                assign = np.empty(len(vmat), dtype=np.int64)
+                rb, cb = _rb, _cb
+                for rs in range(0, len(vmat), rb):
+                    re_ = min(rs + rb, len(vmat))
+                    best = np.full(re_ - rs, -np.inf)
+                    bidx = np.zeros(re_ - rs, dtype=np.int64)
+                    for cs in range(0, len(cn), cb):
+                        ce = min(cs + cb, len(cn))
+                        S = vmat[rs:re_] @ cn[cs:ce].T
+                        a = S.argmax(axis=1)
+                        mx = S[np.arange(len(a)), a]
+                        upd = mx > best
+                        bidx[upd] = a[upd] + cs
+                        best[upd] = mx[upd]
+                    assign[rs:re_] = bidx
             # normalized-centroid residual — see train_pq_residual
             res = vmat - cn[assign]
             codes = np.empty((len(vmat), m), dtype=np.int32)

@@ -376,6 +376,40 @@ def test_blocked_assignment_matches_expr_across_chunk_ties(
     assert 3 not in {v[0] for v in g.values()}  # ties go to centroid 1
 
 
+def test_blocked_pq_residual_fallback_assignment(spark, monkeypatch):
+    """encode_pq_residual's no-cluster_col fallback (defensive only —
+    every production caller passes the column) uses the chunked running
+    argmax; with shrunken chunks it must agree with plain argmax."""
+    import numpy as np
+
+    from fastdb_spark.pipeline import semdedup as sd
+    from fastdb_spark.pipeline.ann import (
+        encode_pq_residual,
+        ivf_centroids,
+        train_pq_residual,
+    )
+
+    monkeypatch.setattr(sd, "GEMM_ROW_BLOCK", 3)
+    monkeypatch.setattr(sd, "CENTROID_CHUNK", 2)
+    rows = [
+        (i, [float((i * 13) % 7), float((i * 29) % 5), 1.0 + i % 3, 0.5])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, n_clusters=6)
+    books = train_pq_residual(df, cents, m=2, k=8)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in encode_pq_residual(df, cents, books).collect()
+    }
+    C = np.array(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    want = (Vn @ Cn.T).argmax(axis=1)
+    assert got == {i: int(want[i]) for i in range(64)}
+
+
 def test_blocked_vs_index_probe_matches_expr(spark, tmp_path, monkeypatch):
     from fastdb_spark.pipeline import semdedup as sd
     from fastdb_spark.pipeline.incsem import (
