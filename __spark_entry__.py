@@ -3671,24 +3671,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rules — (a) a gate born in round N sits in round N's window head,
     # and (b) the named stable laggards LEAD the next round's window.
     #
-    # ROUND-10 WINDOW (executed exactly as pinned in ROUND_NOTES r9 /
-    # VERDICT r9 #2): no gates were born this round, so the FIFTEEN
-    # r10-named laggards (r7-green, parity-run every session) LEAD the
-    # window, followed by the 35 oldest-evidence gates (newest driver
-    # row r8) — which is also exactly the set touched by this round's
-    # assign_strategy="gemm" default flip (ann_*, dedup_index_*,
-    # media_index_roundtrip), so the flipped default path gets fresh
-    # driver adjudication.  NAMED LAGGARDS for r11 (r8-green, pure
-    # deterministic shapes — lowest drift risk; they lead the r11
-    # window): boilerplate_removal, chunk_docs, corpus_card,
-    # doc_repetition, duplicate_spans, intra_doc_dedup, json_extract,
-    # latest_mag_per_band, pagination, pagination_ranged,
-    # pseudorandom_sample, shuffle_shards, timescale_functions,
-    # token_budget_select, uuid_minting.
-    # tests/test_round10.py::test_rotation_invariant_r10 asserts the
-    # r9 union r10 windows cover everything except exactly that set.
+    # ROUND-11 WINDOW (executed exactly as pinned in ROUND_NOTES r10 /
+    # VERDICT r10 #1): no gates were born this round, so the FIFTEEN
+    # r11-named laggards (r8-green, parity-run every session) LEAD the
+    # window; the six approximate-ANN gates that gained EXACT duckdb
+    # oracles this round (VERDICT r10 #2 — deterministic given the
+    # frozen quantizers, replayed by pipeline/oracles.py) follow, so
+    # their first adjudicated appearance is rows+schema+hash; then 29
+    # r9-window gates, prioritizing every gate that exercises this
+    # round's touched modules.  NAMED LAGGARDS for r12 (r9-green,
+    # astronomy/TPC-H/stable-text shapes untouched this round; they
+    # lead the r12 window): ltcv_patch, snana_load_roundtrip,
+    # priority_dedup, versioned_dedup, first_seen_dedup,
+    # ltcv_detections_cut, crossmatch, spectrum_workflow, range_join,
+    # cone_search, ltcv_nested_probe, asof_latest_forced,
+    # object_search, versioned_count, hot_ltcvs, skewed_aggregate,
+    # corpus_quantiles, pii_redaction, bm25_search,
+    # multimodal_codec_roundtrip, multimodal_features.
+    # tests/test_round11.py::test_rotation_invariant_r11 asserts the
+    # r10 union r11 windows cover everything except exactly that set;
+    # the expected rows-only set for this window is pre-declared there
+    # too: doc_similar_w2v ONLY (trained Word2Vec — the one genuinely
+    # non-deterministic gate left).
     return {
-        # --- round-10 window (first 50): the 15 named laggards -------
+        # --- round-11 window (first 50): the 15 named laggards -------
+        # (r8-green; VERDICT r10 #1 executed exactly as pinned)
+        "boilerplate_removal": _q_boilerplate_removal,
+        "chunk_docs": _q_chunk_docs,
+        "corpus_card": _q_corpus_card,
+        "doc_repetition": _q_doc_repetition,
+        "duplicate_spans": _q_duplicate_spans,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "json_extract": _q_json_extract,
+        "latest_mag_per_band": _q_latest_mag_per_band,
+        "pagination": _q_pagination,
+        "pagination_ranged": _q_pagination_ranged,
+        "pseudorandom_sample": _q_pseudorandom_sample,
+        "shuffle_shards": _q_shuffle_shards,
+        "timescale_functions": _q_timescale_functions,
+        "token_budget_select": _q_token_budget,
+        "uuid_minting": _q_uuid_minting,
+        # the six ANN gates that gained EXACT oracles this round
+        # (VERDICT r10 #2) — in the window so their first adjudicated
+        # appearance is rows+schema+hash, not rows-only
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
+        # then 29 r9-window gates, prioritizing every gate that
+        # exercises this round's touched modules (pipeline/ann.py,
+        # incsem.py, semdedup.py, dedup.py, oracles.py: the
+        # assign_strategy persistence, the greedy-MIS edge guard, the
+        # zero-norm guard, the oracle cache rework)
+        "media_index_av_roundtrip": _q_media_index_av_roundtrip,
+        "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
+        "dedup_index_probe": _q_dedup_index_probe,
+        "dedup_index_compaction": _q_dedup_index_compaction,
+        "media_index_probe": _q_media_index_probe,
+        "semantic_dedup": _q_semantic_dedup,
+        "semantic_index_roundtrip": _q_semantic_index_roundtrip,
+        "ann_cosine_topk": _q_ann_topk,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "stream_windowed_rates": _q_stream_windowed_rates,
+        "objstats_per_band": _q_objstats_per_band,
+        "objstats_combined": _q_objstats_combined,
+        "weighted_position": _q_weighted_position,
+        "alert_reconstruct": _q_alert_reconstruct,
+        "mix_report": _q_mix_report,
+        "ann_exhaustive_exact": _q_ann_exhaustive,
+        "ann_batch_topk": _q_ann_batch_topk,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "doc_embed_pool": _q_doc_embed_pool,
+        "bpe_encode": _q_bpe_encode,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "curate_corpus": _q_curate_corpus,
+        "training_set": _q_training_set,
+        "exact_dedup": _q_exact_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        # --- adjudication tail (position >50): first the 21 NAMED r12
+        # LAGGARDS that lead the r12 window (all r9-green astronomy /
+        # TPC-H / stable-text shapes untouched by this round's changes),
+        # then the r10-window gates; every tail gate still runs in
+        # tests/test_oracle_parity.py and tools/stock_sweep.py every
+        # session ------------------------------------------------------
+        "ltcv_patch": _q_ltcv_patch,
+        "snana_load_roundtrip": _q_snana_load,
+        "priority_dedup": _q_priority_dedup,
+        "versioned_dedup": _q_versioned_dedup,
+        "first_seen_dedup": _q_first_seen_dedup,
+        "ltcv_detections_cut": _q_ltcv_detections_cut,
+        "crossmatch": _q_crossmatch,
+        "spectrum_workflow": _q_spectrum_workflow,
+        "range_join": _q_range_join,
+        "cone_search": _q_cone_search,
+        "ltcv_nested_probe": _q_ltcv_nested_probe,
+        "asof_latest_forced": _q_asof_latest_forced,
+        "object_search": _q_object_search,
+        "versioned_count": _q_versioned_count,
+        "hot_ltcvs": _q_hot_ltcvs,
+        "skewed_aggregate": _q_skewed_aggregate,
+        "corpus_quantiles": _q_corpus_quantiles,
+        "pii_redaction": _q_pii_redaction,
+        "bm25_search": _q_bm25_search,
+        "multimodal_codec_roundtrip": _q_multimodal_codec,
+        "multimodal_features": _q_multimodal_features,
+        # r10-window gates (driver-green in CORRECTNESS_r10)
         "union_distinct": _q_union_distinct,
         "values_lookup": _q_values_lookup,
         "anti_join": _q_anti_join,
@@ -3704,7 +3797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "vocab_topk": _q_vocab_topk,
         "corpus_rollup": _q_corpus_rollup,
-        # then the 35 oldest-evidence gates (newest row r8) ----------
         "media_index_roundtrip": _q_media_index_roundtrip,
         "dedup_index_roundtrip": _q_dedup_index_roundtrip,
         "image_banded_neardup": _q_image_banded_neardup,
@@ -3734,83 +3826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
         "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
         "cone_search_layout": _q_cone_search_layout,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # --- adjudication tail (position >50): first the 15 NAMED
-        # r11 LAGGARDS that lead the r11 window, then the r9-window
-        # gates (driver-green in CORRECTNESS_r09); every tail gate
-        # still runs in tests/test_oracle_parity.py and
-        # tools/stock_sweep.py every session --------------------------
-        "boilerplate_removal": _q_boilerplate_removal,
-        "chunk_docs": _q_chunk_docs,
-        "corpus_card": _q_corpus_card,
-        "doc_repetition": _q_doc_repetition,
-        "duplicate_spans": _q_duplicate_spans,
-        "intra_doc_dedup": _q_intra_doc_dedup,
-        "json_extract": _q_json_extract,
-        "latest_mag_per_band": _q_latest_mag_per_band,
-        "pagination": _q_pagination,
-        "pagination_ranged": _q_pagination_ranged,
-        "pseudorandom_sample": _q_pseudorandom_sample,
-        "shuffle_shards": _q_shuffle_shards,
-        "timescale_functions": _q_timescale_functions,
-        "token_budget_select": _q_token_budget,
-        "uuid_minting": _q_uuid_minting,
-        # r9-window gates (driver-green in CORRECTNESS_r09)
-        "media_index_av_roundtrip": _q_media_index_av_roundtrip,
-        "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
-        "dedup_index_probe": _q_dedup_index_probe,
-        "dedup_index_compaction": _q_dedup_index_compaction,
-        "media_index_probe": _q_media_index_probe,
-        "semantic_dedup": _q_semantic_dedup,
-        "semantic_index_roundtrip": _q_semantic_index_roundtrip,
-        "ann_cosine_topk": _q_ann_topk,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "stream_windowed_rates": _q_stream_windowed_rates,
-        "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
-        "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
-        "mix_report": _q_mix_report,
-        "ann_exhaustive_exact": _q_ann_exhaustive,
-        "ann_batch_topk": _q_ann_batch_topk,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "ltcv_patch": _q_ltcv_patch,
-        "snana_load_roundtrip": _q_snana_load,
-        "doc_embed_pool": _q_doc_embed_pool,
-        "priority_dedup": _q_priority_dedup,
-        "versioned_dedup": _q_versioned_dedup,
-        "first_seen_dedup": _q_first_seen_dedup,
-        "ltcv_detections_cut": _q_ltcv_detections_cut,
-        "crossmatch": _q_crossmatch,
-        "spectrum_workflow": _q_spectrum_workflow,
-        "range_join": _q_range_join,
-        "cone_search": _q_cone_search,
-        "ltcv_nested_probe": _q_ltcv_nested_probe,
-        "asof_latest_forced": _q_asof_latest_forced,
-        "object_search": _q_object_search,
-        "versioned_count": _q_versioned_count,
-        "hot_ltcvs": _q_hot_ltcvs,
-        "skewed_aggregate": _q_skewed_aggregate,
-        "corpus_quantiles": _q_corpus_quantiles,
-        "pii_redaction": _q_pii_redaction,
-        "bm25_search": _q_bm25_search,
-        "multimodal_codec_roundtrip": _q_multimodal_codec,
-        "multimodal_features": _q_multimodal_features,
-        "bpe_encode": _q_bpe_encode,
-        "minhash_lsh_dedup": _q_minhash_lsh,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "dup_clusters": _q_dup_clusters,
-        "curate_corpus": _q_curate_corpus,
-        "training_set": _q_training_set,
-        "exact_dedup": _q_exact_dedup,
-        "embedding_neardup": _q_embedding_neardup,
     }
 
 # ---------------------------------------------------------------------------
@@ -4666,12 +4681,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": po.embedding_neardup_sql(),
         "ann_cosine_topk": po.ann_topk_sql(),
         # every approximate-ANN code path, adjudicated exactly via its
-        # exhaustive parameterization (VERDICT r6 #2); the recall-emitting
-        # approximate gates (ann_lsh_topk, ann_ivf_topk, ...) stay
-        # rows-only alongside — approximate BY DESIGN at production
-        # parameters, exact-equal at exhaustive ones
+        # exhaustive parameterization (VERDICT r6 #2)
         "ann_exhaustive_exact": po.ann_exhaustive_sql(_ANN_EXHAUSTIVE_METHODS),
         "ann_batch_topk": po.ann_batch_topk_sql(),
+        # the six recall-emitting approximate gates (VERDICT r10 #2):
+        # approximate in RECALL, but deterministic functions of the
+        # corpus given the frozen quantizers — the semindex_values_sql
+        # construction applied to search.  Python/numpy replays only
+        # the driver-side deterministic parts (seed-quantile centroids,
+        # hash-ordered Lloyd codebooks, bucket/probe selection, the ADC
+        # candidate pass); duckdb independently recomputes assignment,
+        # candidate filtering, the exact rerank, top-k and recall@10
+        # from the parquet corpus.  Parameters mirror the _q_ann_*
+        # gate bodies above — change them together.
+        "ann_lsh_topk": po.ann_lsh_oracle_sql(multiprobe_bits=2),
+        "ann_ivf_topk": po.ann_ivf_oracle_sql(n_clusters=8, nprobe=2),
+        "ann_ivf_index": po.ann_ivf_oracle_sql(n_clusters=8, nprobe=2),
+        "ann_pq_topk": po.ann_pq_oracle_sql(m=8, pq_k=16, rerank=50),
+        "ann_ivfpq_topk": po.ann_ivfpq_oracle_sql(
+            residual=False, nprobe=3, rerank=50
+        ),
+        "ann_ivfpq_res_topk": po.ann_ivfpq_oracle_sql(
+            residual=True, nprobe=3, rerank=50
+        ),
         # SemDeDup (born r9): frozen literal centroids, so the oracle
         # replays assignment + epsilon graph + recursive-CTE closure +
         # keeper election exactly (pipeline/oracles.py:semdedup_sql)
@@ -4684,7 +4716,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_index_roundtrip": po.semindex_values_sql(),
         "decontaminate": _decontam_oracle(),
         "bm25_search": _bm25_oracle(),
-        # ann_lsh_topk: approximate by design -> rows-only check
         "curate_corpus": po.curate_sql(),
         "stratified_sample": sample_oracle_sql(
             "(SELECT doc_id, lang, source, n_chars FROM documents) d",

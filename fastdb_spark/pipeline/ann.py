@@ -21,12 +21,31 @@
 from __future__ import annotations
 
 import hashlib
+import json
 import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastdb_spark.functions.vectors import as_double_array, cosine, dot
+
+#: index-root sidecar recording build-time parameters (notably the
+#: assignment strategy — ADVICE r10: maintenance must replay the BUILD's
+#: strategy, not the module default of the day)
+_IVF_META = "_ivf_meta.json"
+
+
+def _stored_assign_strategy(path: str, fallback: str = "gemm") -> str:
+    """The ``assign_strategy`` the index at ``path`` was built with;
+    pre-round-11 layouts have no meta file and fall back to ``gemm``
+    (what every build since round 10 used)."""
+    import os
+
+    try:
+        with open(os.path.join(path, _IVF_META)) as f:
+            return json.load(f).get("assign_strategy", fallback)
+    except FileNotFoundError:
+        return fallback
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -377,6 +396,25 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
+    # persist the assignment strategy the layout was BUILT with (ADVICE
+    # r10): gemm and expr agree on membership everywhere tested, but a
+    # rounded-cosine tie can in principle resolve differently between
+    # the numpy GEMM and the Catalyst fold — a post-build upsert/probe
+    # that silently used the OTHER strategy could then assign a replayed
+    # row to a different cluster than it was stored in, and the
+    # partition-pruned dedup_ids guard would miss it.  Maintenance entry
+    # points default to this stored value (assign_strategy=None).
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _IVF_META), "w") as f:
+        json.dump(
+            {
+                "assign_strategy": assign_strategy,
+                "n_clusters": len(cents),
+                "pq_m": pq_m,
+                "pq_residual": bool(pq_residual) if pq_m else None,
+            },
+            f,
+        )
     tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
     if pq_m is None:
         _align(tagged).write.option(
@@ -476,7 +514,7 @@ def ivf_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
-    assign_strategy: str = "gemm",
+    assign_strategy: str | None = None,
 ) -> int:
     """Append a vector batch to an existing ``build_ivf_index`` layout
     WITHOUT retraining or a rebuild — the incremental-maintenance half of
@@ -515,13 +553,21 @@ def _ivf_upsert_unlocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_ids: bool = False,
-    assign_strategy: str = "gemm",
+    assign_strategy: str | None = None,
 ) -> int:
     """:func:`ivf_index_upsert` body for callers that ALREADY hold the
     index write lock (``incsem.semantic_index_upsert`` classifies and
-    appends under one lock — the file lock is not reentrant)."""
+    appends under one lock — the file lock is not reentrant).
+
+    ``assign_strategy=None`` (the default) replays the strategy the
+    index was BUILT with (``_ivf_meta.json``) — the replay-idempotency
+    guard depends on a replayed row re-deriving its stored cluster, so
+    the build's arithmetic must win over the module default (ADVICE
+    r10)."""
     import os
 
+    if assign_strategy is None:
+        assign_strategy = _stored_assign_strategy(path)
     spark = new_vectors.sparkSession
     cents_rows = (
         spark.read.parquet(os.path.join(path, "centroids"))

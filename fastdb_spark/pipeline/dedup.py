@@ -188,8 +188,18 @@ def greedy_mis_drops(
     a hard ceiling: exhausting it RAISES rather than returning a
     non-converged iterate (ADVICE r9 — an even iterate over-drops,
     re-introducing the replay phantom-admission bug this function
-    exists to fix; never a silent cap)."""
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    exists to fix; never a silent cap).
+
+    The fixpoint argument REQUIRES the DAG orientation ``id_a < id_b``;
+    a contract-violating symmetric pair ((1,2) and (2,1)) would make
+    the iterate oscillate forever (ADVICE r10).  The orientation is
+    enforced on entry with a filter (free — it fuses into the edge
+    scan), so termination is unconditional whatever the caller built."""
+    edges = (
+        pairs.select("id_a", "id_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .localCheckpoint(eager=False)
+    )
     dropped = None
     prev = -1
     rounds = 0

@@ -163,7 +163,7 @@ def _classify(
     id_col: str,
     vec_col: str,
     strategy: str,
-    assign_strategy: str,
+    assign_strategy: str | None,
     max_cluster_size: int | None,
 ) -> tuple[DataFrame, DataFrame]:
     """(verdicts, fresh_keyed) for ``batch`` vs the index at ``path``.
@@ -177,6 +177,11 @@ def _classify(
 
     p = _sem_params(path)
     eps = p["eps"]
+    if assign_strategy is None:
+        # replay the strategy the index was BUILT with (ADVICE r10);
+        # pre-round-11 meta files have no entry -> gemm (what every
+        # build since round 10 used)
+        assign_strategy = p.get("assign_strategy", "gemm")
     cents = _load_centroids(spark, path)
     # `guarded` comes from the RETURN VALUE, never from the process-
     # global LAST_SEMDEDUP_AUDIT: a concurrent _guarded_keyed call (a
@@ -307,7 +312,18 @@ def build_semantic_index(
         assign_strategy=assign_strategy,
     )
     with open(os.path.join(path, _SEM_META), "w") as f:
-        json.dump({"eps": eps, "n_clusters": len(cents)}, f)
+        # assign_strategy persisted so maintenance replays the BUILD's
+        # arithmetic (ADVICE r10): a rounded-cosine tie could assign a
+        # replayed row differently under the other strategy, and the
+        # partition-pruned replay guards would then miss it
+        json.dump(
+            {
+                "eps": eps,
+                "n_clusters": len(cents),
+                "assign_strategy": assign_strategy,
+            },
+            f,
+        )
     n = survivors.count()
     from fastdb_spark.cachereg import release_staged
 
@@ -322,7 +338,7 @@ def semantic_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
-    assign_strategy: str = "gemm",
+    assign_strategy: str | None = None,
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """Classify ``batch`` against the index WITHOUT mutating it — the
@@ -349,7 +365,7 @@ def semantic_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
-    assign_strategy: str = "gemm",
+    assign_strategy: str | None = None,
     max_cluster_size: int | None = DEFAULT_MAX_CLUSTER,
     dedup_ids: bool = False,
 ) -> int:
@@ -408,7 +424,7 @@ def stream_semantic_index(
     vec_col: str = "embedding",
     vec_type: str = "array<float>",
     strategy: str = "gemm",
-    assign_strategy: str = "gemm",
+    assign_strategy: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,

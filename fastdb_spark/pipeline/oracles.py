@@ -666,8 +666,51 @@ def semdedup_sql(
     """
 
 
+def _resolve_sf_dir(sf_dir: str | None) -> str:
+    """The corpus dir the literal-VALUES oracles replay — resolved like
+    the parity harnesses resolve theirs."""
+    import os
+
+    return (
+        sf_dir
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or os.environ.get("SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+
+
+def _corpus_stat(sf_dir: str, filename: str):
+    """``os.stat`` of a corpus parquet with a clear error when the sf
+    dir was never generated (ADVICE r10: the bare FileNotFoundError from
+    os.stat fired before any duckdb error and named only the path)."""
+    import os
+
+    p = os.path.join(sf_dir, filename)
+    try:
+        return os.stat(p)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"oracle corpus missing: {p} — the literal-VALUES oracle "
+            "replays the parquet corpus; generate the sf dir first"
+        ) from None
+
+
+def _cache_get(cache: dict, sf_dir: str, key: tuple):
+    entry = cache.get(sf_dir)
+    return entry[1] if entry is not None and entry[0] == key else None
+
+
+def _cache_put(cache: dict, sf_dir: str, key: tuple, sql: str) -> str:
+    """ONE entry per sf_dir (ADVICE r10): a regenerated corpus at the
+    same path replaces the prior entry instead of accumulating one full
+    VALUES-SQL string per regeneration in a long-lived process."""
+    cache[sf_dir] = (key, sql)
+    return sql
+
+
 #: memo for :func:`semindex_values_sql` — the duckdb pair pass is
-#: seconds; keyed by every input that changes the output
+#: seconds; keyed by every input that changes the output, ONE entry per
+#: sf_dir (regeneration evicts — ADVICE r10)
 _SEMINDEX_CACHE: dict = {}
 
 
@@ -696,24 +739,17 @@ def semindex_values_sql(
     Greedy-MIS admission (not the one-shot drop-every-pair's-higher-id
     rule) is what the engine ships because it makes replays idempotent;
     this oracle is the sequential definition of the same rule."""
-    import os
-
     import duckdb
 
-    sf_dir = (
-        sf_dir
-        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
-        or os.environ.get("SF_DIR")
-        or "/root/testdata/sf0.01"
-    )
+    sf_dir = _resolve_sf_dir(sf_dir)
     # cache key includes the corpus file identity (mtime+size), not just
     # its path — a regenerated parquet at the same path must not serve a
-    # stale membership (ADVICE r9)
-    emb = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb)
-    key = (eps, n_centers, spread, dim, sf_dir, st.st_mtime_ns, st.st_size)
-    if key in _SEMINDEX_CACHE:
-        return _SEMINDEX_CACHE[key]
+    # stale membership (ADVICE r9); one entry per sf_dir (ADVICE r10)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (eps, n_centers, spread, dim, st.st_mtime_ns, st.st_size)
+    cached = _cache_get(_SEMINDEX_CACHE, sf_dir, key)
+    if cached is not None:
+        return cached
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
@@ -783,8 +819,7 @@ def semindex_values_sql(
                    CAST(NULL AS INTEGER) AS cluster
             WHERE FALSE
         """
-    _SEMINDEX_CACHE[key] = sql
-    return sql
+    return _cache_put(_SEMINDEX_CACHE, sf_dir, key, sql)
 
 
 # ---------------------------------------------------------------------------
@@ -816,26 +851,16 @@ def bpe_train_values_sql(
     ``pipeline.tokenizer``.  The corpus is resolved like the parity
     harnesses resolve theirs: ``$SPARK_GRAFT_TEST_SF_DIR`` / ``$SF_DIR``,
     defaulting to the driver's sf0.01 adjudication corpus."""
-    import os
-
     import duckdb
 
-    sf_dir = (
-        sf_dir
-        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
-        or os.environ.get("SF_DIR")
-        or "/root/testdata/sf0.01"
-    )
+    sf_dir = _resolve_sf_dir(sf_dir)
     # same stale-cache discipline as semindex_values_sql: key on the
-    # corpus file identity, not just its path
-    _doc = os.path.join(sf_dir, "documents.parquet")
-    _dst = os.stat(_doc)
-    key = (
-        n_merges, max_words, min_count, sf_dir,
-        _dst.st_mtime_ns, _dst.st_size,
-    )
-    if key in _BPE_VALUES_CACHE:
-        return _BPE_VALUES_CACHE[key]
+    # corpus file identity, one entry per sf_dir (ADVICE r10)
+    _dst = _corpus_stat(sf_dir, "documents.parquet")
+    key = (n_merges, max_words, min_count, _dst.st_mtime_ns, _dst.st_size)
+    cached = _cache_get(_BPE_VALUES_CACHE, sf_dir, key)
+    if cached is not None:
+        return cached
     hist = duckdb.sql(
         f"""
         SELECT word, count(*) AS n
@@ -877,5 +902,524 @@ def bpe_train_values_sql(
     sql = f"""
         SELECT * FROM (VALUES {rows}) AS t(rank, "left", "right")
     """
-    _BPE_VALUES_CACHE[key] = sql
-    return sql
+    return _cache_put(_BPE_VALUES_CACHE, sf_dir, key, sql)
+
+
+# ---------------------------------------------------------------------------
+# approximate-ANN exact oracles (VERDICT r10 #2)
+#
+# The six "approximate" ANN gates are approximate only in RECALL — given
+# the frozen, deterministic quantizers the engine trains (seed-quantile
+# centroids, md5 hyperplanes, hash-ordered Lloyd codebooks), every one
+# of them is a deterministic function of the corpus.  These oracles are
+# the ``semindex_values_sql`` construction applied to search: the
+# driver-side, non-SQL-expressible parts (quantizer training, bucket /
+# probe selection, the ADC candidate pass) are replayed SEQUENTIALLY in
+# python/numpy with the same IEEE-double arithmetic, and everything the
+# CLUSTER executes — the clustered-corpus derivation, cluster
+# assignment, candidate filtering, the exact rerank, top-k ordering and
+# the recall@k column — is recomputed independently by duckdb from the
+# parquet corpus.  Engine twins: ``pipeline/ann.py`` (lsh_bucketed_topk,
+# ivf_topk, ivf_search_index, pq_topk, ivfpq_search_index); gate
+# parameters pinned in ``__spark_entry__._q_ann_*``.
+
+_ANN_REPLAY_CACHE: dict = {}
+_ANN_SQL_CACHE: dict = {}
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_XX_M = (1 << 64) - 1
+
+
+def _spark_xxhash64_long(v: int, seed: int = 42) -> int:
+    """Spark's ``F.xxhash64`` over ONE LongType column (seed 42) —
+    the xxHash64 single-8-byte-block path, returned SIGNED like Spark's
+    LongType so sort order matches.  Replays the hash-ordered training
+    sample of ``ann._hash_sample_vectors`` without a SparkSession
+    (verified bit-exact against F.xxhash64 in tests/test_round11.py)."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _XX_M
+
+    h = (seed + _XX_P5 + 8) & _XX_M
+    k1 = rotl((v & _XX_M) * _XX_P2 & _XX_M, 31) * _XX_P1 & _XX_M
+    h = (rotl(h ^ k1, 27) * _XX_P1 + _XX_P4) & _XX_M
+    h ^= h >> 33
+    h = (h * _XX_P2) & _XX_M
+    h ^= h >> 29
+    h = (h * _XX_P3) & _XX_M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _py_cosine(a, b) -> float:
+    """``ann._cosine_py`` replayed verbatim (sequential python-float
+    sums) — the driver-side centroid/bucket ranking arithmetic."""
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(y * y for y in b) ** 0.5
+    return num / (da * db) if da > 0 and db > 0 else 0.0
+
+
+def _ann_replay_corpus(
+    sf_dir: str, n_centers: int = 25, spread: float = 0.1, dim: int = 64
+):
+    """(ids int64, ce float64 matrix) — ``pipeline.corpus.clustered_embs``
+    replayed in numpy, bit-exact with both the Spark ``zip_with`` and the
+    duckdb CTE (one multiply + one add per element, float32 parquet
+    values widen exactly)."""
+    import duckdb
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import _hyperplane
+
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (n_centers, spread, dim, st.st_mtime_ns, st.st_size)
+    cached = _cache_get(_ANN_REPLAY_CACHE, sf_dir, key)
+    if cached is not None:
+        return cached
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    emb = np.array([r[1] for r in rows], dtype=np.float64)
+    centers = np.array(
+        [_hyperplane(1000 + c, dim) for c in range(n_centers)],
+        dtype=np.float64,
+    )
+    ce = centers[ids % n_centers] + spread * emb
+    out = (ids, ce)
+    _cache_put(_ANN_REPLAY_CACHE, sf_dir, key, out)
+    return out
+
+
+def _seed_centroids_replay(ids, ce, k: int):
+    """``ann._seed_training_vectors`` replayed on the clustered corpus:
+    id-quantile probes -> first id at/after each probe -> vectors in id
+    order.  Returns (centroid_matrix, centroid_ids)."""
+    import numpy as np
+
+    lo, hi = int(ids.min()), int(ids.max())
+    probes = sorted({lo + (hi - lo) * i // max(1, k - 1) for i in range(k)})
+    picked = sorted(
+        {int(ids[ids >= p].min()) for p in probes if (ids >= p).any()}
+    )
+    if len(picked) < k:
+        picked = sorted(ids.tolist())[:k]
+    picked = picked[:k]
+    pos = {int(v): i for i, v in enumerate(ids.tolist())}
+    cents = np.array([ce[pos[v]] for v in picked], dtype=np.float64)
+    return cents, picked
+
+
+def _cents_values(cents) -> str:
+    """Centroids as a duckdb VALUES literal (repr round-trips doubles)."""
+    return ",\n          ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+
+
+def _ann_prefix(k: int, query_vec_id: int) -> str:
+    """Shared CTE prefix: clustered corpus, query vector, exact top-k id
+    set (the recall@k denominator — ``ann.cosine_topk``'s twin)."""
+    cos6 = _COS.format(a="ce.cemb", b="q.qv")
+    return f"""{_clustered_ctes()},
+        q AS (SELECT cemb AS qv FROM ce WHERE vec_id = {query_vec_id}),
+        exact AS (
+          SELECT ce.vec_id FROM ce, q
+          ORDER BY {cos6} DESC, ce.vec_id
+          LIMIT {k})"""
+
+
+def _ann_recall_tail(k: int) -> str:
+    """Shared closer: recall@k = |appr ∩ exact| / k as a constant column
+    (``ann.with_recall``'s twin — the window spans <= k rows)."""
+    return f""",
+        r AS (SELECT count(*) / {float(k)!r} AS rec
+              FROM appr JOIN exact USING (vec_id))
+        SELECT appr.vec_id, appr.cos, r.rec AS recall{k}
+        FROM appr CROSS JOIN r
+    """
+
+
+def _ivf_asg_ctes(cents_sql: str) -> str:
+    """Cluster-assignment CTEs over literal centroids: the round-9
+    argmax twin of ``ann.with_ivf_cluster`` / the GEMM assignment
+    (cosine DESC, centroid id ASC — the tie rule all engines share;
+    gemm==expr membership is regression-pinned in tests/test_round10)."""
+    cos9 = _COS.format(a="ce.cemb", b="cents.cv").replace(", 6)", ", 9)")
+    return f""",
+        cents(c, cv) AS (VALUES {cents_sql}),
+        scored AS MATERIALIZED (
+          SELECT ce.vec_id, ce.cemb, cents.c, {cos9} AS cosc
+          FROM ce CROSS JOIN cents),
+        asg AS MATERIALIZED (
+          SELECT vec_id, cemb, c AS cluster FROM (
+            SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cosc DESC, c ASC) AS rk
+            FROM scored)
+          WHERE rk = 1)"""
+
+
+def _qvec_of(ids, ce, query_vec_id: int) -> list:
+    import numpy as np
+
+    row = ce[ids == query_vec_id]
+    if not len(row):
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    return [float(x) for x in row[0]]
+
+
+def ann_ivf_oracle_sql(
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact oracle for ``ann_ivf_topk`` AND ``ann_ivf_index`` (identical
+    parameters; the index gate persists the same deterministic seed
+    quantizer ``build_ivf_index(strategy='seed')`` trains inline).
+    Python replays only the driver-side parts — the seed-quantile
+    centroid pick and the nprobe centroid ranking (``ann._cosine_py``
+    order) — as literals; duckdb independently recomputes assignment
+    (round-9 argmax twin), the probed-cluster candidate scan, the
+    round-6 exact top-k, and recall@k."""
+    sf_dir = _resolve_sf_dir(sf_dir)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (
+        "ivf", n_clusters, nprobe, k, query_vec_id,
+        st.st_mtime_ns, st.st_size,
+    )
+    cached = _cache_get(_ANN_SQL_CACHE, f"{sf_dir}|ivf", key)
+    if cached is not None:
+        return cached
+    ids, ce = _ann_replay_corpus(sf_dir)
+    cents, _ = _seed_centroids_replay(ids, ce, n_clusters)
+    qvec = _qvec_of(ids, ce, query_vec_id)
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: (-_py_cosine(qvec, [float(x) for x in cents[i]]), i),
+    )
+    probes = ", ".join(str(c) for c in order[:nprobe])
+    cos6 = _COS.format(a="a.cemb", b="q.qv")
+    sql = f"""
+        WITH {_ann_prefix(k, query_vec_id)}{_ivf_asg_ctes(_cents_values(cents))},
+        appr AS (
+          SELECT a.vec_id, {cos6} AS cos
+          FROM asg a, q
+          WHERE a.cluster IN ({probes})
+          ORDER BY cos DESC, a.vec_id
+          LIMIT {k}){_ann_recall_tail(k)}"""
+    return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|ivf", key, sql)
+
+
+def ann_lsh_oracle_sql(
+    n_planes: int = 8,
+    multiprobe_bits: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+    dim: int = 64,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact oracle for ``ann_lsh_topk``: the md5 hyperplanes ride as
+    VALUES literals and duckdb recomputes every vector's sign-bit bucket
+    (``list_dot_product`` — the same sequential fold as the engine's
+    ``zip_with`` dot); python replays only the query's bucket and the
+    hamming<=m multiprobe flips (``ann.lsh_bucketed_topk``'s own
+    driver-side arithmetic)."""
+    from itertools import combinations
+
+    from fastdb_spark.pipeline.ann import _hyperplane
+
+    sf_dir = _resolve_sf_dir(sf_dir)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (
+        "lsh", n_planes, multiprobe_bits, k, query_vec_id, dim,
+        st.st_mtime_ns, st.st_size,
+    )
+    cached = _cache_get(_ANN_SQL_CACHE, f"{sf_dir}|lsh", key)
+    if cached is not None:
+        return cached
+    ids, ce = _ann_replay_corpus(sf_dir)
+    qvec = _qvec_of(ids, ce, query_vec_id)
+    qbucket = 0
+    for p in range(n_planes):
+        plane = _hyperplane(p, dim)
+        if sum(a * b for a, b in zip(qvec, plane)) > 0:
+            qbucket |= 1 << p
+    probe_set = [qbucket]
+    for m in range(1, multiprobe_bits + 1):
+        for bits in combinations(range(n_planes), m):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_set.append(qbucket ^ flip)
+    plane_rows = ",\n          ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            1 << p, ", ".join(repr(x) for x in _hyperplane(p, dim))
+        )
+        for p in range(n_planes)
+    )
+    probes = ", ".join(str(b) for b in sorted(set(probe_set)))
+    cos6 = _COS.format(a="ce.cemb", b="q.qv")
+    sql = f"""
+        WITH {_ann_prefix(k, query_vec_id)},
+        planes(p2, pv) AS (VALUES {plane_rows}),
+        bkt AS MATERIALIZED (
+          SELECT ce.vec_id,
+                 CAST(sum(CASE WHEN list_dot_product(ce.cemb, planes.pv) > 0
+                               THEN planes.p2 ELSE 0 END) AS INTEGER)
+                   AS bucket
+          FROM ce CROSS JOIN planes
+          GROUP BY ce.vec_id),
+        appr AS (
+          SELECT ce.vec_id, {cos6} AS cos
+          FROM ce JOIN bkt USING (vec_id) CROSS JOIN q
+          WHERE bkt.bucket IN ({probes})
+          ORDER BY cos DESC, ce.vec_id
+          LIMIT {k}){_ann_recall_tail(k)}"""
+    return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|lsh", key, sql)
+
+
+def _pq_training_mat(ids, ce, n_train: int):
+    """``ann._hash_sample_vectors`` replayed: the ``n_train`` corpus rows
+    with the smallest (xxhash64(id), id), IN THAT ORDER (Lloyd k-means
+    inits from evenly-spaced rows of this matrix, so order matters),
+    L2-normalized like ``ann.train_pq``/``train_pq_residual``."""
+    import numpy as np
+
+    order = sorted(
+        ids.tolist(), key=lambda v: (_spark_xxhash64_long(int(v)), v)
+    )[:n_train]
+    pos = {int(v): i for i, v in enumerate(ids.tolist())}
+    mat = np.array([ce[pos[v]] for v in order], dtype=np.float64)
+    return mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+    )
+
+
+def _pq_encode(vecs, books) -> "list":
+    """``ann.encode_pq``'s per-row argmin replayed in numpy (row-wise —
+    the engine's Arrow batching cannot change it): codes[i] = argmin
+    over codebook entries of the subspace squared distance, first-min
+    tie like np.argmin."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    bnp = [np.array(b, dtype=np.float64) for b in books]
+    codes = np.empty((len(vecs), m), dtype=np.int64)
+    for i in range(m):
+        seg = vecs[:, i * sub : (i + 1) * sub]
+        d2 = ((seg[:, None, :] - bnp[i][None, :, :]) ** 2).sum(axis=2)
+        codes[:, i] = d2.argmin(axis=1)
+    return codes
+
+
+def _adc_lut(q: list, books) -> list:
+    """The engine's broadcast ADC lookup table, verbatim python floats:
+    lut[i*K + j] = <q_subvector_i, codebook[i][j]> (sequential sum)."""
+    m = len(books)
+    kk = len(books[0])
+    sub = len(books[0][0])
+    return [
+        sum(q[i * sub + t] * books[i][j][t] for t in range(sub))
+        for i in range(m)
+        for j in range(kk)
+    ]
+
+
+def _adc_rank(cand_ids, codes, lut: list, kk: int, rerank: int, offsets=None):
+    """The ADC candidate pass replayed with the engine's fold arithmetic
+    (acc = 0.0; acc += lut[i*K + code], left to right; optional per-row
+    q·c offset added LAST like the residual search's column expression),
+    then top-``rerank`` by (score DESC, id ASC)."""
+    m = len(codes[0]) if len(codes) else 0
+    scored = []
+    for row_idx, vid in enumerate(cand_ids):
+        acc = 0.0
+        for i in range(m):
+            acc += lut[i * kk + int(codes[row_idx][i])]
+        if offsets is not None:
+            acc = offsets[row_idx] + acc
+        scored.append((vid, acc))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [int(v) for v, _ in scored[:rerank]]
+
+
+def _rerank_appr_sql(cand_ids, k: int) -> str:
+    """The exact-rerank + top-k half, fully in SQL: round-6 cosine over
+    the ORIGINAL stored vectors of the ADC survivors."""
+    cos6 = _COS.format(a="ce.cemb", b="q.qv")
+    ids_csv = ", ".join(str(v) for v in sorted(cand_ids))
+    return f"""
+        appr AS (
+          SELECT ce.vec_id, {cos6} AS cos
+          FROM ce, q
+          WHERE ce.vec_id IN ({ids_csv})
+          ORDER BY cos DESC, ce.vec_id
+          LIMIT {k})"""
+
+
+def _norm_q(query_vec: list) -> list:
+    """``ann.pq_topk``/``ivfpq_search_index``'s query normalization,
+    verbatim (python-float sqrt of a sequential sum)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    return [x / qn for x in query_vec]
+
+
+def ann_pq_oracle_sql(
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    k: int = 10,
+    query_vec_id: int = 0,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact oracle for ``ann_pq_topk`` (``train_pq`` + ``encode_pq`` +
+    ``pq_topk(rerank=50)``): python/numpy replays the driver-side
+    deterministic training (hash-ordered Lloyd — the engine's own
+    ``_pq_codebooks_from`` fit, a frozen quantizer input exactly like
+    the persisted-codebook readback VERDICT r10 proposed) and the ADC
+    candidate pass; duckdb independently recomputes the corpus, the
+    exact rerank, top-k and recall@k."""
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import _pq_codebooks_from
+
+    sf_dir = _resolve_sf_dir(sf_dir)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (
+        "pq", m, pq_k, rerank, k, query_vec_id, st.st_mtime_ns, st.st_size,
+    )
+    cached = _cache_get(_ANN_SQL_CACHE, f"{sf_dir}|pq", key)
+    if cached is not None:
+        return cached
+    ids, ce = _ann_replay_corpus(sf_dir)
+    n_train = max(pq_k, min(32 * pq_k, 2048))
+    books = _pq_codebooks_from(_pq_training_mat(ids, ce, n_train), m, pq_k)
+    vn = ce / np.maximum(np.linalg.norm(ce, axis=1, keepdims=True), 1e-30)
+    codes = _pq_encode(vn, books)
+    q = _norm_q(_qvec_of(ids, ce, query_vec_id))
+    cand = _adc_rank(
+        ids.tolist(), codes, _adc_lut(q, books), pq_k, rerank
+    )
+    sql = f"""
+        WITH {_ann_prefix(k, query_vec_id)},{_rerank_appr_sql(cand, k)}{_ann_recall_tail(k)}"""
+    return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|pq", key, sql)
+
+
+def ann_ivfpq_oracle_sql(
+    residual: bool,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    k: int = 10,
+    query_vec_id: int = 0,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact oracle for ``ann_ivfpq_topk`` (residual=False) and
+    ``ann_ivfpq_res_topk`` (residual=True) — the persisted
+    ``build_ivf_index(pq_m=8, strategy='seed')`` layout probed by
+    ``ivfpq_search_index(nprobe=3, rerank=50)``.
+
+    Replay split: the seed centroids, hash-ordered Lloyd codebooks,
+    centroid ranking, q·c offsets and the ADC candidate pass are
+    python/numpy (driver-side deterministic quantities — the engine
+    itself computes the LUT and offsets on the driver); the cluster
+    ASSIGNMENT that defines the probed candidate set is fetched from
+    duckdb's round-9 argmax twin (gemm==expr membership is
+    regression-pinned), and the exact rerank / top-k / recall@k are
+    recomputed by duckdb from the parquet corpus."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import _pq_codebooks_from
+
+    sf_dir = _resolve_sf_dir(sf_dir)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    tag = "ivfpq_res" if residual else "ivfpq"
+    key = (
+        tag, n_clusters, nprobe, m, pq_k, rerank, k, query_vec_id,
+        st.st_mtime_ns, st.st_size,
+    )
+    cached = _cache_get(_ANN_SQL_CACHE, f"{sf_dir}|{tag}", key)
+    if cached is not None:
+        return cached
+    ids, ce = _ann_replay_corpus(sf_dir)
+    cents, _ = _seed_centroids_replay(ids, ce, n_clusters)
+    cents_list = [[float(x) for x in c] for c in cents]
+    qraw = _qvec_of(ids, ce, query_vec_id)
+    order = sorted(
+        range(len(cents_list)),
+        key=lambda i: (-_py_cosine(qraw, cents_list[i]), i),
+    )
+    probes = order[:nprobe]
+
+    # stored cluster assignment: duckdb round-9 argmax twin
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    asg_rows = con.execute(
+        f"WITH {_clustered_ctes()}{_ivf_asg_ctes(_cents_values(cents))} "
+        "SELECT vec_id, cluster FROM asg"
+    ).fetchall()
+    cluster_of = {int(v): int(c) for v, c in asg_rows}
+
+    # training replay (the frozen quantizer input)
+    n_train = max(pq_k, min(32 * pq_k, 2048))
+    mat = _pq_training_mat(ids, ce, n_train)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+    )
+    if residual:
+        tr_assign = (mat @ cn.T).argmax(axis=1)
+        books = _pq_codebooks_from(mat - cn[tr_assign], m, pq_k)
+    else:
+        books = _pq_codebooks_from(mat, m, pq_k)
+
+    # candidate rows = probed clusters only (the engine's partition
+    # pruning), encoded exactly like the stored pq_code column
+    probe_set = set(probes)
+    sel = [i for i, v in enumerate(ids.tolist()) if cluster_of[v] in probe_set]
+    cand_ids = [int(ids[i]) for i in sel]
+    vn = ce[sel] / np.maximum(
+        np.linalg.norm(ce[sel], axis=1, keepdims=True), 1e-30
+    )
+    if residual:
+        assign_vec = np.array([cluster_of[v] for v in cand_ids], dtype=np.int64)
+        codes = _pq_encode(vn - cn[assign_vec], books)
+    else:
+        codes = _pq_encode(vn, books)
+
+    q = _norm_q(qraw)
+    offsets = None
+    if residual:
+        qc = {}
+        for c in probes:
+            cnorm = math.sqrt(sum(x * x for x in cents_list[c])) or 1.0
+            qc[int(c)] = float(
+                sum(q[t] * cents_list[c][t] for t in range(len(q))) / cnorm
+            )
+        offsets = [qc[cluster_of[v]] for v in cand_ids]
+    cand = _adc_rank(cand_ids, codes, _adc_lut(q, books), pq_k, rerank, offsets)
+    sql = f"""
+        WITH {_ann_prefix(k, query_vec_id)},{_rerank_appr_sql(cand, k)}{_ann_recall_tail(k)}"""
+    return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|{tag}", key, sql)

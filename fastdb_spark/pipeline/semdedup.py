@@ -122,7 +122,13 @@ def assign_clusters(
     )
 
     C = np.array(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # eps-guard the normalizations (ADVICE r10): an unguarded zero-norm
+    # vector yields NaN scores, and the chunked running argmax (strict >
+    # against -inf) would emit cluster=0 with cos_c=-inf — which then
+    # always wins "farthest from centroid" keeper ranking.  With the
+    # guard a zero vector scores 0.0 against every centroid and lands in
+    # cluster 0 with cos_c=0.0 (the same convention encode_pq uses).
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     # bound the (rows x k) score matrix the same way the pair kernels
     # bound m x m (round-10 audit): row slabs x centroid chunks with a
     # running argmax — at SemDeDup-paper scale (k=110,000) an unblocked
@@ -138,7 +144,9 @@ def assign_clusters(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-30
+            )
             n = len(Vn)
             cl = np.empty(n, dtype=np.int32)
             cc = np.empty(n, dtype=np.float64)

@@ -29,45 +29,23 @@ LAGGARDS_R11 = {
 
 
 def test_rotation_invariant_r10():
-    """The r9 driver window union the r10 window covers every
-    registered gate EXCEPT exactly the named r11 laggards; the 15
-    r10-named laggards LEAD the window (rule b — VERDICT r9 #2
-    executed; no gates were born this round, so rule a is vacuous);
-    the new laggards head the tail so a plain rotation forward covers
-    them first."""
-    registry = list(em.queries())
-    window_r10 = set(registry[:50])
+    """Three-round coverage invariant, r10 edition (artifact-based —
+    the registry has since rotated forward to the r11 order): the r9
+    and r10 DRIVER windows, from the recorded CORRECTNESS artifacts,
+    cover every gate registered at r10 except exactly the named r11
+    laggards, which now LEAD the r11 window (asserted structurally in
+    tests/test_round11.py).  Rule (b) held at r10: its artifact's
+    first 15 recorded gates are exactly the r10-named laggards."""
+    registry = set(em.queries())  # no gates born in r10 or r11
     root = os.path.dirname(os.path.abspath(em.__file__))
+    with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
+        artifact_r10 = list(json.load(f))
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
-    uncovered = set(registry) - window_r9 - window_r10
+    uncovered = registry - window_r9 - set(artifact_r10)
     assert uncovered == LAGGARDS_R11
-    # rule (b): the 15 r10-named laggards lead the window
-    assert set(registry[:15]) == LAGGARDS_R10
-    # the rest of the window is exactly the 35 oldest-evidence gates
-    # (newest driver row r8) — which includes every index/ANN gate the
-    # gemm default flip touches
-    with open(os.path.join(root, "CORRECTNESS_r08.json")) as f:
-        window_r8 = set(json.load(f))
-    assert set(registry[15:50]) <= window_r8
-    for g in (
-        "ann_index_takedown", "dedup_index_roundtrip",
-        "media_index_roundtrip", "ann_exhaustive_exact",
-    ):
-        assert g in window_r10 or g in window_r9
-    # the named r11 laggards head the tail
-    assert set(registry[50:65]) == LAGGARDS_R11
-    # every r10-window gate except the by-design rows-only ANN gates
-    # carries an exact oracle
-    oracles = em.oracle_sql()
-    rows_only = {
-        "doc_similar_w2v", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_ivf_index", "ann_pq_topk", "ann_ivfpq_topk",
-        "ann_ivfpq_res_topk",
-    }
-    for g in registry[:50]:
-        if g not in rows_only:
-            assert g in oracles, g
+    # rule (b) at r10: the 15 r10-named laggards led that window
+    assert set(artifact_r10[:15]) == LAGGARDS_R10
 
 
 # ---------------------------------------------------------------------------
@@ -75,18 +53,24 @@ def test_rotation_invariant_r10():
 
 
 def test_gemm_is_the_default_everywhere():
-    """Every production entry point that assigns vectors to centroids
-    defaults to the Arrow GEMM path — the expr twin (k array literals
-    in the plan; 136 s vs 3 s at 1M rows / k=256) is opt-in for
-    oracle adjudication only."""
+    """Every production BUILD entry point that assigns vectors to
+    centroids defaults to the Arrow GEMM path — the expr twin (k array
+    literals in the plan; 136 s vs 3 s at 1M rows / k=256) is opt-in
+    for oracle adjudication only.  MAINTENANCE entry points (upsert /
+    probe / stream against an existing index) default to None =
+    "replay the strategy the index was built with" (ADVICE r10: a
+    rounded-cosine tie can in principle resolve differently between
+    the numpy GEMM and the Catalyst fold, and the partition-pruned
+    replay guards need a replayed row to re-derive its STORED
+    cluster); the stored value is gemm for every index built since
+    round 10, so gemm remains the effective default everywhere."""
     import inspect
 
     from fastdb_spark.pipeline import ann, incsem, semdedup
 
     for fn in (
-        ann.build_ivf_index, ann.ivf_index_upsert, ann._ivf_upsert_unlocked,
-        incsem.build_semantic_index, incsem.semantic_index_probe,
-        incsem.semantic_index_upsert, incsem.stream_semantic_index,
+        ann.build_ivf_index,
+        incsem.build_semantic_index,
         semdedup.semantic_pairs, semdedup.semantic_dedup,
         semdedup.assign_clusters,
     ):
@@ -96,6 +80,14 @@ def test_gemm_is_the_default_everywhere():
         )
         assert p is not None, fn.__name__
         assert p.default == "gemm", (fn.__name__, p.default)
+    for fn in (
+        ann.ivf_index_upsert, ann._ivf_upsert_unlocked,
+        incsem.semantic_index_probe, incsem.semantic_index_upsert,
+        incsem.stream_semantic_index,
+    ):
+        sig = inspect.signature(fn)
+        p = sig.parameters["assign_strategy"]
+        assert p.default is None, (fn.__name__, p.default)
 
 
 def test_gemm_assign_passes_payload_columns_through(spark):
@@ -540,9 +532,12 @@ def test_semindex_oracle_cache_keys_on_file_identity(tmp_path):
     os.utime(alt / "embeddings.parquet", ns=(before + 10**9, before + 10**9))
     sql3 = po.semindex_values_sql(sf_dir=str(alt))
     # same content -> same SQL text, but the second call must have been
-    # a cache MISS (separately keyed) — assert via the cache dict
-    keys = [k for k in po._SEMINDEX_CACHE if k[4] == str(alt)]
-    assert len(keys) == 2
+    # a cache MISS (the file identity changed) — since round 11 the
+    # cache holds ONE entry per sf_dir (ADVICE r10: regeneration evicts
+    # instead of accumulating), so assert the stored key moved on
+    key, _ = po._SEMINDEX_CACHE[str(alt)]
+    after = os.stat(alt / "embeddings.parquet").st_mtime_ns
+    assert key[-2] == after and after != before
     assert sql2 == sql3
 
 

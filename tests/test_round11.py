@@ -1,0 +1,265 @@
+"""Round-11 structural tests: exact oracles for the approximate-ANN
+gates (VERDICT r10 #2), the ADVICE-r10 fixes (greedy-MIS edge-contract
+guard, persisted assign_strategy, zero-norm assignment guard, oracle
+cache eviction), and the r11 rotation invariant."""
+
+import json
+import os
+
+import pytest
+
+import __spark_entry__ as em
+from tests.test_round10 import LAGGARDS_R11
+
+#: r9-green gates squeezed out of the r11 window — they lead the r12
+#: window.  Chosen for lowest drift risk: astronomy/TPC-H query shapes
+#: and stable text operators untouched by this round's changes (the ANN
+#: oracle work, the assign_strategy persistence, the greedy-MIS guard
+#: and the zero-norm guard all live in pipeline/{ann,incsem,semdedup,
+#: dedup,oracles}.py — every r9 gate exercising those modules stays
+#: INSIDE the adjudicated r11 window).
+LAGGARDS_R12 = {
+    "ltcv_patch", "snana_load_roundtrip", "priority_dedup",
+    "versioned_dedup", "first_seen_dedup", "ltcv_detections_cut",
+    "crossmatch", "spectrum_workflow", "range_join", "cone_search",
+    "ltcv_nested_probe", "asof_latest_forced", "object_search",
+    "versioned_count", "hot_ltcvs", "skewed_aggregate",
+    "corpus_quantiles", "pii_redaction", "bm25_search",
+    "multimodal_codec_roundtrip", "multimodal_features",
+}
+
+
+def test_rotation_invariant_r11():
+    """The r10 driver window union the r11 window covers every
+    registered gate EXCEPT exactly the named r12 laggards (all
+    r9-green); the 15 r11-named laggards LEAD the window (rule b —
+    VERDICT r10 #1 executed; no gates were born this round, so rule a
+    is vacuous); the six ANN gates that gained exact oracles this
+    round sit in the window so their first adjudicated appearance is
+    rows+schema+hash, not rows-only."""
+    registry = list(em.queries())
+    window_r11 = set(registry[:50])
+    root = os.path.dirname(os.path.abspath(em.__file__))
+    with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
+        window_r10 = set(json.load(f))
+    uncovered = set(registry) - window_r10 - window_r11
+    assert uncovered == LAGGARDS_R12
+    # rule (b): the 15 r10-named laggards lead the window
+    assert set(registry[:15]) == LAGGARDS_R11
+    # the six newly-oracled ANN gates are adjudicated THIS round
+    newly_oracled = {
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index",
+        "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
+    }
+    assert newly_oracled <= window_r11
+    # every remaining window slot is an r9-window gate (the oldest
+    # evidence after the r8-green laggards)
+    with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
+        window_r9 = set(json.load(f))
+    rest = set(registry[15:50]) - newly_oracled
+    assert rest <= window_r9
+    # the named r12 laggards head the tail so a plain rotation forward
+    # covers them first
+    assert set(registry[50:71]) == LAGGARDS_R12
+    # every r11-window gate except the one legitimately rows-only gate
+    # carries an exact oracle; doc_similar_w2v (trained Word2Vec — the
+    # only genuinely non-deterministic gate) is the expected rows-only
+    # set for this window, pre-declared here (VERDICT r10 What's-wrong
+    # #3)
+    oracles = em.oracle_sql()
+    rows_only = {"doc_similar_w2v"}
+    for g in registry[:50]:
+        if g not in rows_only:
+            assert g in oracles, g
+
+
+# ---------------------------------------------------------------------------
+# exact ANN oracles (VERDICT r10 #2)
+
+
+def test_ann_gates_now_carry_exact_oracles():
+    """The six approximate-ANN gates flip from rows-only to exact this
+    round: each has an oracle_sql entry, and the SQL carries the recall
+    column and the literal replay artifacts."""
+    oracles = em.oracle_sql()
+    for g in (
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index", "ann_pq_topk",
+        "ann_ivfpq_topk", "ann_ivfpq_res_topk",
+    ):
+        assert g in oracles, g
+        assert "recall10" in oracles[g], g
+    # ivf_topk and ivf_index share one deterministic quantizer, hence
+    # one oracle
+    assert oracles["ann_ivf_topk"] == oracles["ann_ivf_index"]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The oracle's hash-ordered training-sample replay depends on a
+    bit-exact xxhash64: verify the pure-python implementation against
+    F.xxhash64 on a range covering negatives and large magnitudes."""
+    from pyspark.sql import functions as F
+
+    from fastdb_spark.pipeline.oracles import _spark_xxhash64_long
+
+    df = spark.range(-500, 500).union(
+        spark.createDataFrame(
+            [(2**62,), (-(2**62),), (2**63 - 1,), (-(2**63),)], "id long"
+        )
+    )
+    rows = df.select("id", F.xxhash64(F.col("id")).alias("h")).collect()
+    for r in rows:
+        assert _spark_xxhash64_long(r["id"]) == r["h"], r["id"]
+
+
+def test_ann_oracle_cache_evicts_per_sf_dir(tmp_path):
+    """The ANN oracle caches hold ONE entry per sf_dir (ADVICE r10):
+    regenerating a corpus replaces the entry instead of accumulating."""
+    import shutil
+
+    from fastdb_spark.pipeline import oracles as po
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    shutil.copy(
+        os.path.join(sf, "embeddings.parquet"), alt / "embeddings.parquet"
+    )
+    sql1 = po.ann_ivf_oracle_sql(sf_dir=str(alt))
+    before = os.stat(alt / "embeddings.parquet").st_mtime_ns
+    os.utime(alt / "embeddings.parquet", ns=(before + 10**9, before + 10**9))
+    sql2 = po.ann_ivf_oracle_sql(sf_dir=str(alt))
+    assert sql1 == sql2  # same content -> same SQL
+    # but only ONE cache entry for the dir, keyed on the NEW identity
+    key, _ = po._ANN_SQL_CACHE[f"{str(alt)}|ivf"]
+    assert key[-2] == before + 10**9
+
+
+def test_missing_corpus_parquet_names_the_file(tmp_path):
+    """ADVICE r10: a missing corpus parquet raises a clear error naming
+    the file, not a bare os.stat FileNotFoundError."""
+    from fastdb_spark.pipeline import oracles as po
+
+    with pytest.raises(FileNotFoundError, match="oracle corpus missing"):
+        po.ann_ivf_oracle_sql(sf_dir=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="embeddings.parquet"):
+        po.semindex_values_sql(sf_dir=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="documents.parquet"):
+        po.bpe_train_values_sql(sf_dir=str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# greedy-MIS edge-contract guard (ADVICE r10)
+
+
+def test_greedy_mis_terminates_on_symmetric_edges(spark):
+    """A contract-violating symmetric pair ((1,2) AND (2,1)) used to
+    make the unbounded fixpoint oscillate forever; the entry filter
+    keeps only the DAG orientation, so the iterate terminates and drops
+    exactly {2}."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1)], "id_a long, id_b long"
+    )
+    from fastdb_spark.pipeline.dedup import greedy_mis_drops
+
+    out = greedy_mis_drops(pairs, "doc_id")
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_greedy_mis_ignores_self_loops_and_reversed(spark):
+    """Self-loops (x,x) and reversed edges are filtered on entry; the
+    remaining DAG drops the greedy set unchanged."""
+    pairs = spark.createDataFrame(
+        [(3, 3), (5, 4), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    from fastdb_spark.pipeline.dedup import greedy_mis_drops
+
+    out = greedy_mis_drops(pairs, "doc_id")
+    # chain 1-2-3: greedy keeps {1, 3}, drops {2}; (5,4)/(3,3) ignored
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]
+
+
+# ---------------------------------------------------------------------------
+# persisted assign_strategy (ADVICE r10)
+
+
+def test_index_meta_records_assign_strategy(spark, tmp_path):
+    """build_ivf_index and build_semantic_index persist the assignment
+    strategy; maintenance entry points replay the STORED value when the
+    caller passes none."""
+    from fastdb_spark.pipeline.ann import (
+        _stored_assign_strategy,
+        build_ivf_index,
+    )
+    from fastdb_spark.pipeline.incsem import _sem_params, build_semantic_index
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    p1 = str(tmp_path / "ivf_expr")
+    build_ivf_index(embs, p1, n_clusters=4, assign_strategy="expr")
+    assert _stored_assign_strategy(p1) == "expr"
+    p2 = str(tmp_path / "ivf_default")
+    build_ivf_index(embs, p2, n_clusters=4)
+    assert _stored_assign_strategy(p2) == "gemm"
+    # a pre-round-11 layout (no meta file) falls back to gemm
+    os.remove(os.path.join(p2, "_ivf_meta.json"))
+    assert _stored_assign_strategy(p2) == "gemm"
+    p3 = str(tmp_path / "sem_expr")
+    build_semantic_index(
+        embs, p3, n_clusters=4, eps=0.999, assign_strategy="expr"
+    )
+    assert _sem_params(p3)["assign_strategy"] == "expr"
+
+
+def test_upsert_replays_stored_strategy(spark, tmp_path, monkeypatch):
+    """An upsert with assign_strategy=None must resolve to the stored
+    build strategy, not the module default — instrumented via the
+    _assign dispatcher."""
+    from fastdb_spark.pipeline import ann
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    ann.build_ivf_index(embs, path, n_clusters=2, assign_strategy="expr")
+    seen = []
+    orig = ann._assign
+
+    def spy(df, cents, id_col, vec_col, strategy):
+        seen.append(strategy)
+        return orig(df, cents, id_col, vec_col, strategy)
+
+    monkeypatch.setattr(ann, "_assign", spy)
+    more = spark.createDataFrame(
+        [(100 + i, [1.0, float(i), 0.5]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    ann.ivf_index_upsert(more, path)
+    assert seen == ["expr"]
+
+
+# ---------------------------------------------------------------------------
+# zero-norm assignment guard (ADVICE r10)
+
+
+def test_assign_clusters_zero_norm_vector(spark):
+    """A zero-norm vector must not emit cluster=0/cos_c=-inf (which
+    would always win 'farthest from centroid' keeper ranking): with the
+    eps-guarded normalization it scores 0.0 everywhere and lands in
+    cluster 0 with cos_c=0.0."""
+    import math
+
+    from fastdb_spark.pipeline.semdedup import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = assign_clusters(df, [[1.0, 0.0], [0.0, 1.0]], strategy="gemm")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1]["cluster"] == 0
+    assert rows[1]["cos_c"] == 0.0
+    assert math.isfinite(rows[1]["cos_c"])
+    assert rows[2]["cluster"] == 1 and rows[2]["cos_c"] == 1.0
