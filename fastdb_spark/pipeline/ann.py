@@ -1528,7 +1528,8 @@ def encode_pq_residual(
 
     from fastdb_spark.pipeline import semdedup as _sd
 
-    _rb, _cb = _sd.GEMM_ROW_BLOCK, _sd.CENTROID_CHUNK  # bound driver-side
+    # bound driver-side, session conf > module default
+    _rb, _cb = _sd.gemm_block_sizes(embeddings.sparkSession)
 
     def op(batches):
         for pdf in batches:

@@ -126,7 +126,8 @@ def _vs_index_dups(
 
     from fastdb_spark.pipeline import semdedup as _sd
 
-    block = _sd.GEMM_ROW_BLOCK  # bound driver-side (see _pairs_gemm)
+    # bound driver-side, session conf > module default (see _pairs_gemm)
+    block, _ = _sd.gemm_block_sizes(new_keyed.sparkSession)
 
     def kernel(key, npdf: "pd.DataFrame", opdf: "pd.DataFrame"):
         if not len(npdf) or not len(opdf):

@@ -263,3 +263,41 @@ def test_assign_clusters_zero_norm_vector(spark):
     assert rows[1]["cos_c"] == 0.0
     assert math.isfinite(rows[1]["cos_c"])
     assert rows[2]["cluster"] == 1 and rows[2]["cos_c"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# GEMM block knobs via session conf (VERDICT r10 #4)
+
+
+def test_gemm_blocks_tunable_via_session_conf(spark):
+    """spark.fastdb.gemm.rowBlock / .centroidChunk override the module
+    defaults; forcing 1-row slabs and 1-centroid chunks through the conf
+    must leave assignment membership and cos_c identical to the expr
+    twin (the blocked kernels are value-preserving whatever the block)."""
+    from fastdb_spark.pipeline import semdedup as sd
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.5, 0.5, 1.0]]
+    try:
+        spark.conf.set("spark.fastdb.gemm.rowBlock", "1")
+        spark.conf.set("spark.fastdb.gemm.centroidChunk", "1")
+        assert sd.gemm_block_sizes(spark) == (1, 1)
+        gemm = {
+            r["vec_id"]: (r["cluster"], r["cos_c"])
+            for r in sd.assign_clusters(df, cents, strategy="gemm").collect()
+        }
+    finally:
+        spark.conf.unset("spark.fastdb.gemm.rowBlock")
+        spark.conf.unset("spark.fastdb.gemm.centroidChunk")
+    assert sd.gemm_block_sizes(spark) == (
+        sd.GEMM_ROW_BLOCK, sd.CENTROID_CHUNK
+    )
+    expr = {
+        r["vec_id"]: (r["cluster"], r["cos_c"])
+        for r in sd.assign_clusters(df, cents, strategy="expr").collect()
+    }
+    assert gemm == expr
