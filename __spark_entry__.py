@@ -955,6 +955,43 @@ def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(appr, cosine_topk(embs, qvec, k=10), k=10)
 
 
+def _q_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED probe against the persisted IVF-PQ index
+    (``ivfpq_search_index_many`` — born r11): the WHOLE query batch
+    rides ONE pass over the union of probed cluster partitions, each
+    query's ADC LUT and q·c offset broadcast as rows of a probe table —
+    the query-service shape (a retrieval endpoint scores a request
+    batch per scan, not per query).  Exact oracle via the r11 replay
+    construction (pipeline/oracles.py:ann_ivfpq_batch_oracle_sql).
+    Reference parity: the reference's random-sample/batched lookup
+    endpoints (src/db.py VALUES-join idiom) applied to vector search."""
+    import os
+
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivfpq_search_index_many,
+    )
+
+    embs, _ = _ann_corpus(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = _scratch(f"fastdb_ivfpq_{tag}")
+    if path not in _IVF_WRITTEN:
+        build_ivf_index(
+            embs, path, n_clusters=8, strategy="seed",
+            pq_m=8, pq_k=16, pq_residual=False,
+        )
+        _IVF_WRITTEN.add(path)
+    qrows = (
+        embs.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries_map = {str(r["vec_id"]): list(r["embedding"]) for r in qrows}
+    return ivfpq_search_index_many(
+        spark, path, queries_map, k=5, nprobe=3, rerank=50
+    )
+
+
 def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive-parameter adjudication of every approximate-ANN code
     path (VERDICT r6 #2): each variant is configured so its candidate
@@ -3672,30 +3709,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and (b) the named stable laggards LEAD the next round's window.
     #
     # ROUND-11 WINDOW (executed exactly as pinned in ROUND_NOTES r10 /
-    # VERDICT r10 #1): no gates were born this round, so the FIFTEEN
-    # r11-named laggards (r8-green, parity-run every session) LEAD the
-    # window; the six approximate-ANN gates that gained EXACT duckdb
-    # oracles this round (VERDICT r10 #2 — deterministic given the
-    # frozen quantizers, replayed by pipeline/oracles.py) follow, so
-    # their first adjudicated appearance is rows+schema+hash; then 29
-    # r9-window gates, prioritizing every gate that exercises this
-    # round's touched modules.  NAMED LAGGARDS for r12 (r9-green,
-    # astronomy/TPC-H/stable-text shapes untouched this round; they
-    # lead the r12 window): ltcv_patch, snana_load_roundtrip,
-    # priority_dedup, versioned_dedup, first_seen_dedup,
-    # ltcv_detections_cut, crossmatch, spectrum_workflow, range_join,
-    # cone_search, ltcv_nested_probe, asof_latest_forced,
-    # object_search, versioned_count, hot_ltcvs, skewed_aggregate,
-    # corpus_quantiles, pii_redaction, bm25_search,
-    # multimodal_codec_roundtrip, multimodal_features.
+    # VERDICT r10 #1): the one gate born this round (ann_ivfpq_batch,
+    # the batched persisted-index probe) sits at the window head (rule
+    # a); the FIFTEEN r11-named laggards (r8-green, parity-run every
+    # session) lead the rest (rule b); the six approximate-ANN gates
+    # that gained EXACT duckdb oracles this round (VERDICT r10 #2 —
+    # deterministic given the frozen quantizers, replayed by
+    # pipeline/oracles.py) follow, so their first adjudicated
+    # appearance is rows+schema+hash; then 28 r9-window gates,
+    # prioritizing every gate that exercises this round's touched
+    # modules.  NAMED LAGGARDS for r12 (r9-green, astronomy/TPC-H/
+    # stable-text shapes untouched this round; they lead the r12
+    # window): ltcv_patch, snana_load_roundtrip, priority_dedup,
+    # versioned_dedup, first_seen_dedup, ltcv_detections_cut,
+    # crossmatch, spectrum_workflow, range_join, cone_search,
+    # ltcv_nested_probe, asof_latest_forced, object_search,
+    # versioned_count, hot_ltcvs, skewed_aggregate, corpus_quantiles,
+    # pii_redaction, bm25_search, multimodal_codec_roundtrip,
+    # multimodal_features, alert_reconstruct.
     # tests/test_round11.py::test_rotation_invariant_r11 asserts the
     # r10 union r11 windows cover everything except exactly that set;
     # the expected rows-only set for this window is pre-declared there
     # too: doc_similar_w2v ONLY (trained Word2Vec — the one genuinely
     # non-deterministic gate left).
     return {
-        # --- round-11 window (first 50): the 15 named laggards -------
-        # (r8-green; VERDICT r10 #1 executed exactly as pinned)
+        # --- round-11 window (first 50) ------------------------------
+        # rule (a): the gate born THIS round sits at the window head
+        "ann_ivfpq_batch": _q_ann_ivfpq_batch,
+        # then the 15 named laggards (r8-green; VERDICT r10 #1
+        # executed exactly as pinned)
         "boilerplate_removal": _q_boilerplate_removal,
         "chunk_docs": _q_chunk_docs,
         "corpus_card": _q_corpus_card,
@@ -3739,7 +3781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objstats_per_band": _q_objstats_per_band,
         "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
-        "alert_reconstruct": _q_alert_reconstruct,
         "mix_report": _q_mix_report,
         "ann_exhaustive_exact": _q_ann_exhaustive,
         "ann_batch_topk": _q_ann_batch_topk,
@@ -3781,6 +3822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "multimodal_codec_roundtrip": _q_multimodal_codec,
         "multimodal_features": _q_multimodal_features,
+        # displaced from the r11 window by the born-this-round
+        # ann_ivfpq_batch gate; r9-green, untouched this round
+        # (root-caused JIT-warm-up gate, ROUND_NOTES r10)
+        "alert_reconstruct": _q_alert_reconstruct,
         # r10-window gates (driver-green in CORRECTNESS_r10)
         "union_distinct": _q_union_distinct,
         "values_lookup": _q_values_lookup,
@@ -4703,6 +4748,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivfpq_res_topk": po.ann_ivfpq_oracle_sql(
             residual=True, nprobe=3, rerank=50
+        ),
+        # the batched query-service probe (born r11) — same replay
+        # construction, per query
+        "ann_ivfpq_batch": po.ann_ivfpq_batch_oracle_sql(
+            n_queries=5, residual=False, nprobe=3, rerank=50, k=5
         ),
         # SemDeDup (born r9): frozen literal centroids, so the oracle
         # replays assignment + epsilon graph + recursive-CTE closure +

@@ -948,14 +948,23 @@ def bench_ivf_guard(spark) -> dict:
 
 
 def bench_semdedup(spark) -> dict:
-    """Scale row for SemDeDup (round 9): 1M vectors, 256 frozen
-    clusters (~3.9k members each — the paper's cluster-size regime), a
-    planted 2% twin fraction, full assignment -> per-cluster GEMM ->
-    transitive closure -> keeper election.  Also prices the degenerate
-    case the guard exists for: one corpus where every vector lands in
-    ONE cluster (a 1M-member GEMM task would be 10^12 cosines / a
-    multi-TB score matrix) — the guard skips it in one window pass and
-    audits the skip."""
+    """Scale row for SemDeDup (round 9): SCALE_SEMDEDUP_N vectors
+    (default 1M; the round-11 series adds 10M), k = max(256, n/4000)
+    frozen clusters (~3.9k members each — the paper's cluster-size
+    regime at every n), a planted 2% twin fraction recovered EXACTLY
+    (dropped == planted count, asserted in the row), full assignment ->
+    per-cluster GEMM -> transitive closure -> keeper election.
+
+    SCALE_SEMDEDUP_AB=1 (default at n <= 1M) re-times the same corpus
+    with the row-blocking effectively disabled via the session conf
+    (one slab per cluster — safe here: ~3.9k-member clusters are
+    ~120 MB matrices) — the recorded blocked-vs-unblocked A/B VERDICT
+    r10 #4 asked for.
+
+    Also prices the degenerate case the guard exists for: one corpus
+    where every vector lands in ONE cluster (a 1M-member GEMM task
+    would be 10^12 cosines / a multi-TB score matrix) — the guard skips
+    it in one window pass and audits the skip."""
     from fastdb_spark.cachereg import release_staged
     from fastdb_spark.pipeline.ann import _hyperplane
     from fastdb_spark.pipeline.semdedup import (
@@ -965,7 +974,9 @@ def bench_semdedup(spark) -> dict:
     )
 
     n = int(os.environ.get("SCALE_SEMDEDUP_N", 1_000_000))
-    dim, k = 32, 256
+    dim = 32
+    k = int(os.environ.get("SCALE_SEMDEDUP_K", max(256, n // 4000)))
+    lbl = f"{n / 1e6:g}m"
     out = {"semdedup_n": n, "semdedup_dim": dim, "semdedup_k": k}
     cents = [_hyperplane(5000 + c, dim) for c in range(k)]
     carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])
@@ -1001,19 +1012,43 @@ def bench_semdedup(spark) -> dict:
             )
         )
 
-    t0 = time.perf_counter()
-    res = semantic_dedup(
-        corpus(), cents, eps=0.99, strategy="gemm", assign_strategy="gemm"
-    )
-    agg = res.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
-    ).collect()[0]
-    out["semdedup_1m_s"] = round(time.perf_counter() - t0, 2)
-    out["semdedup_1m_rows"] = int(agg["rows"])
-    out["semdedup_1m_keepers"] = int(agg["keepers"])
-    out["semdedup_1m_dropped"] = int(agg["rows"]) - int(agg["keepers"])
-    release_staged()
+    def timed_run() -> tuple[float, int, int]:
+        t0 = time.perf_counter()
+        res = semantic_dedup(
+            corpus(), cents, eps=0.99, strategy="gemm",
+            assign_strategy="gemm",
+        )
+        agg = res.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
+        ).collect()[0]
+        dt = round(time.perf_counter() - t0, 2)
+        release_staged()
+        return dt, int(agg["rows"]), int(agg["keepers"])
+
+    dt, rows, keepers = timed_run()
+    out[f"semdedup_{lbl}_s"] = dt
+    out[f"semdedup_{lbl}_rows"] = rows
+    out[f"semdedup_{lbl}_keepers"] = keepers
+    out[f"semdedup_{lbl}_dropped"] = rows - keepers
+    # exact planted-twin recovery: ids == 1 (mod 50), id > 0
+    planted = (n - 2) // 50 + 1 if n > 1 else 0
+    out[f"semdedup_{lbl}_expected_dropped"] = planted
+    out[f"semdedup_{lbl}_exact_recovery"] = (rows - keepers) == planted
+
+    # blocked-vs-unblocked A/B (VERDICT r10 #4): same corpus, row
+    # blocking lifted through the session conf — records what the
+    # OOM-safety blocking costs at gate-realistic cluster sizes
+    if os.environ.get("SCALE_SEMDEDUP_AB", "1" if n <= 1_000_000 else "0") == "1":
+        spark.conf.set("spark.fastdb.gemm.rowBlock", str(1 << 30))
+        try:
+            dt_u, rows_u, keepers_u = timed_run()
+        finally:
+            spark.conf.unset("spark.fastdb.gemm.rowBlock")
+        out[f"semdedup_{lbl}_unblocked_s"] = dt_u
+        out[f"semdedup_{lbl}_unblocked_matches"] = (
+            rows_u == rows and keepers_u == keepers
+        )
 
     # degenerate clustering: every vector in cluster 0 (single frozen
     # centroid).  Uncapped this is one 10^12-cosine task; the guard

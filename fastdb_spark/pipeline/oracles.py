@@ -1423,3 +1423,127 @@ def ann_ivfpq_oracle_sql(
     sql = f"""
         WITH {_ann_prefix(k, query_vec_id)},{_rerank_appr_sql(cand, k)}{_ann_recall_tail(k)}"""
     return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|{tag}", key, sql)
+
+
+def ann_ivfpq_batch_oracle_sql(
+    n_queries: int = 5,
+    residual: bool = False,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    k: int = 5,
+    sf_dir: str | None = None,
+) -> str:
+    """Exact oracle for ``ann_ivfpq_batch`` — the BATCHED persisted-index
+    probe (``ann.ivfpq_search_index_many``: one pass over the union of
+    probed partitions for a whole query batch, the query-service shape).
+
+    Same replay split as :func:`ann_ivfpq_oracle_sql`, per query: the
+    engine computes each query's LUT, probes and offsets on the driver,
+    so the oracle replays them in python; the per-query exact rerank,
+    rank-window top-k and the (query_id, vec_id, cos) output are
+    recomputed independently by duckdb."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from fastdb_spark.pipeline.ann import _pq_codebooks_from
+
+    sf_dir = _resolve_sf_dir(sf_dir)
+    st = _corpus_stat(sf_dir, "embeddings.parquet")
+    key = (
+        "ivfpq_batch", n_queries, residual, n_clusters, nprobe, m, pq_k,
+        rerank, k, st.st_mtime_ns, st.st_size,
+    )
+    cached = _cache_get(_ANN_SQL_CACHE, f"{sf_dir}|ivfpq_batch", key)
+    if cached is not None:
+        return cached
+    ids, ce = _ann_replay_corpus(sf_dir)
+    cents, _ = _seed_centroids_replay(ids, ce, n_clusters)
+    cents_list = [[float(x) for x in c] for c in cents]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    asg_rows = con.execute(
+        f"WITH {_clustered_ctes()}{_ivf_asg_ctes(_cents_values(cents))} "
+        "SELECT vec_id, cluster FROM asg"
+    ).fetchall()
+    cluster_of = {int(v): int(c) for v, c in asg_rows}
+
+    n_train = max(pq_k, min(32 * pq_k, 2048))
+    mat = _pq_training_mat(ids, ce, n_train)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+    )
+    if residual:
+        tr_assign = (mat @ cn.T).argmax(axis=1)
+        books = _pq_codebooks_from(mat - cn[tr_assign], m, pq_k)
+    else:
+        books = _pq_codebooks_from(mat, m, pq_k)
+
+    # stored codes for the whole corpus (encoded once at build time)
+    vn = ce / np.maximum(np.linalg.norm(ce, axis=1, keepdims=True), 1e-30)
+    if residual:
+        assign_all = np.array(
+            [cluster_of[int(v)] for v in ids.tolist()], dtype=np.int64
+        )
+        codes_all = _pq_encode(vn - cn[assign_all], books)
+    else:
+        codes_all = _pq_encode(vn, books)
+    code_row = {int(v): codes_all[i] for i, v in enumerate(ids.tolist())}
+
+    cand_rows = []
+    for qi in range(n_queries):
+        qraw = _qvec_of(ids, ce, qi)
+        order = sorted(
+            range(len(cents_list)),
+            key=lambda i: (-_py_cosine(qraw, cents_list[i]), i),
+        )
+        probes = order[:nprobe]
+        probe_set = set(probes)
+        cand_ids = [int(v) for v in ids.tolist() if cluster_of[v] in probe_set]
+        codes = [code_row[v] for v in cand_ids]
+        q = _norm_q(qraw)
+        offsets = None
+        if residual:
+            qc = {}
+            for c in probes:
+                cnorm = math.sqrt(sum(x * x for x in cents_list[c])) or 1.0
+                qc[int(c)] = float(
+                    sum(q[t] * cents_list[c][t] for t in range(len(q)))
+                    / cnorm
+                )
+            offsets = [qc[cluster_of[v]] for v in cand_ids]
+        top = _adc_rank(
+            cand_ids, codes, _adc_lut(q, books), pq_k, rerank, offsets
+        )
+        cand_rows.extend((qi, v) for v in top)
+
+    cand_values = ",\n          ".join(
+        f"('{qi}', {v})" for qi, v in cand_rows
+    )
+    cos6 = _COS.format(a="ce.cemb", b="qv.qvec")
+    sql = f"""
+        WITH {_clustered_ctes()},
+        cand(query_id, vec_id) AS (VALUES {cand_values}),
+        qv AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, cemb AS qvec
+               FROM ce WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT cand.query_id, ce.vec_id, {cos6} AS cos
+          FROM cand
+          JOIN ce USING (vec_id)
+          JOIN qv ON qv.query_id = cand.query_id)
+        SELECT query_id, vec_id, cos FROM (
+          SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rk
+          FROM scored)
+        WHERE rk <= {k}
+    """
+    return _cache_put(_ANN_SQL_CACHE, f"{sf_dir}|ivfpq_batch", key, sql)

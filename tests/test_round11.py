@@ -26,17 +26,20 @@ LAGGARDS_R12 = {
     "versioned_count", "hot_ltcvs", "skewed_aggregate",
     "corpus_quantiles", "pii_redaction", "bm25_search",
     "multimodal_codec_roundtrip", "multimodal_features",
+    # displaced from the r11 window by the born-this-round
+    # ann_ivfpq_batch gate; r9-green, untouched this round
+    "alert_reconstruct",
 }
 
 
 def test_rotation_invariant_r11():
     """The r10 driver window union the r11 window covers every
     registered gate EXCEPT exactly the named r12 laggards (all
-    r9-green); the 15 r11-named laggards LEAD the window (rule b —
-    VERDICT r10 #1 executed; no gates were born this round, so rule a
-    is vacuous); the six ANN gates that gained exact oracles this
-    round sit in the window so their first adjudicated appearance is
-    rows+schema+hash, not rows-only."""
+    r9-green); the gate born this round (ann_ivfpq_batch) sits at the
+    window head (rule a) and the 15 r11-named laggards lead the rest
+    (rule b — VERDICT r10 #1 executed); the six ANN gates that gained
+    exact oracles this round sit in the window so their first
+    adjudicated appearance is rows+schema+hash, not rows-only."""
     registry = list(em.queries())
     window_r11 = set(registry[:50])
     root = os.path.dirname(os.path.abspath(em.__file__))
@@ -44,8 +47,10 @@ def test_rotation_invariant_r11():
         window_r10 = set(json.load(f))
     uncovered = set(registry) - window_r10 - window_r11
     assert uncovered == LAGGARDS_R12
-    # rule (b): the 15 r10-named laggards lead the window
-    assert set(registry[:15]) == LAGGARDS_R11
+    # rule (a): the born gate heads the window
+    assert registry[0] == "ann_ivfpq_batch"
+    # rule (b): the 15 r11-named laggards lead the rest
+    assert set(registry[1:16]) == LAGGARDS_R11
     # the six newly-oracled ANN gates are adjudicated THIS round
     newly_oracled = {
         "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index",
@@ -56,11 +61,11 @@ def test_rotation_invariant_r11():
     # evidence after the r8-green laggards)
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
-    rest = set(registry[15:50]) - newly_oracled
+    rest = set(registry[16:50]) - newly_oracled
     assert rest <= window_r9
     # the named r12 laggards head the tail so a plain rotation forward
     # covers them first
-    assert set(registry[50:71]) == LAGGARDS_R12
+    assert set(registry[50:72]) == LAGGARDS_R12
     # every r11-window gate except the one legitimately rows-only gate
     # carries an exact oracle; doc_similar_w2v (trained Word2Vec — the
     # only genuinely non-deterministic gate) is the expected rows-only

@@ -790,7 +790,8 @@ def test_rotation_invariant_r9():
         window_r8 = set(json.load(f))
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
-    registry = set(em.queries())  # no gates born in r10
+    # exclude gates born AFTER r9 (none in r10; ann_ivfpq_batch in r11)
+    registry = set(em.queries()) - {"ann_ivfpq_batch"}
     uncovered = registry - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
     born_r9 = {
