@@ -1067,6 +1067,113 @@ def bench_semdedup(spark) -> dict:
     return out
 
 
+def bench_ann_batch(spark) -> dict:
+    """Query-service amortization row (round 11, backs the new
+    ann_ivfpq_batch gate): build a persisted IVF-PQ index at
+    SCALE_ANN_BATCH_N vectors (default 1M), then answer the same
+    SCALE_ANN_BATCH_Q queries (default 64) two ways — one
+    ``ivfpq_search_index`` job chain PER QUERY (what a naive endpoint
+    does: Q scans of the probed partitions, Q driver roundtrips) vs ONE
+    ``ivfpq_search_index_many`` pass (the whole batch rides one scan of
+    the UNION of probed partitions; per-query LUT/offset broadcast as
+    probe-table rows).  Reports both walls, the amortization ratio, and
+    asserts the batched rows EQUAL the sequential rows per query."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.ann import (
+        _hyperplane,
+        build_ivf_index,
+        ivfpq_search_index,
+        ivfpq_search_index_many,
+    )
+
+    n = int(os.environ.get("SCALE_ANN_BATCH_N", 1_000_000))
+    n_q = int(os.environ.get("SCALE_ANN_BATCH_Q", 64))
+    dim, k_clusters, nprobe, topk, rerank = 32, 256, 4, 10, 100
+    out = {
+        "ann_batch_n": n, "ann_batch_q": n_q,
+        "ann_batch_k": k_clusters, "ann_batch_nprobe": nprobe,
+    }
+    cents = [_hyperplane(5000 + c, dim) for c in range(k_clusters)]
+    carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])
+    own = F.element_at(
+        carr, (F.pmod(F.col("id"), F.lit(k_clusters)) + 1).cast("int")
+    )
+    noise = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1000003))
+                .cast("double")
+                / F.lit(1000003.0)
+                - F.lit(0.5)
+            )
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(own, noise, lambda c, e: c + F.lit(0.35) * e).alias(
+            "embedding"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="fastdb_annbatch_")
+    path = os.path.join(root, "ivfpq")
+    try:
+        t0 = time.perf_counter()
+        build_ivf_index(
+            corpus, path, n_clusters=k_clusters, centroids=cents,
+            pq_m=8, pq_k=16, pq_residual=False,
+        )
+        out["ann_batch_build_s"] = round(time.perf_counter() - t0, 2)
+        release_staged()
+
+        qrows = (
+            corpus.filter(F.col("vec_id") % (n // n_q) == 0)
+            .limit(n_q)
+            .collect()
+        )
+        queries = {
+            str(r["vec_id"]): list(map(float, r["embedding"])) for r in qrows
+        }
+        out["ann_batch_queries"] = len(queries)
+
+        t0 = time.perf_counter()
+        seq = {}
+        for qid, vec in queries.items():
+            seq[qid] = [
+                (r["vec_id"], r["cos"])
+                for r in ivfpq_search_index(
+                    spark, path, vec, k=topk, nprobe=nprobe, rerank=rerank
+                ).collect()
+            ]
+        out["ann_batch_sequential_s"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        many_rows = ivfpq_search_index_many(
+            spark, path, queries, k=topk, nprobe=nprobe, rerank=rerank
+        ).collect()
+        out["ann_batch_batched_s"] = round(time.perf_counter() - t0, 2)
+        out["ann_batch_amortization_x"] = round(
+            out["ann_batch_sequential_s"]
+            / max(out["ann_batch_batched_s"], 1e-9),
+            2,
+        )
+        many = {}
+        for r in many_rows:
+            many.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["cos"])
+            )
+        out["ann_batch_equal"] = all(
+            sorted(many.get(qid, [])) == sorted(seq[qid]) for qid in seq
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    release_staged()
+    return out
+
+
 def bench_semindex(spark) -> dict:
     """Scale row for the incremental semantic index (round 9): build at
     1M vectors / 256 clusters, dry-run probe + admission upsert of a
@@ -1245,6 +1352,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_SEMINDEX_ONLY", "0") == "1":
         out["semindex"] = bench_semindex(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_ANN_BATCH_ONLY", "0") == "1":
+        out["ann_batch"] = bench_ann_batch(spark)
         print(json.dumps(out))
         return
 
