@@ -107,16 +107,11 @@ def test_oracle_keys_subset():
 
 def test_queries_have_oracles():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    # non-SQL-expressible / approximate-by-design ops get rows-only checks
-    # approximate-by-design (no exact SQL twin) -> driver rows-only check
+    # since round 11 every gate is exact-adjudicated EXCEPT the one
+    # genuinely non-deterministic operator (trained Word2Vec space) —
+    # the six approximate-ANN gates and bpe_train_merges got exact
+    # literal-VALUES replay oracles (pipeline/oracles.py)
     allowed_missing = {
-        "bpe_train_merges",  # iterative argmax training — no SQL twin
-        "doc_similar_w2v",  # trained vector space — no SQL twin
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "ann_ivf_index",
-        "ann_pq_topk",
-        "ann_ivfpq_topk",
-        "ann_ivfpq_res_topk",
+        "doc_similar_w2v",  # trained vector space — no replayable twin
     }
-    assert missing <= allowed_missing, f"queries without oracle: {missing}"
+    assert missing == allowed_missing, f"queries without oracle: {missing}"
