@@ -3762,7 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # then 29 r9-window gates, prioritizing every gate that
+        # then 28 r9-window gates, prioritizing every gate that
         # exercises this round's touched modules (pipeline/ann.py,
         # incsem.py, semdedup.py, dedup.py, oracles.py: the
         # assign_strategy persistence, the greedy-MIS edge guard, the

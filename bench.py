@@ -162,7 +162,7 @@ def main() -> None:
     )
     compact["queries"] = slow
     compact["queries_omitted"] = len(timings) - len(slow)
-    compact["queries_full"] = "BENCH_LOCAL.json"
+    compact["queries_full"] = os.path.basename(sidecar)
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1500 and len(slow) > 1:
         slow.pop(next(reversed(slow)))

@@ -37,14 +37,17 @@ _IVF_META = "_ivf_meta.json"
 
 def _stored_assign_strategy(path: str, fallback: str = "gemm") -> str:
     """The ``assign_strategy`` the index at ``path`` was built with;
-    pre-round-11 layouts have no meta file and fall back to ``gemm``
-    (what every build since round 10 used)."""
+    pre-round-11 layouts have no meta file, and a torn/corrupt meta
+    (killed build — the write is atomic since round 11, but older or
+    foreign files may not be) must not brick every maintenance entry
+    point: both fall back to ``gemm`` (what every build since round 10
+    used)."""
     import os
 
     try:
         with open(os.path.join(path, _IVF_META)) as f:
             return json.load(f).get("assign_strategy", fallback)
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
         return fallback
 
 
@@ -405,7 +408,9 @@ def build_ivf_index(
     # partition-pruned dedup_ids guard would miss it.  Maintenance entry
     # points default to this stored value (assign_strategy=None).
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _IVF_META), "w") as f:
+    meta_path = os.path.join(path, _IVF_META)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "assign_strategy": assign_strategy,
@@ -415,6 +420,7 @@ def build_ivf_index(
             },
             f,
         )
+    os.replace(tmp, meta_path)  # atomic: a killed build leaves no torn meta
     tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
     if pq_m is None:
         _align(tagged).write.option(

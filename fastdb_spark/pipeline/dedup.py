@@ -193,10 +193,18 @@ def greedy_mis_drops(
     The fixpoint argument REQUIRES the DAG orientation ``id_a < id_b``;
     a contract-violating symmetric pair ((1,2) and (2,1)) would make
     the iterate oscillate forever (ADVICE r10).  The orientation is
-    enforced on entry with a filter (free — it fuses into the edge
-    scan), so termination is unconditional whatever the caller built."""
+    CANONICALIZED on entry — least/greatest, then drop self-loops —
+    rather than filtered: a reversed edge (5,4) still means "4 and 5
+    are near-dups" and silently discarding it would re-introduce the
+    phantom-admission class this function exists to fix (round-11
+    review).  Free: the expressions fuse into the edge scan, and the
+    per-round ``distinct`` already absorbs any duplicate a mirrored
+    pair produces."""
     edges = (
-        pairs.select("id_a", "id_b")
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .localCheckpoint(eager=False)
     )
@@ -449,7 +457,8 @@ def embedding_neardup_pairs(
 
     from fastdb_spark.pipeline import semdedup as _sd
 
-    _gemm_block = _sd.GEMM_ROW_BLOCK  # bound driver-side (see _pairs_gemm)
+    # bound driver-side, session conf > module default (see _pairs_gemm)
+    _gemm_block, _ = _sd.gemm_block_sizes(df.sparkSession)
 
     def _score(apdf: "pd.DataFrame", bpdf: "pd.DataFrame", upper: bool):
         """GEMM one side against the other; emit (min_id, max_id, cos).

@@ -246,14 +246,16 @@ def gemm_block_sizes(spark) -> tuple[int, int]:
     rb, cc = GEMM_ROW_BLOCK, CENTROID_CHUNK
     if spark is not None:
         try:
-            v = spark.conf.get("spark.fastdb.gemm.rowBlock", None)
-            if v is not None:
-                rb = int(v)
-            v = spark.conf.get("spark.fastdb.gemm.centroidChunk", None)
-            if v is not None:
-                cc = int(v)
+            rb_conf = spark.conf.get("spark.fastdb.gemm.rowBlock", None)
+            cc_conf = spark.conf.get("spark.fastdb.gemm.centroidChunk", None)
         except Exception:  # conf unreadable (stopped session) -> defaults
-            pass
+            rb_conf = cc_conf = None
+        # parse OUTSIDE the guard: a malformed value must fail loudly,
+        # not silently run at the default (round-11 review)
+        if rb_conf is not None:
+            rb = int(rb_conf)
+        if cc_conf is not None:
+            cc = int(cc_conf)
     return max(1, int(rb)), max(1, int(cc))
 
 

@@ -170,17 +170,21 @@ def test_greedy_mis_terminates_on_symmetric_edges(spark):
     assert [r["doc_id"] for r in out.collect()] == [2]
 
 
-def test_greedy_mis_ignores_self_loops_and_reversed(spark):
-    """Self-loops (x,x) and reversed edges are filtered on entry; the
-    remaining DAG drops the greedy set unchanged."""
+def test_greedy_mis_canonicalizes_reversed_and_drops_self_loops(spark):
+    """A reversed edge (5,4) still MEANS "4 and 5 are near-dups" — it
+    is canonicalized to (4,5), not silently discarded (round-11 review:
+    discarding would re-admit 5 on replay, the phantom-admission class
+    the function exists to fix).  Self-loops (x,x) carry no constraint
+    and are dropped."""
     pairs = spark.createDataFrame(
         [(3, 3), (5, 4), (1, 2), (2, 3)], "id_a long, id_b long"
     )
     from fastdb_spark.pipeline.dedup import greedy_mis_drops
 
     out = greedy_mis_drops(pairs, "doc_id")
-    # chain 1-2-3: greedy keeps {1, 3}, drops {2}; (5,4)/(3,3) ignored
-    assert sorted(r["doc_id"] for r in out.collect()) == [2]
+    # chain 1-2-3 keeps {1, 3} and drops {2}; canonicalized (4,5)
+    # keeps 4 and drops 5; (3,3) is ignored
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 5]
 
 
 # ---------------------------------------------------------------------------
