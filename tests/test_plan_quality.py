@@ -285,6 +285,42 @@ def test_ivfpq_search_index_plan(spark, tmp_path):
     assert out.count() == 10
 
 
+def test_ivfpq_search_index_many_plan(spark, tmp_path):
+    """The BATCHED persisted-index probe (born r11) must (a) prune the
+    stored layout to the UNION of probed cluster partitions
+    (PartitionFilters), (b) BROADCAST the per-query probe table (LUT +
+    offset rows — KBs) rather than shuffling the corpus side, (c) keep
+    the ADC scan pure column expressions (no Python/Arrow eval in the
+    query path), and (d) never plan a cartesian."""
+    from fastdb_spark.catalog import Catalog
+    from fastdb_spark.pipeline.ann import (
+        build_ivf_index,
+        ivfpq_search_index_many,
+    )
+    from fastdb_spark.pipeline.corpus import clustered_embs
+
+    embs = clustered_embs(Catalog(spark, SF_DIR).table("embeddings"))
+    path = str(tmp_path / "ivfpq_many_plan_idx")
+    build_ivf_index(
+        embs, path, n_clusters=8, strategy="seed",
+        pq_m=8, pq_k=16, pq_residual=False,
+    )
+    qrows = embs.filter(F.col("vec_id") < 5).collect()
+    queries = {str(r["vec_id"]): list(r["embedding"]) for r in qrows}
+    out = ivfpq_search_index_many(
+        spark, path, queries, k=5, nprobe=3, rerank=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0], pf
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert out.count() == 25
+
+
 def test_shuffle_shards_single_exchange(spark):
     """Shard assignment is a scan-stage expression; the intra-shard rank
     is the ONE exchange a sharded write needs anyway."""
