@@ -1637,6 +1637,12 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_QUERY, k=10)
 
 
+def _po_hybrid_oracle() -> str:
+    from fastdb_spark.pipeline.retrieval import hybrid_oracle_sql
+
+    return hybrid_oracle_sql(_BM25_QUERY, query_vec_id=0, k=10, pool=50)
+
+
 #: deterministic pseudo-benchmark split for the decontamination gate:
 #: every 7th doc plays the role of a held-out eval set (wide enough that
 #: the corpus's planted near-duplicates produce real 8-gram overlaps)
@@ -1710,6 +1716,25 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).table("documents")
     return bm25_topk(docs, _BM25_QUERY, k=10)
+
+
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (born r11): the BM25 top-50 for the fixed 3-term query fused with
+    the cosine top-50 for the vec_id=0 query vector by
+    sum 1/(60+rank) — the hard-negative-mining / contrastive-labeling
+    shape.  Exact oracle: retrieval.hybrid_oracle_sql (same pools, same
+    rank windows, same fusion arithmetic).  At sf0.1 documents (5000)
+    outnumber embeddings (2000), so lexical-only docs exercise the
+    one-sided RRF path."""
+    from fastdb_spark.pipeline.retrieval import hybrid_topk_rrf
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    qvec = list(
+        embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return hybrid_topk_rrf(docs, embs, _BM25_QUERY, qvec, k=10, pool=50)
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3709,14 +3734,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and (b) the named stable laggards LEAD the next round's window.
     #
     # ROUND-11 WINDOW (executed exactly as pinned in ROUND_NOTES r10 /
-    # VERDICT r10 #1): the one gate born this round (ann_ivfpq_batch,
-    # the batched persisted-index probe) sits at the window head (rule
+    # VERDICT r10 #1): the two gates born this round (ann_ivfpq_batch,
+    # the batched persisted-index probe, and hybrid_search_rrf, the
+    # BM25+vector reciprocal-rank fusion) sit at the window head (rule
     # a); the FIFTEEN r11-named laggards (r8-green, parity-run every
     # session) lead the rest (rule b); the six approximate-ANN gates
     # that gained EXACT duckdb oracles this round (VERDICT r10 #2 —
     # deterministic given the frozen quantizers, replayed by
     # pipeline/oracles.py) follow, so their first adjudicated
-    # appearance is rows+schema+hash; then 28 r9-window gates,
+    # appearance is rows+schema+hash; then 27 r9-window gates,
     # prioritizing every gate that exercises this round's touched
     # modules.  NAMED LAGGARDS for r12 (r9-green, astronomy/TPC-H/
     # stable-text shapes untouched this round; they lead the r12
@@ -3726,7 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ltcv_nested_probe, asof_latest_forced, object_search,
     # versioned_count, hot_ltcvs, skewed_aggregate, corpus_quantiles,
     # pii_redaction, bm25_search, multimodal_codec_roundtrip,
-    # multimodal_features, alert_reconstruct.
+    # multimodal_features, alert_reconstruct, objstats_combined.
     # tests/test_round11.py::test_rotation_invariant_r11 asserts the
     # r10 union r11 windows cover everything except exactly that set;
     # the expected rows-only set for this window is pre-declared there
@@ -3734,8 +3760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # non-deterministic gate left).
     return {
         # --- round-11 window (first 50) ------------------------------
-        # rule (a): the gate born THIS round sits at the window head
+        # rule (a): the gates born THIS round sit at the window head
         "ann_ivfpq_batch": _q_ann_ivfpq_batch,
+        "hybrid_search_rrf": _q_hybrid_search,
         # then the 15 named laggards (r8-green; VERDICT r10 #1
         # executed exactly as pinned)
         "boilerplate_removal": _q_boilerplate_removal,
@@ -3762,7 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # then 28 r9-window gates, prioritizing every gate that
+        # then 27 r9-window gates, prioritizing every gate that
         # exercises this round's touched modules (pipeline/ann.py,
         # incsem.py, semdedup.py, dedup.py, oracles.py: the
         # assign_strategy persistence, the greedy-MIS edge guard, the
@@ -3779,7 +3806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "stream_windowed_rates": _q_stream_windowed_rates,
         "objstats_per_band": _q_objstats_per_band,
-        "objstats_combined": _q_objstats_combined,
         "weighted_position": _q_weighted_position,
         "mix_report": _q_mix_report,
         "ann_exhaustive_exact": _q_ann_exhaustive,
@@ -3823,9 +3849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec_roundtrip": _q_multimodal_codec,
         "multimodal_features": _q_multimodal_features,
         # displaced from the r11 window by the born-this-round
-        # ann_ivfpq_batch gate; r9-green, untouched this round
-        # (root-caused JIT-warm-up gate, ROUND_NOTES r10)
+        # ann_ivfpq_batch / hybrid_search_rrf gates; r9-green,
+        # untouched this round
         "alert_reconstruct": _q_alert_reconstruct,
+        "objstats_combined": _q_objstats_combined,
         # r10-window gates (driver-green in CORRECTNESS_r10)
         "union_distinct": _q_union_distinct,
         "values_lookup": _q_values_lookup,
@@ -4766,6 +4793,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_index_roundtrip": po.semindex_values_sql(),
         "decontaminate": _decontam_oracle(),
         "bm25_search": _bm25_oracle(),
+        # hybrid RRF (born r11): BM25 pool + cosine pool + rank fusion,
+        # all SQL-expressible (retrieval.hybrid_oracle_sql)
+        "hybrid_search_rrf": _po_hybrid_oracle(),
         "curate_corpus": po.curate_sql(),
         "stratified_sample": sample_oracle_sql(
             "(SELECT doc_id, lang, source, n_chars FROM documents) d",

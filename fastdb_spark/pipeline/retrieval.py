@@ -342,3 +342,168 @@ def tfidf_oracle_sql(k: int = 5) -> str:
         SELECT doc_id, term, tf, score_q, rk
         FROM ranked WHERE rk <= {k}
     """
+
+
+def hybrid_topk_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009): fuse the BM25 top-``pool`` and
+    the cosine top-``pool`` by ``sum_i 1/(rrf_k + rank_i)``, ranks
+    1-based within each list, absent list contributing 0.
+
+    This is the retrieval shape a training-data pipeline runs for hard-
+    negative mining and contrastive-pair labeling: lexical recall
+    catches exact-term matches the embedding misses, the embedding
+    catches paraphrases BM25 misses, and RRF needs no score
+    calibration between the two.  The doc and vector id spaces join on
+    equality; ids present in only one corpus (at sf0.1 documents has
+    5000 rows, embeddings 2000) participate through that one list —
+    the standard RRF treatment.
+
+    Scale shape: both input rankings are TakeOrderedAndProject pools of
+    ``pool`` rows (the corpus scans are the underlying operators' —
+    in-array term filter for BM25, one literal-broadcast pass for
+    cosine); everything downstream (two rank windows, a full-outer
+    join, the fused top-k) runs on <= 2*pool rows, so the fusion itself
+    is free at any corpus size.
+
+    Returns ``(id_col, lex_rank, sem_rank, rrf)`` — ranks 0 when the
+    doc is absent from that list, ``rrf`` rounded at 9 (the two
+    1/(rrf_k+rank) terms and their one addition are bit-identical
+    cross-engine; the round is belt-and-braces, house style)."""
+    from pyspark.sql import Window
+
+    from fastdb_spark.pipeline.ann import cosine_topk
+
+    lex = bm25_topk(
+        documents, query_terms, k=pool, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    )
+    sem = cosine_topk(
+        embeddings, query_vec, k=pool, id_col=vec_id_col, vec_col=vec_col
+    )
+    # single-task windows are fine HERE: each side is already a
+    # TakeOrdered pool of <= `pool` rows, not a corpus
+    wl = Window.orderBy(F.col("score_q").desc(), F.col(id_col))
+    ws = Window.orderBy(F.col("cos").desc(), F.col(vec_id_col))
+    lexr = lex.select(
+        F.col(id_col), F.row_number().over(wl).alias("lex_rank")
+    )
+    semr = sem.select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(ws).alias("sem_rank"),
+    )
+    fused = lexr.join(semr, on=id_col, how="full_outer")
+    contrib_l = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+    ).otherwise(F.lit(0.0))
+    contrib_s = F.when(
+        F.col("sem_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            F.col(id_col),
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias(
+                "lex_rank"
+            ),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("int").alias(
+                "sem_rank"
+            ),
+            F.round(contrib_l + contrib_s, 9).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """duckdb twin of :func:`hybrid_topk_rrf` — the BM25 pool CTEs are
+    ``bm25_oracle_sql``'s body, the cosine pool is ``ann_topk_sql``'s,
+    ranks and the 1/(rrf_k+rank) fusion are spelled in the same
+    evaluation order as the Column expressions."""
+    terms = ", ".join(f"'{w}'" for w in query_terms)
+    cos = (
+        "round(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 list_filter(string_split(text, ' '),
+                             t -> t IN ({terms})) AS qtoks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        tf AS (SELECT doc_id, dl, unnest(qtoks) AS term FROM base),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM tf GROUP BY doc_id, dl, term),
+        dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        scored AS (
+          SELECT tfc.doc_id,
+                 ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tfc.tf * {k1 + 1.0})
+                 / (tfc.tf + {k1} * ({1.0 - b} + {b} * tfc.dl / s.avgdl))
+                   AS contrib
+          FROM tfc JOIN dft USING (term) CROSS JOIN stats s),
+        lexpool AS (
+          SELECT doc_id,
+                 CAST(FLOOR(list_reduce(list_prepend(0.0::DOUBLE,
+                      list_sort(list(contrib))), (a, x) -> a + x)
+                      * 10000.0) AS BIGINT) AS score_q
+          FROM scored GROUP BY doc_id
+          ORDER BY score_q DESC, doc_id
+          LIMIT {pool}),
+        lexr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY score_q DESC, doc_id) AS INTEGER) AS lex_rank
+          FROM lexpool),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = {query_vec_id}),
+        sempool AS (
+          SELECT e.vec_id AS doc_id, {cos} AS cos
+          FROM embeddings e, q
+          ORDER BY cos DESC, e.vec_id
+          LIMIT {pool}),
+        semr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
+          FROM sempool),
+        fused AS (
+          SELECT doc_id, lex_rank, sem_rank
+          FROM lexr FULL OUTER JOIN semr USING (doc_id))
+        SELECT doc_id,
+               COALESCE(lex_rank, 0) AS lex_rank,
+               COALESCE(sem_rank, 0) AS sem_rank,
+               round((CASE WHEN lex_rank IS NOT NULL
+                           THEN 1.0 / ({float(rrf_k)} + lex_rank)
+                           ELSE 0.0 END)
+                   + (CASE WHEN sem_rank IS NOT NULL
+                           THEN 1.0 / ({float(rrf_k)} + sem_rank)
+                           ELSE 0.0 END), 9) AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {k}
+    """

@@ -37,7 +37,7 @@ def test_rotation_invariant_r10():
     tests/test_round11.py).  Rule (b) held at r10: its artifact's
     first 15 recorded gates are exactly the r10-named laggards."""
     # exclude gates born AFTER r10 (ann_ivfpq_batch, born r11)
-    registry = set(em.queries()) - {"ann_ivfpq_batch"}
+    registry = set(em.queries()) - {"ann_ivfpq_batch", "hybrid_search_rrf"}
     root = os.path.dirname(os.path.abspath(em.__file__))
     with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
         artifact_r10 = list(json.load(f))

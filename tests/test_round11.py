@@ -27,16 +27,18 @@ LAGGARDS_R12 = {
     "corpus_quantiles", "pii_redaction", "bm25_search",
     "multimodal_codec_roundtrip", "multimodal_features",
     # displaced from the r11 window by the born-this-round
-    # ann_ivfpq_batch gate; r9-green, untouched this round
-    "alert_reconstruct",
+    # ann_ivfpq_batch / hybrid_search_rrf gates; r9-green, untouched
+    # this round
+    "alert_reconstruct", "objstats_combined",
 }
 
 
 def test_rotation_invariant_r11():
     """The r10 driver window union the r11 window covers every
     registered gate EXCEPT exactly the named r12 laggards (all
-    r9-green); the gate born this round (ann_ivfpq_batch) sits at the
-    window head (rule a) and the 15 r11-named laggards lead the rest
+    r9-green); the gates born this round (ann_ivfpq_batch,
+    hybrid_search_rrf) sit at the window head (rule a) and the 15
+    r11-named laggards lead the rest
     (rule b — VERDICT r10 #1 executed); the six ANN gates that gained
     exact oracles this round sit in the window so their first
     adjudicated appearance is rows+schema+hash, not rows-only."""
@@ -47,10 +49,10 @@ def test_rotation_invariant_r11():
         window_r10 = set(json.load(f))
     uncovered = set(registry) - window_r10 - window_r11
     assert uncovered == LAGGARDS_R12
-    # rule (a): the born gate heads the window
-    assert registry[0] == "ann_ivfpq_batch"
+    # rule (a): the born gates head the window
+    assert registry[:2] == ["ann_ivfpq_batch", "hybrid_search_rrf"]
     # rule (b): the 15 r11-named laggards lead the rest
-    assert set(registry[1:16]) == LAGGARDS_R11
+    assert set(registry[2:17]) == LAGGARDS_R11
     # the six newly-oracled ANN gates are adjudicated THIS round
     newly_oracled = {
         "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index",
@@ -61,11 +63,11 @@ def test_rotation_invariant_r11():
     # evidence after the r8-green laggards)
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
-    rest = set(registry[16:50]) - newly_oracled
+    rest = set(registry[17:50]) - newly_oracled
     assert rest <= window_r9
     # the named r12 laggards head the tail so a plain rotation forward
     # covers them first
-    assert set(registry[50:72]) == LAGGARDS_R12
+    assert set(registry[50:73]) == LAGGARDS_R12
     # every r11-window gate except the one legitimately rows-only gate
     # carries an exact oracle; doc_similar_w2v (trained Word2Vec — the
     # only genuinely non-deterministic gate) is the expected rows-only
@@ -310,3 +312,51 @@ def test_gemm_blocks_tunable_via_session_conf(spark):
         for r in sd.assign_clusters(df, cents, strategy="expr").collect()
     }
     assert gemm == expr
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF retrieval (born r11)
+
+
+def test_hybrid_rrf_one_sided_and_fusion_arithmetic(spark):
+    """RRF semantics pinned on a corpus where the lexical and semantic
+    sides disagree: a doc present in only one list contributes only
+    that list's 1/(rrf_k+rank); absent ranks surface as 0; a doc
+    ranked well in BOTH lists outscores a doc that tops one list."""
+    from fastdb_spark.pipeline.retrieval import hybrid_topk_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "vector merge filter vector"),     # strong lexical
+            (1, "vector merge something"),         # mid lexical + sem
+            (2, "unrelated words entirely here"),  # no lexical hits
+            (3, "merge filter"),                   # lexical only (no vec)
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [0.1, 1.0]),   # off-query
+            (1, [1.0, 0.09]),  # near query
+            (2, [1.0, 0.0]),   # the query itself
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_topk_rrf(
+        docs, embs, ["vector", "merge", "filter"], [1.0, 0.0],
+        k=10, pool=3, rrf_k=60,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 is lexical-only: sem_rank sentinel 0, contribution only
+    # from the lexical side
+    assert rows[3]["sem_rank"] == 0 and rows[3]["lex_rank"] > 0
+    assert rows[3]["rrf"] == round(1.0 / (60 + rows[3]["lex_rank"]), 9)
+    # doc 2 is semantic-only (exactly the query vector -> sem rank 1)
+    assert rows[2]["lex_rank"] == 0 and rows[2]["sem_rank"] == 1
+    # doc 1 appears in BOTH lists and must outscore every one-sided doc
+    assert rows[1]["lex_rank"] > 0 and rows[1]["sem_rank"] > 0
+    assert rows[1]["rrf"] > rows[2]["rrf"] and rows[1]["rrf"] > rows[3]["rrf"]
+    expected = round(
+        1.0 / (60 + rows[1]["lex_rank"]) + 1.0 / (60 + rows[1]["sem_rank"]), 9
+    )
+    assert rows[1]["rrf"] == expected

@@ -388,7 +388,7 @@ def test_rotation_invariant():
     }
     # gates born after r9 are excluded the same way (ann_ivfpq_batch,
     # born r11)
-    registry_r8 = set(em.queries()) - born_r9 - {"ann_ivfpq_batch"}
+    registry_r8 = set(em.queries()) - born_r9 - {"ann_ivfpq_batch", "hybrid_search_rrf"}
     uncovered = registry_r8 - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8
     # rule (a) held at r8: the gates born that round led its window

@@ -791,7 +791,7 @@ def test_rotation_invariant_r9():
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
     # exclude gates born AFTER r9 (none in r10; ann_ivfpq_batch in r11)
-    registry = set(em.queries()) - {"ann_ivfpq_batch"}
+    registry = set(em.queries()) - {"ann_ivfpq_batch", "hybrid_search_rrf"}
     uncovered = registry - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
     born_r9 = {
