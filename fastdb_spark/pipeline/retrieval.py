@@ -507,3 +507,95 @@ def hybrid_oracle_sql(
         ORDER BY rrf DESC, doc_id
         LIMIT {k}
     """
+
+
+def hybrid_topk_rrf_many(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[str, tuple[list[str], list[float]]],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched :func:`hybrid_topk_rrf`: fuse BM25 and cosine rankings
+    for a WHOLE query batch in two corpus passes total — the query-log
+    labeling shape (``queries`` maps query_id -> (terms, vector)).
+
+    The lexical side is ONE :func:`bm25_topk_many` pass (the union of
+    all query terms filters in-array / broadcast-semi before explode;
+    tf/df aggregate once and fan out to queries); the semantic side is
+    ONE ``ann.cosine_topk_many`` pass (the query-vector batch
+    broadcasts, per-query rank windows bounded by ``pool``).  Per-query
+    pools are then <= pool rows each, so the rank + fusion stage runs
+    on <= 2*pool*|Q| rows — free at any corpus size, like the
+    single-query operator.
+
+    Returns ``(query_id, id_col, lex_rank, sem_rank, rrf)`` — the
+    single-query operator's contract per query (rank 0 = absent from
+    that list, ``rrf`` rounded at 9), top-``k`` per query by
+    (rrf DESC, id ASC).  Property-tested equal to per-query
+    :func:`hybrid_topk_rrf` calls."""
+    from pyspark.sql import Window
+
+    from fastdb_spark.pipeline.ann import cosine_topk_many
+
+    spark = documents.sparkSession
+    lex_pool = bm25_topk_many(
+        documents, {qid: terms for qid, (terms, _v) in queries.items()},
+        k=pool, k1=k1, b=b, id_col=id_col, text_col=text_col,
+    )
+    qvecs = spark.createDataFrame(
+        [
+            (str(qid), [float(x) for x in vec])
+            for qid, (_t, vec) in sorted(queries.items())
+        ],
+        "query_id string, query_vec array<double>",
+    )
+    sem_pool = cosine_topk_many(
+        embeddings, qvecs, k=pool, id_col=vec_id_col, vec_col=vec_col,
+        query_id_col="query_id", query_vec_col="query_vec",
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(vec_id_col)
+    )
+    lexr = lex_pool.select(
+        "query_id", F.col(id_col), F.row_number().over(wl).alias("lex_rank")
+    )
+    semr = sem_pool.select(
+        "query_id",
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(ws).alias("sem_rank"),
+    )
+    fused = lexr.join(semr, on=["query_id", id_col], how="full_outer")
+    contrib_l = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+    ).otherwise(F.lit(0.0))
+    contrib_s = F.when(
+        F.col("sem_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "query_id",
+        F.col(id_col),
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("int").alias("sem_rank"),
+        F.round(contrib_l + contrib_s, 9).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wf))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

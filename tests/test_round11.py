@@ -360,3 +360,49 @@ def test_hybrid_rrf_one_sided_and_fusion_arithmetic(spark):
         1.0 / (60 + rows[1]["lex_rank"]) + 1.0 / (60 + rows[1]["sem_rank"]), 9
     )
     assert rows[1]["rrf"] == expected
+
+
+def test_hybrid_rrf_many_equals_single(spark):
+    """The batched hybrid fusion must equal per-query single-query
+    calls — same ranks, same sentinels, same fusion values."""
+    from fastdb_spark.pipeline.retrieval import (
+        hybrid_topk_rrf,
+        hybrid_topk_rrf_many,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                (["vector"] * (i % 3)) + (["merge"] * (i % 2))
+                + (["filter"] if i % 5 == 0 else ["noise"])
+                + [f"w{i % 7}", f"w{i % 11}"]
+            ))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [(i, [float((i * 3) % 7), float((i * 5) % 11), 1.0])
+         for i in range(30)],  # 10 lexical-only docs exercise one-sided
+        "vec_id long, embedding array<double>",
+    )
+    queries = {
+        "a": (["vector", "merge"], [1.0, 0.0, 0.5]),
+        "b": (["filter", "noise"], [0.0, 1.0, 0.25]),
+    }
+    many = hybrid_topk_rrf_many(docs, embs, queries, k=8, pool=12)
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["lex_rank"], r["sem_rank"], r["rrf"]
+        )
+        for r in many.collect()
+    }
+    want = {}
+    for qid, (terms, vec) in queries.items():
+        single = hybrid_topk_rrf(docs, embs, terms, vec, k=8, pool=12)
+        for r in single.collect():
+            want[(qid, r["doc_id"])] = (
+                r["lex_rank"], r["sem_rank"], r["rrf"]
+            )
+    assert got == want
+    assert len(got) == 16  # 8 per query
