@@ -42,15 +42,18 @@ def _force(df) -> int:
     return 0
 
 
-def _host_cpu_sample() -> tuple[int, int, int]:
+def _host_cpu_sample() -> tuple[int, int, int] | None:
     """(total, idle, steal) jiffies from the /proc/stat cpu line —
     deltas over the bench give the HOST busy fraction, co-tenants
-    included, which a per-process timer cannot see."""
+    included, which a per-process timer cannot see.  Returns None when
+    /proc/stat is unreadable (ADVICE r11 #3: a zero sample would make
+    the busy fraction compute to 1.0 and a clean run read as fully
+    contended; absence must stay distinguishable from contention)."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
     except (OSError, ValueError):
-        return (0, 0, 0)
+        return None
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
     steal = vals[7] if len(vals) > 7 else 0
     return (sum(vals), idle, steal)
@@ -112,15 +115,33 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s {seen}", file=sys.stderr)
     load1 = os.getloadavg()
     cpu1 = _host_cpu_sample()
-    dt_total = max(cpu1[0] - cpu0[0], 1)
+    if cpu0 is not None and cpu1 is not None:
+        dt_total = max(cpu1[0] - cpu0[0], 1)
+        # host-wide busy/steal fraction over the bench window — far
+        # above this process's own footprint => co-tenant contention
+        busy_frac = round(1.0 - (cpu1[1] - cpu0[1]) / dt_total, 4)
+        steal_frac = round((cpu1[2] - cpu0[2]) / dt_total, 4)
+    else:
+        # sentinel unavailable != contended (ADVICE r11 #3)
+        busy_frac = None
+        steal_frac = None
     host = {
         "loadavg_start": round(load0[0], 2),
         "loadavg_end": round(load1[0], 2),
-        # host-wide busy/steal fraction over the bench window — far
-        # above this process's own footprint => co-tenant contention
-        "cpu_busy_frac": round(1.0 - (cpu1[1] - cpu0[1]) / dt_total, 4),
-        "cpu_steal_frac": round((cpu1[2] - cpu0[2]) / dt_total, 4),
+        "cpu_busy_frac": busy_frac,
+        "cpu_steal_frac": steal_frac,
     }
+    # self-discounting artifact (VERDICT r11 next-round #7): flag the
+    # gates whose own per-run samples show contention (spread > 1.5x on
+    # a non-trivial gate), plus a whole-run flag when the host sentinels
+    # measured co-tenant steal — the driver artifact then names its own
+    # suspect rows without cross-referencing the quiet sidecar
+    contended = sorted(
+        name
+        for name, seen in samples.items()
+        if timings[name] > 0.5 and max(seen) > 1.5 * timings[name]
+    )
+    host_contended = steal_frac is not None and steal_frac > 0.02
 
     payload = {
         "metric": "sum_query_seconds",
@@ -134,6 +155,8 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "host": host,
+        "host_contended": host_contended,
+        "contended": contended,
         "runs": {"base": runs, "max": max_runs, "slow_s": slow_s},
     }
     print(json.dumps(payload))
@@ -157,6 +180,13 @@ def main() -> None:
     # window: headline metric + the slowest queries, with the full map
     # delegated to the sidecar.
     compact = dict(payload)
+    # keep the compact line bounded: name at most the 10 most expensive
+    # contended gates (the sidecar holds the full list + samples)
+    if len(contended) > 10:
+        compact["contended"] = sorted(
+            contended, key=lambda n: -timings[n]
+        )[:10]
+        compact["contended_omitted"] = len(contended) - 10
     slow = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )

@@ -36,19 +36,56 @@ _IVF_META = "_ivf_meta.json"
 
 
 def _stored_assign_strategy(path: str, fallback: str = "gemm") -> str:
-    """The ``assign_strategy`` the index at ``path`` was built with;
-    pre-round-11 layouts have no meta file, and a torn/corrupt meta
-    (killed build — the write is atomic since round 11, but older or
-    foreign files may not be) must not brick every maintenance entry
-    point: both fall back to ``gemm`` (what every build since round 10
-    used)."""
+    """The ``assign_strategy`` the index at ``path`` was built with.
+
+    A MISSING meta file is a pre-round-11 layout and falls back to
+    ``gemm`` (what every build since round 10 used).  A PRESENT but
+    unparseable or strategy-less meta RAISES (ADVICE r11 #2): builds
+    have written the file atomically since round 11, so a torn/corrupt
+    meta is a damaged index, and silently assuming ``gemm`` for an
+    index genuinely built with ``expr`` would reintroduce the exact
+    replay-idempotency mismatch this sidecar exists to prevent — a
+    rounded-cosine tie could re-cluster a replayed row."""
     import os
 
+    meta_path = os.path.join(path, _IVF_META)
     try:
-        with open(os.path.join(path, _IVF_META)) as f:
-            return json.load(f).get("assign_strategy", fallback)
-    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
         return fallback
+    except (json.JSONDecodeError, OSError) as e:
+        raise ValueError(
+            f"corrupt index meta {meta_path!r}: {e} — refusing to guess "
+            "an assign_strategy (a wrong guess can re-cluster replayed "
+            "rows); restore or rebuild the index"
+        ) from e
+    try:
+        return meta["assign_strategy"]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"index meta {meta_path!r} has no assign_strategy — refusing "
+            "to guess (a wrong guess can re-cluster replayed rows); "
+            "restore or rebuild the index"
+        ) from None
+
+
+def _round9_py(x: float) -> float:
+    """Driver-side twin of ``F.round(col, 9)`` (HALF_UP over the
+    shortest decimal repr — Spark rounds doubles via
+    ``BigDecimal.valueOf``, i.e. ``Double.toString``, which is the same
+    shortest round-trip decimal ``repr`` produces).  Used by the LSH
+    sign test so the query bucket computed here and the corpus buckets
+    computed by the SQL engines quantize identically (ADVICE r11 #1:
+    an unrounded ``> 0`` could flip on a last-ulp reassociation
+    difference between engines)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1E-9"), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -90,12 +127,23 @@ def with_lsh_bucket(
     bucket_col: str = "bucket",
 ) -> DataFrame:
     """Attach the random-hyperplane sign-bucket key (persisted layout
-    column at scale; replaces a full-corpus scan with bucket pruning)."""
+    column at scale; replaces a full-corpus scan with bucket pruning).
+
+    The sign test quantizes the plane dot at 9 decimals first (ADVICE
+    r11 #1): with the raw ``> 0`` a near-zero dot could land on
+    different sides of zero across engines (duckdb's
+    ``list_dot_product`` may reassociate the sum), making the exact
+    oracle flaky in the last ulp; rounding makes a flip require the
+    true dot to sit within ~1e-16 of the 0.5e-9 grid boundary — the
+    same guarantee every round-9 assignment comparison has relied on
+    since round 9."""
     v = as_double_array(F.col(vec_col))
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = F.lit(_hyperplane(p, dim)).cast("array<double>")
-        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + F.when(
+            F.round(dot(v, plane), 9) > 0, F.lit(1 << p)
+        ).otherwise(0)
     return embeddings.withColumn(bucket_col, bucket.cast("int"))
 
 
@@ -117,7 +165,9 @@ def lsh_bucketed_topk(
     qbucket = 0
     for p in range(n_planes):
         plane = _hyperplane(p, dim)
-        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+        # same round-at-9 sign test as with_lsh_bucket (the query's own
+        # corpus row must hash into the bucket this probe set targets)
+        if _round9_py(sum(a * b for a, b in zip(query_vec, plane))) > 0:
             qbucket |= 1 << p
     # probe every bucket within hamming distance <= multiprobe_bits of the
     # query's bucket (sum_{i<=m} C(n_planes, i) probes)

@@ -201,7 +201,14 @@ def greedy_mis_drops(
     per-round ``distinct`` already absorbs any duplicate a mirrored
     pair produces."""
     edges = (
-        pairs.select(
+        pairs
+        # explicit contract (ADVICE r11 #4): an edge with a NULL
+        # endpoint carries no admission information and is DROPPED
+        # here, visibly — without this filter least/greatest would turn
+        # it into a degenerate pair that the id_a < id_b cut discards
+        # as an accident of null semantics rather than a stated rule
+        .where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .select(
             F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
             F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
         )

@@ -1155,17 +1155,20 @@ def ann_lsh_oracle_sql(
     (``list_dot_product`` — the same sequential fold as the engine's
     ``zip_with`` dot); python replays only the query's bucket and the
     hamming<=m multiprobe flips (``ann.lsh_bucketed_topk``'s own
-    driver-side arithmetic).
+    driver-side arithmetic, including its ``_round9_py`` sign
+    quantization — shared code, so the probe sets are identical by
+    construction).
 
-    The ``> 0`` sign test is the one cross-engine comparison in this
-    module with no rounding to absorb a summation-order difference; it
-    rests on the same bit-for-bit fold==list_dot_product premise every
-    pair oracle has relied on since round 7 (functions/vectors.py
-    docstring), under which an exactly-equal dot yields an exactly
-    equal sign."""
+    Since round 12 the sign test rounds the dot at 9 on BOTH engines
+    (ADVICE r11 #1): ``round(list_dot_product, 9) > 0`` here vs
+    ``F.round(dot, 9) > 0`` in ``ann.with_lsh_bucket`` — a
+    reassociation-order difference in duckdb's fold can no longer flip
+    a last-ulp near-zero dot across the sign; the comparison now rests
+    on the same round-9 cross-engine agreement as every assignment
+    twin since round 9."""
     from itertools import combinations
 
-    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.ann import _hyperplane, _round9_py
 
     sf_dir = _resolve_sf_dir(sf_dir)
     st = _corpus_stat(sf_dir, "embeddings.parquet")
@@ -1181,7 +1184,7 @@ def ann_lsh_oracle_sql(
     qbucket = 0
     for p in range(n_planes):
         plane = _hyperplane(p, dim)
-        if sum(a * b for a, b in zip(qvec, plane)) > 0:
+        if _round9_py(sum(a * b for a, b in zip(qvec, plane))) > 0:
             qbucket |= 1 << p
     probe_set = [qbucket]
     for m in range(1, multiprobe_bits + 1):
@@ -1203,7 +1206,7 @@ def ann_lsh_oracle_sql(
         planes(p2, pv) AS (VALUES {plane_rows}),
         bkt AS MATERIALIZED (
           SELECT ce.vec_id,
-                 CAST(sum(CASE WHEN list_dot_product(ce.cemb, planes.pv) > 0
+                 CAST(sum(CASE WHEN round(list_dot_product(ce.cemb, planes.pv), 9) > 0
                                THEN planes.p2 ELSE 0 END) AS INTEGER)
                    AS bucket
           FROM ce CROSS JOIN planes
