@@ -1643,6 +1643,28 @@ def _po_hybrid_oracle() -> str:
     return hybrid_oracle_sql(_BM25_QUERY, query_vec_id=0, k=10, pool=50)
 
 
+def _po_hybrid_many_oracle() -> str:
+    from fastdb_spark.pipeline.retrieval import hybrid_many_oracle_sql
+
+    return hybrid_many_oracle_sql(
+        {qid: (terms, vid) for qid, (terms, vid) in _HYBRID_BATCH.items()},
+        k=10,
+        pool=50,
+    )
+
+
+#: fixed query log for the batched hybrid gate: four bag-of-words
+#: queries over distinct mid-frequency corpus terms, each paired with a
+#: corpus query vector (vec_id 0-3).  q0 repeats the single-query gate's
+#: exact (terms, vector) so the batch provably contains it.
+_HYBRID_BATCH = {
+    "q0": (["vector", "merge", "filter"], 0),
+    "q1": (["stream", "window", "batch"], 1),
+    "q2": (["hash", "join", "key"], 2),
+    "q3": (["sort", "scan", "table"], 3),
+}
+
+
 #: deterministic pseudo-benchmark split for the decontamination gate:
 #: every 7th doc plays the role of a held-out eval set (wide enough that
 #: the corpus's planted near-duplicates produce real 8-gram overlaps)
@@ -1735,6 +1757,35 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     )
     return hybrid_topk_rrf(docs, embs, _BM25_QUERY, qvec, k=10, pool=50)
+
+
+def _q_hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval (born r12; VERDICT r11 #3): the fixed
+    four-query log ``_HYBRID_BATCH`` fused lexical+semantic in TWO
+    corpus passes total — one ``bm25_topk_many`` pass (union-of-terms
+    in-array filter, shared tf/df) and one ``cosine_topk_many`` pass
+    (broadcast query-vector batch) — then per-query rank windows and
+    RRF on <= 2*pool*|Q| rows.  The query-log labeling shape a
+    training-data pipeline runs nightly.  Exact oracle:
+    ``retrieval.hybrid_many_oracle_sql`` (the adjudicated single-query
+    oracle per query, UNION ALL); q0 is the single gate's exact
+    (terms, vector), so the batch provably contains the r11-adjudicated
+    result as one of its groups."""
+    from fastdb_spark.pipeline.retrieval import hybrid_topk_rrf_many
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    embs = Catalog(spark, sf_dir).table("embeddings")
+    vids = {vid: qid for qid, (_t, vid) in _HYBRID_BATCH.items()}
+    vecs = {
+        vids[r["vec_id"]]: list(r["embedding"])
+        for r in embs.filter(
+            F.col("vec_id").isin(list(vids))
+        ).collect()
+    }
+    qs = {
+        qid: (terms, vecs[qid]) for qid, (terms, _vid) in _HYBRID_BATCH.items()
+    }
+    return hybrid_topk_rrf_many(docs, embs, qs, k=10, pool=50)
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2070,16 +2121,13 @@ def _intra_doc_oracle() -> str:
     return dedup_doc_blocks_oracle_sql(n=16, table=f"({INTRADUP_DOCS_SQL})")
 
 
-def _q_doc_similar_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic document search end-to-end: MLlib Word2Vec word vectors
-    (seed-pinned single-partition fit), JVM-side mean pooling into doc
-    embeddings, brute-force cosine top-k.  Rows-only: the trained vector
-    space has no SQL twin; pooling exactness and topical-neighbour
-    behavior are adjudicated in tests against hand-built vector tables."""
-    from fastdb_spark.pipeline.embed import similar_documents
-
-    docs = Catalog(spark, sf_dir).table("documents")
-    return similar_documents(docs, query_doc_id=0, k=10, dim=16)
+# NOTE (round 12): the `doc_similar_w2v` gate — trained-Word2Vec
+# similar_documents, the registry's one permanently rows-only entry —
+# was RETIRED under registry policy rule 1 (see queries() header):
+# doc_similar_w2v_exact adjudicates the same pooling/top-k arithmetic
+# over frozen vectors with an exact oracle, and the trained operator
+# (pipeline/embed.similar_documents / train_word_vectors) keeps direct
+# pytest coverage (tests/test_tokenizer_shards.py, tests/test_round12).
 
 
 _TS_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -3657,8 +3705,9 @@ def _q_dp1_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Word2Vec POOLING+table path under an exact oracle: the trained
-    vector space is what keeps ``doc_similar_w2v`` rows-only, so this
+    """The Word2Vec POOLING+table path under an exact oracle: a trained
+    vector space has no replayable twin (which is why the trained
+    ``doc_similar_w2v`` gate was retired in r12), so this
     gate swaps it for a deterministic word-vector table derived from the
     corpus vocabulary (small integer components: ascii codes + length)
     and drives the real ``doc_embeddings`` pooling — integer components
@@ -3729,42 +3778,148 @@ def _q_doc_similar_w2v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver adjudicates the first 50 entries against
     # their oracles.  ROTATION INVARIANT (codified round 8): every gate
-    # has a driver row within the last three rounds, plus two hard
+    # has a driver row within the last three rounds, plus three hard
     # rules — (a) a gate born in round N sits in round N's window head,
-    # and (b) the named stable laggards LEAD the next round's window.
+    # (b) the named stable laggards LEAD the next round's window, and
+    # (c) a gate whose CODE OR ORACLE changed in round N sits in round
+    # N's window (its prior evidence no longer describes what ships).
     #
-    # ROUND-11 WINDOW (executed exactly as pinned in ROUND_NOTES r10 /
-    # VERDICT r10 #1): the two gates born this round (ann_ivfpq_batch,
-    # the batched persisted-index probe, and hybrid_search_rrf, the
-    # BM25+vector reciprocal-rank fusion) sit at the window head (rule
-    # a); the FIFTEEN r11-named laggards (r8-green, parity-run every
-    # session) lead the rest (rule b); the six approximate-ANN gates
-    # that gained EXACT duckdb oracles this round (VERDICT r10 #2 —
-    # deterministic given the frozen quantizers, replayed by
-    # pipeline/oracles.py) follow, so their first adjudicated
-    # appearance is rows+schema+hash; then 27 r9-window gates,
-    # prioritizing every gate that exercises this round's touched
-    # modules.  NAMED LAGGARDS for r12 (r9-green, astronomy/TPC-H/
-    # stable-text shapes untouched this round; they lead the r12
-    # window): ltcv_patch, snana_load_roundtrip, priority_dedup,
-    # versioned_dedup, first_seen_dedup, ltcv_detections_cut,
-    # crossmatch, spectrum_workflow, range_join, cone_search,
-    # ltcv_nested_probe, asof_latest_forced, object_search,
-    # versioned_count, hot_ltcvs, skewed_aggregate, corpus_quantiles,
-    # pii_redaction, bm25_search, multimodal_codec_roundtrip,
-    # multimodal_features, alert_reconstruct, objstats_combined.
-    # tests/test_round11.py::test_rotation_invariant_r11 asserts the
-    # r10 union r11 windows cover everything except exactly that set;
-    # the expected rows-only set for this window is pre-declared there
-    # too: doc_similar_w2v ONLY (trained Word2Vec — the one genuinely
-    # non-deterministic gate left).
+    # REGISTRY RETIREMENT / MERGE POLICY (pinned round 12, VERDICT r11
+    # "what's missing" #3): the 50-slot window and the 3-round closure
+    # invariant cap the registry at 150 gates — beyond that the
+    # invariant is arithmetically unsatisfiable.  Standing rules:
+    #   1. A gate must be ADJUDICABLE.  A gate that can never produce a
+    #      rows+schema+hash row (non-deterministic training with no
+    #      frozen-input twin) is retired once an exact twin covers its
+    #      deterministic semantics — executed this round for
+    #      doc_similar_w2v (trained Word2Vec; its pooling/top-k
+    #      arithmetic is fully covered by the r11-green
+    #      doc_similar_w2v_exact; the trained operator itself,
+    #      pipeline/embed.similar_documents, stays pytest-covered).
+    #   2. A BORN gate displaces from the bottom: if the registry is at
+    #      capacity (>= 140), the new gate's author must name a merge —
+    #      first candidates: pagination/pagination_ranged (same
+    #      operator, two parameterizations) and media_index_roundtrip/
+    #      media_probe (probe is a subset of the roundtrip) — and fold
+    #      the displaced gate's distinctive assertions into pytest.
+    #   3. A retired gate's query function is deleted with its registry
+    #      row; its operator keeps (or gains) direct pytest coverage.
+    #
+    # ROUND-12 WINDOW (executed exactly as pinned in ROUND_NOTES r11 /
+    # VERDICT r11 #1): the gate born this round
+    # (hybrid_search_rrf_batch — the batched BM25+vector RRF fusion,
+    # VERDICT r11 #3) sits at the window head (rule a); the
+    # TWENTY-THREE r12-named laggards (r9-green astronomy/TPC-H/
+    # stable-text shapes) lead the rest (rule b); ann_lsh_topk follows
+    # under rule (c) — its oracle's sign test gained round-9
+    # quantization this round (ADVICE r11 #1), so its r11 row no longer
+    # describes the shipped comparison; then 25 r10-window gates,
+    # prioritizing the ones exercising this round's touched modules
+    # (tfidf_topk — retrieval.py; dedup_index_roundtrip /
+    # dedup_index_takedown — greedy-MIS edge contract;
+    # ann_index_takedown — ann.py meta handling).  NAMED LAGGARDS for
+    # r13 (r10-green, untouched this round; they lead the r13 window):
+    # media_probe, epoch_mix, dp1_load, ltcv_export_roundtrip,
+    # export_sinks_roundtrip, avro_alert_roundtrip, load_alert_batch,
+    # bulk_upsert_roundtrip, pack_sequences, pack_manifest,
+    # pack_materialize, leakage_safe_split, domain_mix_sample,
+    # doc_perplexity, doc_perplexity_bigram, versioned_dedup_bucketed,
+    # ltcv_patch_bucketed, cone_search_layout.
+    # tests/test_round12.py::test_rotation_invariant_r12 asserts the
+    # r11 union r12 windows cover everything except exactly that set;
+    # the expected rows-only set for this window is EMPTY — with
+    # doc_similar_w2v retired, every registered gate has an exact
+    # duckdb oracle.
     return {
-        # --- round-11 window (first 50) ------------------------------
-        # rule (a): the gates born THIS round sit at the window head
+        # --- round-12 window (first 50) ------------------------------
+        # rule (a): the gate born THIS round sits at the window head
+        "hybrid_search_rrf_batch": _q_hybrid_search_batch,
+        # then the 23 named laggards (r9-green; VERDICT r11 #1
+        # executed exactly as pinned)
+        "ltcv_patch": _q_ltcv_patch,
+        "snana_load_roundtrip": _q_snana_load,
+        "priority_dedup": _q_priority_dedup,
+        "versioned_dedup": _q_versioned_dedup,
+        "first_seen_dedup": _q_first_seen_dedup,
+        "ltcv_detections_cut": _q_ltcv_detections_cut,
+        "crossmatch": _q_crossmatch,
+        "spectrum_workflow": _q_spectrum_workflow,
+        "range_join": _q_range_join,
+        "cone_search": _q_cone_search,
+        "ltcv_nested_probe": _q_ltcv_nested_probe,
+        "asof_latest_forced": _q_asof_latest_forced,
+        "object_search": _q_object_search,
+        "versioned_count": _q_versioned_count,
+        "hot_ltcvs": _q_hot_ltcvs,
+        "skewed_aggregate": _q_skewed_aggregate,
+        "corpus_quantiles": _q_corpus_quantiles,
+        "pii_redaction": _q_pii_redaction,
+        "bm25_search": _q_bm25_search,
+        "multimodal_codec_roundtrip": _q_multimodal_codec,
+        "multimodal_features": _q_multimodal_features,
+        "alert_reconstruct": _q_alert_reconstruct,
+        "objstats_combined": _q_objstats_combined,
+        # rule (c): the LSH oracle's sign test changed this round
+        # (ADVICE r11 #1 — round-9 quantization on both engines), so
+        # the gate re-adjudicates under the shipped comparison
+        "ann_lsh_topk": _q_ann_lsh,
+        # then 25 r10-window gates — touched-module consumers first
+        # (retrieval.py grew the batched-hybrid oracle; dedup.py's
+        # greedy-MIS gained the explicit null-edge contract; ann.py's
+        # meta reader now fails loudly on corruption)
+        "tfidf_topk": _q_tfidf_topk,
+        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
+        "dedup_index_takedown": _q_dedup_index_takedown,
+        "ann_index_takedown": _q_ann_index_takedown,
+        # remaining r10-window gates in their r10 artifact order
+        "union_distinct": _q_union_distinct,
+        "values_lookup": _q_values_lookup,
+        "anti_join": _q_anti_join,
+        "sql_passthrough": _q_sql_passthrough,
+        "flux_to_mag": _q_flux_to_mag,
+        "keyword_search": _q_keyword_search,
+        "topk_per_group": _q_topk_per_group,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "doc_stats": _q_doc_stats,
+        "sessionize": _q_sessionize,
+        "broker_info": _q_broker_info,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "vocab_topk": _q_vocab_topk,
+        "corpus_rollup": _q_corpus_rollup,
+        "media_index_roundtrip": _q_media_index_roundtrip,
+        "image_banded_neardup": _q_image_banded_neardup,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "audio_afp_dedup": _q_audio_afp_dedup,
+        "video_phash_dedup": _q_video_phash_dedup,
+        "video_frame_sample": _q_video_frame_sample,
+        # --- adjudication tail (position >50): first the 18 NAMED r13
+        # LAGGARDS that lead the r13 window (all r10-green, untouched
+        # by this round's changes), then the r11-window gates; every
+        # tail gate still runs in tests/test_oracle_parity.py and
+        # tools/stock_sweep.py every session -------------------------
+        "media_probe": _q_media_probe,
+        "epoch_mix": _q_epoch_mix,
+        "dp1_load": _q_dp1_load,
+        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
+        "export_sinks_roundtrip": _q_export_sinks,
+        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
+        "load_alert_batch": _q_load_alert_batch,
+        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "pack_materialize": _q_pack_materialize,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "domain_mix_sample": _q_domain_mix,
+        "doc_perplexity": _q_doc_perplexity,
+        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
+        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
+        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
+        "cone_search_layout": _q_cone_search_layout,
+        # r11-window gates (driver-green in CORRECTNESS_r11; ann_lsh
+        # rotated back into the window above under rule c)
         "ann_ivfpq_batch": _q_ann_ivfpq_batch,
         "hybrid_search_rrf": _q_hybrid_search,
-        # then the 15 named laggards (r8-green; VERDICT r10 #1
-        # executed exactly as pinned)
         "boilerplate_removal": _q_boilerplate_removal,
         "chunk_docs": _q_chunk_docs,
         "corpus_card": _q_corpus_card,
@@ -3780,20 +3935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timescale_functions": _q_timescale_functions,
         "token_budget_select": _q_token_budget,
         "uuid_minting": _q_uuid_minting,
-        # the six ANN gates that gained EXACT oracles this round
-        # (VERDICT r10 #2) — in the window so their first adjudicated
-        # appearance is rows+schema+hash, not rows-only
-        "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_res_topk": _q_ann_ivfpq_res,
-        # then 27 r9-window gates, prioritizing every gate that
-        # exercises this round's touched modules (pipeline/ann.py,
-        # incsem.py, semdedup.py, dedup.py, oracles.py: the
-        # assign_strategy persistence, the greedy-MIS edge guard, the
-        # zero-norm guard, the oracle cache rework)
         "media_index_av_roundtrip": _q_media_index_av_roundtrip,
         "doc_similar_w2v_exact": _q_doc_similar_w2v_exact,
         "dedup_index_probe": _q_dedup_index_probe,
@@ -3821,83 +3967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "exact_dedup": _q_exact_dedup,
         "embedding_neardup": _q_embedding_neardup,
-        # --- adjudication tail (position >50): first the 21 NAMED r12
-        # LAGGARDS that lead the r12 window (all r9-green astronomy /
-        # TPC-H / stable-text shapes untouched by this round's changes),
-        # then the r10-window gates; every tail gate still runs in
-        # tests/test_oracle_parity.py and tools/stock_sweep.py every
-        # session ------------------------------------------------------
-        "ltcv_patch": _q_ltcv_patch,
-        "snana_load_roundtrip": _q_snana_load,
-        "priority_dedup": _q_priority_dedup,
-        "versioned_dedup": _q_versioned_dedup,
-        "first_seen_dedup": _q_first_seen_dedup,
-        "ltcv_detections_cut": _q_ltcv_detections_cut,
-        "crossmatch": _q_crossmatch,
-        "spectrum_workflow": _q_spectrum_workflow,
-        "range_join": _q_range_join,
-        "cone_search": _q_cone_search,
-        "ltcv_nested_probe": _q_ltcv_nested_probe,
-        "asof_latest_forced": _q_asof_latest_forced,
-        "object_search": _q_object_search,
-        "versioned_count": _q_versioned_count,
-        "hot_ltcvs": _q_hot_ltcvs,
-        "skewed_aggregate": _q_skewed_aggregate,
-        "corpus_quantiles": _q_corpus_quantiles,
-        "pii_redaction": _q_pii_redaction,
-        "bm25_search": _q_bm25_search,
-        "multimodal_codec_roundtrip": _q_multimodal_codec,
-        "multimodal_features": _q_multimodal_features,
-        # displaced from the r11 window by the born-this-round
-        # ann_ivfpq_batch / hybrid_search_rrf gates; r9-green,
-        # untouched this round
-        "alert_reconstruct": _q_alert_reconstruct,
-        "objstats_combined": _q_objstats_combined,
-        # r10-window gates (driver-green in CORRECTNESS_r10)
-        "union_distinct": _q_union_distinct,
-        "values_lookup": _q_values_lookup,
-        "anti_join": _q_anti_join,
-        "sql_passthrough": _q_sql_passthrough,
-        "flux_to_mag": _q_flux_to_mag,
-        "keyword_search": _q_keyword_search,
-        "topk_per_group": _q_topk_per_group,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "doc_stats": _q_doc_stats,
-        "sessionize": _q_sessionize,
-        "broker_info": _q_broker_info,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "vocab_topk": _q_vocab_topk,
-        "corpus_rollup": _q_corpus_rollup,
-        "media_index_roundtrip": _q_media_index_roundtrip,
-        "dedup_index_roundtrip": _q_dedup_index_roundtrip,
-        "image_banded_neardup": _q_image_banded_neardup,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "audio_afp_dedup": _q_audio_afp_dedup,
-        "video_phash_dedup": _q_video_phash_dedup,
-        "video_frame_sample": _q_video_frame_sample,
-        "media_probe": _q_media_probe,
-        "dedup_index_takedown": _q_dedup_index_takedown,
-        "ann_index_takedown": _q_ann_index_takedown,
-        "epoch_mix": _q_epoch_mix,
-        "dp1_load": _q_dp1_load,
-        "ltcv_export_roundtrip": _q_ltcv_export_roundtrip,
-        "export_sinks_roundtrip": _q_export_sinks,
-        "avro_alert_roundtrip": _q_avro_alert_roundtrip,
-        "load_alert_batch": _q_load_alert_batch,
-        "bulk_upsert_roundtrip": _q_bulk_upsert_roundtrip,
-        "tfidf_topk": _q_tfidf_topk,
-        "doc_similar_w2v": _q_doc_similar_w2v,
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "pack_materialize": _q_pack_materialize,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "domain_mix_sample": _q_domain_mix,
-        "doc_perplexity": _q_doc_perplexity,
-        "doc_perplexity_bigram": _q_doc_perplexity_bigram,
-        "versioned_dedup_bucketed": _q_versioned_dedup_bucketed,
-        "ltcv_patch_bucketed": _q_ltcv_patch_bucketed,
-        "cone_search_layout": _q_cone_search_layout,
     }
 
 # ---------------------------------------------------------------------------
@@ -4796,6 +4865,7 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF (born r11): BM25 pool + cosine pool + rank fusion,
         # all SQL-expressible (retrieval.hybrid_oracle_sql)
         "hybrid_search_rrf": _po_hybrid_oracle(),
+        "hybrid_search_rrf_batch": _po_hybrid_many_oracle(),
         "curate_corpus": po.curate_sql(),
         "stratified_sample": sample_oracle_sql(
             "(SELECT doc_id, lang, source, n_chars FROM documents) d",

@@ -1174,6 +1174,99 @@ def bench_ann_batch(spark) -> dict:
     return out
 
 
+def bench_hybrid_batch(spark) -> dict:
+    """Query-log amortization row (round 12, backs the new
+    hybrid_search_rrf_batch gate): a SCALE_HYBRID_DOCS-document corpus
+    (default 2M) + SCALE_HYBRID_EMBS embeddings (default 1M) answered
+    for SCALE_HYBRID_Q hybrid BM25+cosine queries (default 32) two
+    ways — one ``hybrid_topk_rrf`` call PER QUERY (2 corpus passes
+    each: 2Q scans total) vs ONE ``hybrid_topk_rrf_many`` pass (2
+    corpus passes TOTAL, union-of-terms filter + broadcast
+    query-vector batch).  Reports both walls, the amortization ratio,
+    and asserts the batched rows EQUAL the sequential rows per
+    query."""
+    from fastdb_spark.cachereg import release_staged
+    from fastdb_spark.pipeline.ann import _hyperplane
+    from fastdb_spark.pipeline.retrieval import (
+        hybrid_topk_rrf,
+        hybrid_topk_rrf_many,
+    )
+
+    n_docs = int(os.environ.get("SCALE_HYBRID_DOCS", 2_000_000))
+    n_embs = int(os.environ.get("SCALE_HYBRID_EMBS", 1_000_000))
+    n_q = int(os.environ.get("SCALE_HYBRID_Q", 32))
+    dim, k_clusters, topk, pool = 32, 64, 10, 50
+    out = {
+        "hybrid_docs_n": n_docs, "hybrid_embs_n": n_embs,
+        "hybrid_q": n_q, "hybrid_pool": pool,
+    }
+    docs = synth_documents(spark, n_docs)
+    cents = [_hyperplane(7000 + c, dim) for c in range(k_clusters)]
+    carr = F.array(*[F.lit(c).cast("array<double>") for c in cents])
+    own = F.element_at(
+        carr, (F.pmod(F.col("id"), F.lit(k_clusters)) + 1).cast("int")
+    )
+    noise = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1000003))
+                .cast("double")
+                / F.lit(1000003.0)
+                - F.lit(0.5)
+            )
+            for j in range(dim)
+        ]
+    )
+    embs = spark.range(n_embs).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(own, noise, lambda c, e: c + F.lit(0.35) * e).alias(
+            "embedding"
+        ),
+    )
+    # deterministic query log: 3 distinct vocab terms per query (stride
+    # walk over the 64-word vocab) + an in-corpus query vector each
+    qvec_rows = (
+        embs.filter(F.col("vec_id") % (n_embs // n_q) == 0)
+        .limit(n_q)
+        .collect()
+    )
+    queries = {}
+    for qi, r in enumerate(qvec_rows):
+        terms = [VOCAB[(qi * 7 + 13 * t) % 64] for t in range(3)]
+        queries[f"q{qi:03d}"] = (terms, list(map(float, r["embedding"])))
+    out["hybrid_queries"] = len(queries)
+
+    t0 = time.perf_counter()
+    seq = {}
+    for qid, (terms, vec) in queries.items():
+        seq[qid] = [
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf"])
+            for r in hybrid_topk_rrf(
+                docs, embs, terms, vec, k=topk, pool=pool
+            ).collect()
+        ]
+    out["hybrid_sequential_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    many_rows = hybrid_topk_rrf_many(
+        docs, embs, queries, k=topk, pool=pool
+    ).collect()
+    out["hybrid_batched_s"] = round(time.perf_counter() - t0, 2)
+    out["hybrid_amortization_x"] = round(
+        out["hybrid_sequential_s"] / max(out["hybrid_batched_s"], 1e-9), 2
+    )
+    many = {}
+    for r in many_rows:
+        many.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf"])
+        )
+    out["hybrid_equal"] = all(
+        sorted(many.get(qid, [])) == sorted(seq[qid]) for qid in seq
+    )
+    release_staged()
+    return out
+
+
 def bench_semindex(spark) -> dict:
     """Scale row for the incremental semantic index (round 9): build at
     1M vectors / 256 clusters, dry-run probe + admission upsert of a
@@ -1357,6 +1450,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_ANN_BATCH_ONLY", "0") == "1":
         out["ann_batch"] = bench_ann_batch(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_HYBRID_ONLY", "0") == "1":
+        out["hybrid_batch"] = bench_hybrid_batch(spark)
         print(json.dumps(out))
         return
 

@@ -509,6 +509,38 @@ def hybrid_oracle_sql(
     """
 
 
+def hybrid_many_oracle_sql(
+    queries: dict[str, tuple[list[str], int]],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """duckdb twin of :func:`hybrid_topk_rrf_many` — one
+    :func:`hybrid_oracle_sql` body per query (``queries`` maps
+    query_id -> (terms, query_vec_id)), each tagged with its query_id
+    literal and UNION ALL'd.  Sound because the batched engine's
+    per-query results are provably equal to per-query single calls
+    (the tf/df/n_docs/avgdl statistics are corpus-global and term-local,
+    so sharing them across the batch changes nothing — pinned by
+    tests/test_round11.py's batched==single equality), and the
+    single-query oracle is the adjudicated r11 gate's."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM (\n"
+        + hybrid_oracle_sql(
+            terms, query_vec_id=vid, k=k, pool=pool,
+            rrf_k=rrf_k, k1=k1, b=b,
+        )
+        + "\n)"
+        for qid, (terms, vid) in sorted(queries.items())
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY query_id, rrf DESC, doc_id"
+    )
+
+
 def hybrid_topk_rrf_many(
     documents: DataFrame,
     embeddings: DataFrame,

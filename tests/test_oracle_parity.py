@@ -107,11 +107,9 @@ def test_oracle_keys_subset():
 
 def test_queries_have_oracles():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    # since round 11 every gate is exact-adjudicated EXCEPT the one
-    # genuinely non-deterministic operator (trained Word2Vec space) —
-    # the six approximate-ANN gates and bpe_train_merges got exact
-    # literal-VALUES replay oracles (pipeline/oracles.py)
-    allowed_missing = {
-        "doc_similar_w2v",  # trained vector space — no replayable twin
-    }
-    assert missing == allowed_missing, f"queries without oracle: {missing}"
+    # since round 12 EVERY registered gate has an exact duckdb oracle:
+    # doc_similar_w2v (trained Word2Vec — the one permanently rows-only
+    # entry) was retired under the registry policy in the queries()
+    # header, its deterministic semantics covered by the exact
+    # doc_similar_w2v_exact twin
+    assert missing == set(), f"queries without oracle: {missing}"

@@ -36,8 +36,10 @@ def test_rotation_invariant_r10():
     laggards, which now LEAD the r11 window (asserted structurally in
     tests/test_round11.py).  Rule (b) held at r10: its artifact's
     first 15 recorded gates are exactly the r10-named laggards."""
-    # exclude gates born AFTER r10 (ann_ivfpq_batch, born r11)
-    registry = set(em.queries()) - {"ann_ivfpq_batch", "hybrid_search_rrf"}
+    # exclude gates born AFTER r10, add back the r12-retired doc_similar_w2v
+    registry = (set(em.queries())
+                - {"ann_ivfpq_batch", "hybrid_search_rrf",
+                   "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
     root = os.path.dirname(os.path.abspath(em.__file__))
     with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
         artifact_r10 = list(json.load(f))

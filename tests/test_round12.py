@@ -150,3 +150,113 @@ def test_greedy_mis_drops_null_endpoints_explicitly(spark):
     # chain 1-2-3-4: greedy keeps 1 and 3, drops 2 and 4; the null
     # edges contribute nothing (7 and 8 are NOT dropped)
     assert got == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# r12 rotation invariant (VERDICT r11 next-round #1, executed as pinned)
+
+#: r10-green gates squeezed out of the r12 window — they lead the r13
+#: window.  All are untouched by this round's changes (the round's code
+#: touched pipeline/{ann,oracles,dedup,retrieval}.py and bench.py; the
+#: r10-window gates exercising those modules — tfidf_topk,
+#: dedup_index_roundtrip, dedup_index_takedown, ann_index_takedown —
+#: were pulled INSIDE the r12 window instead).
+LAGGARDS_R13 = {
+    "media_probe", "epoch_mix", "dp1_load", "ltcv_export_roundtrip",
+    "export_sinks_roundtrip", "avro_alert_roundtrip",
+    "load_alert_batch", "bulk_upsert_roundtrip", "pack_sequences",
+    "pack_manifest", "pack_materialize", "leakage_safe_split",
+    "domain_mix_sample", "doc_perplexity", "doc_perplexity_bigram",
+    "versioned_dedup_bucketed", "ltcv_patch_bucketed",
+    "cone_search_layout",
+}
+
+
+def test_rotation_invariant_r12():
+    """The r11 driver window union the r12 window covers every
+    registered gate EXCEPT exactly the named r13 laggards (all
+    r10-green); the gate born this round (hybrid_search_rrf_batch)
+    sits at the window head (rule a); the 23 r12-named laggards lead
+    the rest (rule b — VERDICT r11 #1 executed); ann_lsh_topk
+    re-adjudicates in-window because its oracle's sign test changed
+    this round (rule c — ADVICE r11 #1); and with doc_similar_w2v
+    retired, the expected rows-only set is EMPTY: every registered
+    gate has an exact oracle."""
+    registry = list(em.queries())
+    window_r12 = set(registry[:50])
+    root = os.path.dirname(os.path.abspath(em.__file__))
+    with open(os.path.join(root, "CORRECTNESS_r11.json")) as f:
+        window_r11 = set(json.load(f))
+    uncovered = set(registry) - window_r11 - window_r12
+    assert uncovered == LAGGARDS_R13
+    # rule (a): the born gate heads the window
+    assert registry[0] == "hybrid_search_rrf_batch"
+    # rule (b): the 23 r12-named laggards lead the rest
+    assert set(registry[1:24]) == LAGGARDS_R12
+    # rule (c): the oracle-touched LSH gate re-adjudicates this round
+    assert registry[24] == "ann_lsh_topk"
+    # every remaining window slot is an r10-window gate (the oldest
+    # evidence after the r9-green laggards)
+    with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
+        window_r10 = set(json.load(f))
+    assert set(registry[25:50]) <= window_r10
+    # the named r13 laggards head the tail so a plain rotation forward
+    # covers them first — and each is r10-green
+    assert set(registry[50:68]) == LAGGARDS_R13
+    assert LAGGARDS_R13 <= window_r10
+    # zero rows-only gates remain: every registered gate has an oracle
+    oracles = em.oracle_sql()
+    assert set(registry) <= set(oracles)
+
+
+def test_doc_similar_w2v_retired():
+    """Registry policy rule 1 executed (VERDICT r11 #2): the trained
+    Word2Vec gate is gone from the registry, its exact frozen-vector
+    twin remains registered, and the trained operator itself keeps
+    working (direct coverage, replacing the retired gate's smoke)."""
+    assert "doc_similar_w2v" not in em.queries()
+    assert "doc_similar_w2v_exact" in em.queries()
+
+
+def test_similar_documents_trained_path(spark):
+    """The retired gate's body, as a pytest: MLlib Word2Vec trained on
+    the corpus, JVM-side mean pooling, brute-force cosine top-k — the
+    full trained path still runs end to end and returns the query doc's
+    neighbourhood."""
+    from fastdb_spark.pipeline.embed import similar_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    out = similar_documents(docs, query_doc_id=0, k=5, dim=8).collect()
+    assert len(out) == 5
+    assert all(r["cos"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# born gate: batched hybrid RRF (VERDICT r11 next-round #3)
+
+
+def test_hybrid_batch_contains_single_gate_result(spark):
+    """The batched gate's q0 group equals the r11-adjudicated
+    single-query gate's rows exactly (same terms, same query vector,
+    same k/pool) — the batch provably contains the single result."""
+    sf = "/root/testdata/sf0.01"
+    single = [
+        (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf"])
+        for r in em.queries()["hybrid_search_rrf"](spark, sf).collect()
+    ]
+    batch = em.queries()["hybrid_search_rrf_batch"](spark, sf)
+    q0 = [
+        (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf"])
+        for r in batch.filter(F.col("query_id") == "q0")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .collect()
+    ]
+    assert q0 == single
+    # and every query in the fixed log produced a full top-k group
+    counts = {
+        r["query_id"]: r["n"]
+        for r in batch.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {"q0": 10, "q1": 10, "q2": 10, "q3": 10}

@@ -386,9 +386,12 @@ def test_rotation_invariant():
         "semantic_dedup",
         "semantic_index_roundtrip",
     }
-    # gates born after r9 are excluded the same way (ann_ivfpq_batch,
+    # gates born after r9 are excluded the same way, and the r12-retired
+    # doc_similar_w2v (registered at r8) is added back (ann_ivfpq_batch,
     # born r11)
-    registry_r8 = set(em.queries()) - born_r9 - {"ann_ivfpq_batch", "hybrid_search_rrf"}
+    registry_r8 = (set(em.queries()) - born_r9
+                   - {"ann_ivfpq_batch", "hybrid_search_rrf",
+                      "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
     uncovered = registry_r8 - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8
     # rule (a) held at r8: the gates born that round led its window

@@ -790,8 +790,10 @@ def test_rotation_invariant_r9():
         window_r8 = set(json.load(f))
     with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
         window_r9 = set(json.load(f))
-    # exclude gates born AFTER r9 (none in r10; ann_ivfpq_batch in r11)
-    registry = set(em.queries()) - {"ann_ivfpq_batch", "hybrid_search_rrf"}
+    # exclude gates born AFTER r9, add back the r12-retired doc_similar_w2v
+    registry = (set(em.queries())
+                - {"ann_ivfpq_batch", "hybrid_search_rrf",
+                   "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
     uncovered = registry - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
     born_r9 = {
