@@ -1643,6 +1643,12 @@ def _po_hybrid_oracle() -> str:
     return hybrid_oracle_sql(_BM25_QUERY, query_vec_id=0, k=10, pool=50)
 
 
+def _po_expansion_oracle() -> str:
+    from fastdb_spark.pipeline.retrieval import expansion_oracle_sql
+
+    return expansion_oracle_sql(_BM25_QUERY, fb_docs=10, fb_terms=5, k=10)
+
+
 def _po_hybrid_many_oracle() -> str:
     from fastdb_spark.pipeline.retrieval import hybrid_many_oracle_sql
 
@@ -1738,6 +1744,23 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).table("documents")
     return bm25_topk(docs, _BM25_QUERY, k=10)
+
+
+def _q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (born r12): BM25 top-10 pool
+    for the fixed 3-term query -> RM1 relevance-model expansion terms
+    (uniform-weight tf/dl mass over the pool, Lavrenko & Croft 2001,
+    top-5) -> one final BM25 pass over original+expansion.  Two corpus
+    scans; the expansion list crosses the driver as <= 5 strings.
+    Exact oracle: retrieval.expansion_oracle_sql (fully in-SQL — the
+    final leg joins a computed term CTE instead of the engine's literal
+    list; same idf, same ordered-fold, same quantizations)."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk_expanded
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return bm25_topk_expanded(
+        docs, _BM25_QUERY, fb_docs=10, fb_terms=5, k=10
+    )
 
 
 def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3806,24 +3829,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      row; its operator keeps (or gains) direct pytest coverage.
     #
     # ROUND-12 WINDOW (executed exactly as pinned in ROUND_NOTES r11 /
-    # VERDICT r11 #1): the gate born this round
-    # (hybrid_search_rrf_batch — the batched BM25+vector RRF fusion,
-    # VERDICT r11 #3) sits at the window head (rule a); the
+    # VERDICT r11 #1): the two gates born this round sit at the window
+    # head (rule a) — hybrid_search_rrf_batch (the batched BM25+vector
+    # RRF fusion, VERDICT r11 #3) and query_expansion_rm
+    # (pseudo-relevance-feedback retrieval: BM25 pool -> RM1 expansion
+    # terms -> expanded BM25 pass, Lavrenko & Croft 2001); the
     # TWENTY-THREE r12-named laggards (r9-green astronomy/TPC-H/
     # stable-text shapes) lead the rest (rule b); ann_lsh_topk follows
     # under rule (c) — its oracle's sign test gained round-9
     # quantization this round (ADVICE r11 #1), so its r11 row no longer
-    # describes the shipped comparison; then 25 r10-window gates,
+    # describes the shipped comparison; then 24 r10-window gates,
     # prioritizing the ones exercising this round's touched modules
     # (tfidf_topk — retrieval.py; dedup_index_roundtrip /
     # dedup_index_takedown — greedy-MIS edge contract;
     # ann_index_takedown — ann.py meta handling).  NAMED LAGGARDS for
     # r13 (r10-green, untouched this round; they lead the r13 window):
-    # media_probe, epoch_mix, dp1_load, ltcv_export_roundtrip,
-    # export_sinks_roundtrip, avro_alert_roundtrip, load_alert_batch,
-    # bulk_upsert_roundtrip, pack_sequences, pack_manifest,
-    # pack_materialize, leakage_safe_split, domain_mix_sample,
-    # doc_perplexity, doc_perplexity_bigram, versioned_dedup_bucketed,
+    # video_frame_sample, media_probe, epoch_mix, dp1_load,
+    # ltcv_export_roundtrip, export_sinks_roundtrip,
+    # avro_alert_roundtrip, load_alert_batch, bulk_upsert_roundtrip,
+    # pack_sequences, pack_manifest, pack_materialize,
+    # leakage_safe_split, domain_mix_sample, doc_perplexity,
+    # doc_perplexity_bigram, versioned_dedup_bucketed,
     # ltcv_patch_bucketed, cone_search_layout.
     # tests/test_round12.py::test_rotation_invariant_r12 asserts the
     # r11 union r12 windows cover everything except exactly that set;
@@ -3832,8 +3858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # duckdb oracle.
     return {
         # --- round-12 window (first 50) ------------------------------
-        # rule (a): the gate born THIS round sits at the window head
+        # rule (a): the gates born THIS round sit at the window head
         "hybrid_search_rrf_batch": _q_hybrid_search_batch,
+        "query_expansion_rm": _q_query_expansion,
         # then the 23 named laggards (r9-green; VERDICT r11 #1
         # executed exactly as pinned)
         "ltcv_patch": _q_ltcv_patch,
@@ -3892,12 +3919,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_afp_dedup": _q_audio_afp_dedup,
         "video_phash_dedup": _q_video_phash_dedup,
-        "video_frame_sample": _q_video_frame_sample,
-        # --- adjudication tail (position >50): first the 18 NAMED r13
+        # --- adjudication tail (position >50): first the 19 NAMED r13
         # LAGGARDS that lead the r13 window (all r10-green, untouched
-        # by this round's changes), then the r11-window gates; every
-        # tail gate still runs in tests/test_oracle_parity.py and
-        # tools/stock_sweep.py every session -------------------------
+        # by this round's changes; video_frame_sample was displaced
+        # from the window by the second born gate), then the
+        # r11-window gates; every tail gate still runs in
+        # tests/test_oracle_parity.py and tools/stock_sweep.py every
+        # session ----------------------------------------------------
+        "video_frame_sample": _q_video_frame_sample,
         "media_probe": _q_media_probe,
         "epoch_mix": _q_epoch_mix,
         "dp1_load": _q_dp1_load,
@@ -4866,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         # all SQL-expressible (retrieval.hybrid_oracle_sql)
         "hybrid_search_rrf": _po_hybrid_oracle(),
         "hybrid_search_rrf_batch": _po_hybrid_many_oracle(),
+        "query_expansion_rm": _po_expansion_oracle(),
         "curate_corpus": po.curate_sql(),
         "stratified_sample": sample_oracle_sql(
             "(SELECT doc_id, lang, source, n_chars FROM documents) d",

@@ -59,6 +59,21 @@ def _host_cpu_sample() -> tuple[int, int, int] | None:
     return (sum(vals), idle, steal)
 
 
+def _contended_gates(
+    samples: dict[str, list[float]], timings: dict[str, float]
+) -> list[str]:
+    """Self-discounting artifact (VERDICT r11 next-round #7): the gates
+    whose own per-run samples show contention — spread > 1.5x between
+    the best and worst run on a non-trivial (>0.5 s) gate.  Together
+    with the host steal flag, the driver artifact names its own suspect
+    rows without cross-referencing the quiet sidecar."""
+    return sorted(
+        name
+        for name, seen in samples.items()
+        if timings[name] > 0.5 and max(seen) > 1.5 * timings[name]
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -131,16 +146,7 @@ def main() -> None:
         "cpu_busy_frac": busy_frac,
         "cpu_steal_frac": steal_frac,
     }
-    # self-discounting artifact (VERDICT r11 next-round #7): flag the
-    # gates whose own per-run samples show contention (spread > 1.5x on
-    # a non-trivial gate), plus a whole-run flag when the host sentinels
-    # measured co-tenant steal — the driver artifact then names its own
-    # suspect rows without cross-referencing the quiet sidecar
-    contended = sorted(
-        name
-        for name, seen in samples.items()
-        if timings[name] > 0.5 and max(seen) > 1.5 * timings[name]
-    )
+    contended = _contended_gates(samples, timings)
     host_contended = steal_frac is not None and steal_frac > 0.02
 
     payload = {

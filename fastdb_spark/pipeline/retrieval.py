@@ -344,6 +344,203 @@ def tfidf_oracle_sql(k: int = 5) -> str:
     """
 
 
+def expansion_terms_rm(
+    documents: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (relevance-model /
+    RM1 estimate with uniform document weights — Lavrenko & Croft
+    2001; the Rocchio-family technique every production retrieval
+    stack runs as "query expansion").
+
+    Stage 1 retrieves the BM25 top-``fb_docs`` pool for the original
+    query; stage 2 scores every non-query term t in the pool by
+    ``sum_d tf(t, d) / |d|`` (the uniform-weight relevance-model
+    estimate — how much of the pool's token mass is t) and keeps the
+    top ``fb_terms``.
+
+    Scale shape: stage 1 is one corpus scan (``bm25_topk``); stage 2
+    re-reads ONLY the pool documents (broadcast-semi on fb_docs ids)
+    and aggregates a pool-bounded term frame, so its cost is
+    O(fb_docs · doc_len) regardless of corpus size.  Determinism: the
+    per-term contributions sum via ``ordered_sum`` (canonical
+    ascending-order fold), weights quantize to ``floor(w * 1e6)``, and
+    ties break on ascending term — bit-reproducible cross-engine, so
+    the operator carries an exact duckdb twin
+    (:func:`expansion_oracle_sql`).
+
+    Returns ``(term, weight_q)``, the expansion terms best-first."""
+    from fastdb_spark.queries.objstats import ordered_sum
+
+    pool = bm25_topk(
+        documents, query_terms, k=fb_docs, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    ).select(id_col)
+    toks = F.split(F.col(text_col), " ")
+    pool_toks = (
+        documents.join(F.broadcast(pool), on=id_col)
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .filter(~F.col("term").isin(query_terms))
+    )
+    # per (doc, term): tf/dl, then the canonical-order fold across docs
+    per_doc = pool_toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    weighted = per_doc.select(
+        "term", (F.col("tf") / F.col("dl")).alias("contrib")
+    )
+    scored = weighted.groupBy("term").agg(
+        ordered_sum(F.col("contrib")).alias("w")
+    )
+    return (
+        scored.select(
+            "term",
+            F.floor(F.col("w") * F.lit(1e6)).cast("long").alias("weight_q"),
+        )
+        .orderBy(F.col("weight_q").desc(), F.col("term"))
+        .limit(fb_terms)
+    )
+
+
+def bm25_topk_expanded(
+    documents: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full pseudo-relevance-feedback retrieval: original query ->
+    BM25 pool -> RM expansion terms (:func:`expansion_terms_rm`) ->
+    one final BM25 pass over ``original + expansion``.
+
+    Three corpus-bounded stages, two corpus scans total (the expansion
+    aggregate reads only the fb_docs pool); the fb_terms expansion list
+    crosses the driver as <= fb_terms strings — bounded regardless of
+    corpus size, the same pattern as the ANN probe lists.
+
+    Returns ``bm25_topk``'s contract ``(id_col, n_terms, score_q)`` for
+    the expanded query."""
+    exp = [
+        r["term"]
+        for r in expansion_terms_rm(
+            documents, query_terms, fb_docs=fb_docs, fb_terms=fb_terms,
+            k1=k1, b=b, id_col=id_col, text_col=text_col,
+        ).collect()
+    ]
+    expanded = list(query_terms) + [t for t in exp if t not in query_terms]
+    return bm25_topk(
+        documents, expanded, k=k, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def expansion_oracle_sql(
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """duckdb twin of :func:`bm25_topk_expanded`, fully in-SQL: the
+    BM25 pool CTE is ``bm25_oracle_sql``'s body (same Lucene idf, same
+    floor-1e4 quantization, same tie-break), the expansion CTE repeats
+    the RM1 estimate (tf/dl contributions sorted-then-folded, floor-1e6
+    quantization, term-ascending ties), and the final leg re-scores the
+    corpus against the UNION of original and expansion terms via a join
+    to the term CTE — the arithmetic the engine runs with a literal
+    list, expressed against a computed one."""
+    terms = ", ".join(f"'{w}'" for w in query_terms)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 string_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        -- stage 1: BM25 pool for the ORIGINAL query (bm25_oracle_sql body)
+        tfq AS (SELECT doc_id, dl, unnest(list_filter(toks,
+                       t -> t IN ({terms}))) AS term FROM base),
+        tfqc AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM tfq GROUP BY doc_id, dl, term),
+        dfq AS (SELECT term, count(*) AS df FROM tfqc GROUP BY term),
+        scoredq AS (
+          SELECT tfqc.doc_id,
+                 ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tfqc.tf * {k1 + 1.0})
+                 / (tfqc.tf + {k1} * ({1.0 - b} + {b} * tfqc.dl / s.avgdl))
+                   AS contrib
+          FROM tfqc JOIN dfq USING (term) CROSS JOIN stats s),
+        pool AS (
+          SELECT doc_id,
+                 CAST(FLOOR(list_reduce(list_prepend(0.0::DOUBLE,
+                      list_sort(list(contrib))), (a, x) -> a + x)
+                      * 10000.0) AS BIGINT) AS score_q
+          FROM scoredq GROUP BY doc_id
+          ORDER BY score_q DESC, doc_id
+          LIMIT {fb_docs}),
+        -- stage 2: RM1 expansion terms from the pool documents
+        ptoks AS (
+          SELECT b.doc_id, b.dl, unnest(b.toks) AS term
+          FROM base b JOIN pool USING (doc_id)),
+        pterm AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM ptoks
+          WHERE term <> '' AND term NOT IN ({terms})
+          GROUP BY doc_id, dl, term),
+        expn AS (
+          SELECT term,
+                 CAST(FLOOR(list_reduce(list_prepend(0.0::DOUBLE,
+                      list_sort(list(tf::DOUBLE / dl))), (a, x) -> a + x)
+                      * 1000000.0) AS BIGINT) AS weight_q
+          FROM pterm GROUP BY term
+          ORDER BY weight_q DESC, term
+          LIMIT {fb_terms}),
+        -- final leg: BM25 against original UNION expansion terms
+        qterms AS (
+          SELECT DISTINCT term FROM (
+            SELECT unnest([{terms}]) AS term
+            UNION ALL SELECT term FROM expn)),
+        tfe AS (
+          SELECT b.doc_id, b.dl, t.term
+          FROM base b, unnest(b.toks) AS u(term)
+          JOIN qterms t USING (term)),
+        tfec AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM tfe GROUP BY doc_id, dl, term),
+        dfe AS (SELECT term, count(*) AS df FROM tfec GROUP BY term),
+        scorede AS (
+          SELECT tfec.doc_id,
+                 ln(1.0 + (s.n_docs - dfe.df + 0.5) / (dfe.df + 0.5))
+                 * (tfec.tf * {k1 + 1.0})
+                 / (tfec.tf + {k1} * ({1.0 - b} + {b} * tfec.dl / s.avgdl))
+                   AS contrib
+          FROM tfec JOIN dfe USING (term) CROSS JOIN stats s)
+        SELECT doc_id,
+               count(*) AS n_terms,
+               CAST(FLOOR(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_sort(list(contrib))), (a, x) -> a + x)
+                    * 10000.0) AS BIGINT) AS score_q
+        FROM scorede
+        GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def hybrid_topk_rrf(
     documents: DataFrame,
     embeddings: DataFrame,

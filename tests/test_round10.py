@@ -39,7 +39,8 @@ def test_rotation_invariant_r10():
     # exclude gates born AFTER r10, add back the r12-retired doc_similar_w2v
     registry = (set(em.queries())
                 - {"ann_ivfpq_batch", "hybrid_search_rrf",
-                   "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
+                   "hybrid_search_rrf_batch",
+                      "query_expansion_rm"}) | {"doc_similar_w2v"}
     root = os.path.dirname(os.path.abspath(em.__file__))
     with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
         artifact_r10 = list(json.load(f))

@@ -46,7 +46,8 @@ def test_rotation_invariant_r11():
     # exclude gates born after r11 and the r12-retired trained-W2V gate
     # (doc_similar_w2v — registry policy rule 1, queries() header),
     # which was registered at r11
-    registry_r11 = (set(em.queries()) - {"hybrid_search_rrf_batch"}) | {
+    registry_r11 = (set(em.queries())
+                    - {"hybrid_search_rrf_batch", "query_expansion_rm"}) | {
         "doc_similar_w2v"
     }
     root = os.path.dirname(os.path.abspath(em.__file__))

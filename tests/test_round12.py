@@ -120,6 +120,22 @@ def test_host_cpu_sample_unreadable_returns_none(monkeypatch):
     assert bench._host_cpu_sample() is None
 
 
+def test_contended_gates_flagging():
+    """VERDICT r11 #7: a gate is flagged iff its run spread exceeds
+    1.5x AND its best time is non-trivial (>0.5 s) — sub-second noise
+    and tight spreads stay unflagged."""
+    import bench
+
+    samples = {
+        "slow_spread": [9.0, 3.0],      # 3x spread, non-trivial -> flag
+        "slow_tight": [3.1, 3.0],       # tight spread -> no flag
+        "fast_spread": [0.9, 0.2],      # 4.5x spread but trivial -> no
+        "edge": [0.76, 0.5],            # 1.52x spread at 0.5 s -> no
+    }
+    timings = {k: min(v) for k, v in samples.items()}
+    assert bench._contended_gates(samples, timings) == ["slow_spread"]
+
+
 def test_host_cpu_sample_shape():
     import bench
 
@@ -160,8 +176,10 @@ def test_greedy_mis_drops_null_endpoints_explicitly(spark):
 #: touched pipeline/{ann,oracles,dedup,retrieval}.py and bench.py; the
 #: r10-window gates exercising those modules — tfidf_topk,
 #: dedup_index_roundtrip, dedup_index_takedown, ann_index_takedown —
-#: were pulled INSIDE the r12 window instead).
+#: were pulled INSIDE the r12 window instead; video_frame_sample was
+#: displaced by the second born gate, query_expansion_rm).
 LAGGARDS_R13 = {
+    "video_frame_sample",
     "media_probe", "epoch_mix", "dp1_load", "ltcv_export_roundtrip",
     "export_sinks_roundtrip", "avro_alert_roundtrip",
     "load_alert_batch", "bulk_upsert_roundtrip", "pack_sequences",
@@ -175,13 +193,13 @@ LAGGARDS_R13 = {
 def test_rotation_invariant_r12():
     """The r11 driver window union the r12 window covers every
     registered gate EXCEPT exactly the named r13 laggards (all
-    r10-green); the gate born this round (hybrid_search_rrf_batch)
-    sits at the window head (rule a); the 23 r12-named laggards lead
-    the rest (rule b — VERDICT r11 #1 executed); ann_lsh_topk
-    re-adjudicates in-window because its oracle's sign test changed
-    this round (rule c — ADVICE r11 #1); and with doc_similar_w2v
-    retired, the expected rows-only set is EMPTY: every registered
-    gate has an exact oracle."""
+    r10-green); the two gates born this round (hybrid_search_rrf_batch,
+    query_expansion_rm) sit at the window head (rule a); the 23
+    r12-named laggards lead the rest (rule b — VERDICT r11 #1
+    executed); ann_lsh_topk re-adjudicates in-window because its
+    oracle's sign test changed this round (rule c — ADVICE r11 #1);
+    and with doc_similar_w2v retired, the expected rows-only set is
+    EMPTY: every registered gate has an exact oracle."""
     registry = list(em.queries())
     window_r12 = set(registry[:50])
     root = os.path.dirname(os.path.abspath(em.__file__))
@@ -189,20 +207,20 @@ def test_rotation_invariant_r12():
         window_r11 = set(json.load(f))
     uncovered = set(registry) - window_r11 - window_r12
     assert uncovered == LAGGARDS_R13
-    # rule (a): the born gate heads the window
-    assert registry[0] == "hybrid_search_rrf_batch"
+    # rule (a): the born gates head the window
+    assert registry[:2] == ["hybrid_search_rrf_batch", "query_expansion_rm"]
     # rule (b): the 23 r12-named laggards lead the rest
-    assert set(registry[1:24]) == LAGGARDS_R12
+    assert set(registry[2:25]) == LAGGARDS_R12
     # rule (c): the oracle-touched LSH gate re-adjudicates this round
-    assert registry[24] == "ann_lsh_topk"
+    assert registry[25] == "ann_lsh_topk"
     # every remaining window slot is an r10-window gate (the oldest
     # evidence after the r9-green laggards)
     with open(os.path.join(root, "CORRECTNESS_r10.json")) as f:
         window_r10 = set(json.load(f))
-    assert set(registry[25:50]) <= window_r10
+    assert set(registry[26:50]) <= window_r10
     # the named r13 laggards head the tail so a plain rotation forward
     # covers them first — and each is r10-green
-    assert set(registry[50:68]) == LAGGARDS_R13
+    assert set(registry[50:69]) == LAGGARDS_R13
     assert LAGGARDS_R13 <= window_r10
     # zero rows-only gates remain: every registered gate has an oracle
     oracles = em.oracle_sql()
@@ -260,3 +278,63 @@ def test_hybrid_batch_contains_single_gate_result(spark):
         .collect()
     }
     assert counts == {"q0": 10, "q1": 10, "q2": 10, "q3": 10}
+
+
+# ---------------------------------------------------------------------------
+# born gate: pseudo-relevance-feedback query expansion
+
+
+def test_expansion_terms_rm_hand_checkable(spark):
+    """RM1 expansion on a hand-built corpus: the pool for query 'apple'
+    is the two apple docs; among non-query terms, 'pear' carries the
+    most pool token mass (2/3 + 1/3 = 1.0) and 'plum' less (1/3);
+    'iron' never appears in the pool."""
+    from fastdb_spark.pipeline.retrieval import expansion_terms_rm
+
+    rows = [
+        (0, "apple pear pear"),
+        (1, "apple pear plum"),
+        (2, "iron zinc lead"),
+        (3, "zinc lead lead"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["term"], r["weight_q"])
+        for r in expansion_terms_rm(
+            docs, ["apple"], fb_docs=2, fb_terms=2
+        ).collect()
+    ]
+    assert out == [("pear", 1_000_000), ("plum", 333_333)]
+
+
+def test_expanded_bm25_with_zero_feedback_terms_is_plain_bm25(spark):
+    """fb_terms=0 degenerates to the original query: the expanded run
+    must equal bm25_topk exactly."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk, bm25_topk_expanded
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = ["vector", "merge"]
+    plain = [tuple(r) for r in bm25_topk(docs, q, k=8).collect()]
+    exp = [
+        tuple(r)
+        for r in bm25_topk_expanded(docs, q, fb_docs=5, fb_terms=0, k=8).collect()
+    ]
+    assert exp == plain
+
+
+def test_expansion_changes_the_ranking(spark):
+    """The expanded query must actually DO something on the real corpus:
+    the top-10 for original vs expanded differ (the expansion terms pull
+    in docs the original 3 terms miss)."""
+    from fastdb_spark.pipeline.retrieval import bm25_topk, bm25_topk_expanded
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = ["vector", "merge", "filter"]
+    plain = [r["doc_id"] for r in bm25_topk(docs, q, k=10).collect()]
+    exp = [
+        r["doc_id"]
+        for r in bm25_topk_expanded(
+            docs, q, fb_docs=10, fb_terms=5, k=10
+        ).collect()
+    ]
+    assert exp != plain

@@ -391,7 +391,8 @@ def test_rotation_invariant():
     # born r11)
     registry_r8 = (set(em.queries()) - born_r9
                    - {"ann_ivfpq_batch", "hybrid_search_rrf",
-                      "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
+                      "hybrid_search_rrf_batch",
+                      "query_expansion_rm"}) | {"doc_similar_w2v"}
     uncovered = registry_r8 - window_r7 - window_r8
     assert uncovered == LAGGARDS_R8
     # rule (a) held at r8: the gates born that round led its window

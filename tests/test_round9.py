@@ -793,7 +793,8 @@ def test_rotation_invariant_r9():
     # exclude gates born AFTER r9, add back the r12-retired doc_similar_w2v
     registry = (set(em.queries())
                 - {"ann_ivfpq_batch", "hybrid_search_rrf",
-                   "hybrid_search_rrf_batch"}) | {"doc_similar_w2v"}
+                   "hybrid_search_rrf_batch",
+                      "query_expansion_rm"}) | {"doc_similar_w2v"}
     uncovered = registry - window_r8 - window_r9
     assert uncovered == LAGGARDS_R10
     born_r9 = {
