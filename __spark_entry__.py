@@ -1021,23 +1021,29 @@ def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
 
     ivf_path = _scratch(f"fastdb_ivf_c_{tag}")
-    if ivf_path not in _IVF_WRITTEN:
-        build_ivf_index(embs, ivf_path, n_clusters=8, strategy="seed")
-        _IVF_WRITTEN.add(ivf_path)
     pq_path = _scratch(f"fastdb_ivfpq_{tag}")
-    if pq_path not in _IVF_WRITTEN:
-        build_ivf_index(
-            embs, pq_path, n_clusters=8, strategy="seed",
-            pq_m=8, pq_k=16, pq_residual=False,
-        )
-        _IVF_WRITTEN.add(pq_path)
     res_path = _scratch(f"fastdb_ivfpq_res_{tag}")
-    if res_path not in _IVF_WRITTEN:
-        build_ivf_index(
-            embs, res_path, n_clusters=8, strategy="seed",
-            pq_m=8, pq_k=16, pq_residual=True,
-        )
-        _IVF_WRITTEN.add(res_path)
+
+    def _build(spec) -> None:
+        bpath, kwargs = spec
+        if bpath not in _IVF_WRITTEN:
+            build_ivf_index(embs, bpath, n_clusters=8, strategy="seed", **kwargs)
+            _IVF_WRITTEN.add(bpath)
+
+    # three independent index builds against disjoint paths — overlap
+    # them (guide §2.6) instead of the r11 serial sequence; contents
+    # are unchanged
+    from fastdb_spark.parallel import run_independent_jobs
+
+    run_independent_jobs(
+        _build,
+        [
+            (ivf_path, {}),
+            (pq_path, {"pq_m": 8, "pq_k": 16, "pq_residual": False}),
+            (res_path, {"pq_m": 8, "pq_k": 16, "pq_residual": True}),
+        ],
+        max_workers=3,
+    )
 
     books = train_pq(embs, m=8, k=16)
     enc = encode_pq(embs, books)
@@ -3254,23 +3260,9 @@ def _q_media_index_av_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     schema = "media_id long, payload binary"
-    out = []
-    for modality, mk_item, mk_twin, base, kw in (
-        (
-            "video",
-            avi,
-            lambda d: avi(d, shift=4),
-            70_000_000,
-            {"method": "video", "every_ms": 500},
-        ),
-        (
-            "audio",
-            wav,
-            lambda d: wav(d, gain=2),
-            80_000_000,
-            {"method": "audio"},
-        ),
-    ):
+
+    def run_leg(spec):
+        modality, mk_item, mk_twin, base, kw = spec
         mk_even, mk_odd = legs(mk_item, mk_twin, base)
         path = _scratch("fastdb_incmedia_av_gate", modality, tag)
         shutil.rmtree(path, ignore_errors=True)
@@ -3280,11 +3272,35 @@ def _q_media_index_av_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         media_index_remove(spark, rm, path)
         media_index_upsert(spark, docs.mapInPandas(mk_odd, schema), path)
-        out.append(
-            spark.read.parquet(os.path.join(path, "hashes")).select(
-                F.lit(modality).alias("modality"), "media_id"
-            )
+        return spark.read.parquet(os.path.join(path, "hashes")).select(
+            F.lit(modality).alias("modality"), "media_id"
         )
+
+    # the two modality legs are fully independent choreographies against
+    # DISJOINT index paths/locks — overlap them (guide §2.6) instead of
+    # the r11 serial loop; the returned union is identical
+    from fastdb_spark.parallel import run_independent_jobs
+
+    out = run_independent_jobs(
+        run_leg,
+        [
+            (
+                "video",
+                avi,
+                lambda d: avi(d, shift=4),
+                70_000_000,
+                {"method": "video", "every_ms": 500},
+            ),
+            (
+                "audio",
+                wav,
+                lambda d: wav(d, gain=2),
+                80_000_000,
+                {"method": "audio"},
+            ),
+        ],
+        max_workers=2,
+    )
     return out[0].unionByName(out[1])
 
 

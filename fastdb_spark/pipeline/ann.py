@@ -24,7 +24,7 @@ import hashlib
 import json
 import struct
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fastdb_spark.functions.vectors import as_double_array, cosine, dot
@@ -138,12 +138,24 @@ def with_lsh_bucket(
     same guarantee every round-9 assignment comparison has relied on
     since round 9."""
     v = as_double_array(F.col(vec_col))
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.lit(_hyperplane(p, dim)).cast("array<double>")
-        bucket = bucket + F.when(
-            F.round(dot(v, plane), 9) > 0, F.lit(1 << p)
-        ).otherwise(0)
+    planes = _nested_array_lit([_hyperplane(p, dim) for p in range(n_planes)])
+    # ONE transform lambda over a nested plane literal (r12, same move as
+    # with_ivf_cluster): per-plane arithmetic unchanged — round-9 dot
+    # sign test, weight 1 << p, integer sum — so buckets are
+    # bit-identical to the per-plane expression chain it replaces.
+    bucket = F.aggregate(
+        F.transform(
+            planes,
+            lambda p, i: F.when(
+                F.round(dot(v, p), 9) > 0,
+                # SQL shiftleft accepts a column exponent; the python
+                # wrapper F.shiftleft only takes an int literal
+                F.call_function("shiftleft", F.lit(1), i),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return embeddings.withColumn(bucket_col, bucket.cast("int"))
 
 
@@ -364,6 +376,24 @@ def ivf_centroids(
     return _seed_training_vectors(embeddings, n_clusters, id_col, vec_col)
 
 
+def _nested_array_lit(vectors: list[list[float]]) -> Column:
+    """ONE ``array<array<double>>`` literal for a centroid/plane list.
+
+    A single nested literal keeps the expression tree O(1) in the list
+    length; the pre-r12 shape (k separate per-vector subtrees, each with
+    its own lambda-bearing cosine fold) cost ~8 s of driver-side
+    analysis/optimization per materialization at k=25 (guide §7.3: very
+    large plans are single-threaded driver work) and is unbuildable at
+    SemDeDup-paper k.  Falls back to a flat CreateArray of k array
+    literals if the runtime cannot lift a nested python list directly —
+    still O(k) literal leaves, not O(k) lambda subtrees."""
+    data = [[float(x) for x in v] for v in vectors]
+    try:
+        return F.lit(data).cast("array<array<double>>")
+    except Exception:
+        return F.array(*[F.lit(v).cast("array<double>") for v in data])
+
+
 def with_ivf_cluster(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -372,16 +402,23 @@ def with_ivf_cluster(
 ) -> DataFrame:
     """Attach the nearest-centroid id (argmax cosine, tie -> lowest id).
     Centroids ride along as literals — no join, no shuffle; at scale this
-    column is the stored partition key of the embedding table."""
+    column is the stored partition key of the embedding table.
+
+    The k cosines are ONE ``transform`` lambda over a single nested
+    literal (r12: the per-centroid expression subtrees made plan
+    analysis O(k·dim) driver-side); element order and arithmetic are
+    unchanged — the same left-to-right ``zip_with``/``aggregate`` fold
+    per centroid, round-9, ``array_max`` over (cos, -idx) structs with
+    the identical lowest-id tie rule — so assignments are bit-identical
+    to the pre-r12 shape (regression-tested)."""
     v = as_double_array(F.col(vec_col))
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(cosine(v, F.lit(c).cast("array<double>")), 9).alias("cos"),
-                F.lit(-i).alias("negidx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cents = _nested_array_lit(centroids)
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.round(cosine(v, c), 9).alias("cos"),
+            (-i).alias("negidx"),
+        ),
     )
     best = F.array_max(scored)
     return embeddings.withColumn(cluster_col, (-best["negidx"]).cast("int"))
@@ -400,10 +437,22 @@ def build_ivf_index(
     pq_residual: bool = True,
     centroids: list[list[float]] | None = None,
     assign_strategy: str = "gemm",
+    pre_assigned: bool = False,
 ) -> None:
     """Materialize the IVF index as an engine-owned layout: a tiny
     ``centroids`` parquet table plus the corpus rewritten partitioned by
     its nearest-centroid id (``vectors/cluster=N/``).
+
+    ``pre_assigned=True`` (r12): the input ALREADY carries the
+    ``cluster`` column produced by the same quantizer/strategy — skip
+    the assignment pass entirely.  The semantic-index build assigns
+    once for its admission pass and then built the layout from the
+    post-admission survivors; re-deriving their clusters here was a
+    full redundant pass over the corpus (identical values by
+    construction: frozen centroids, same ``assign_strategy``).
+    Requires ``centroids`` (the quantizer is not re-derivable from a
+    tagged frame) and is the caller's assertion that the tags came
+    from exactly that quantizer + strategy.
 
     ``centroids`` (optional) skips the ``ivf_centroids`` fit and freezes
     the given quantizer directly — callers that already own a trained or
@@ -471,7 +520,17 @@ def build_ivf_index(
             f,
         )
     os.replace(tmp, meta_path)  # atomic: a killed build leaves no torn meta
-    tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
+    if pre_assigned:
+        if centroids is None or "cluster" not in embeddings.columns:
+            raise ValueError(
+                "pre_assigned=True requires explicit centroids and a "
+                "'cluster' column on the input"
+            )
+        tagged = embeddings.withColumn(
+            vec_col, as_double_array(F.col(vec_col))
+        )
+    else:
+        tagged = _assign(embeddings, cents, id_col, vec_col, assign_strategy)
     if pq_m is None:
         _align(tagged).write.option(
             "maxRecordsPerFile", 10_000_000
@@ -821,7 +880,9 @@ def ivf_index_remove(
                 .parquet(vec_dir)
             )
         else:
-            for cl in partial:
+            from fastdb_spark.parallel import run_independent_jobs
+
+            def _rewrite_cluster(cl: int) -> None:
                 cdir = os.path.join(vec_dir, f"cluster={cl}")
                 # partition col lives in the path; checkpoint severs the
                 # read from the directory the swap below replaces
@@ -837,6 +898,12 @@ def ivf_index_remove(
                 os.rename(cdir, old)
                 os.rename(tmp, cdir)
                 shutil.rmtree(old, ignore_errors=True)
+
+            # each cluster's checkpoint+rewrite+swap touches only its own
+            # directory — independent jobs, overlapped from a bounded
+            # driver pool (guide §2.6) instead of the r11 serial loop
+            # whose per-cluster job latency dominated narrow takedowns
+            run_independent_jobs(_rewrite_cluster, partial)
         # a takedown that wipes EVERY cluster leaves vectors/ with no
         # part files — unreadable (UNABLE_TO_INFER_SCHEMA) for the next
         # probe or upsert; re-seed one cluster dir with a zero-row

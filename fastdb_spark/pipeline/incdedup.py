@@ -665,8 +665,8 @@ def _remove_ids(
             # would pay Spark job-launch overhead × buckets × 3 —
             # measured 3x slower on the takedown gate), then a cheap
             # per-bucket directory swap.
-            removed = 0
-            for table, cols in tables:
+            def _rewrite_table(tc) -> int | None:
+                table, cols = tc
                 tdir = os.path.join(path, table)
                 hit = [
                     b
@@ -674,15 +674,14 @@ def _remove_ids(
                     if os.path.isdir(os.path.join(tdir, f"id_bucket={b}"))
                 ]
                 if not hit:
-                    continue
+                    return None
                 src = spark.read.option("basePath", tdir).parquet(
                     *[os.path.join(tdir, f"id_bucket={b}") for b in hit]
                 )
                 # schema captured BEFORE the swaps: src's lineage reads
                 # the original partition dirs, which the swap deletes
                 tschema = src.select(*cols).schema
-                if table == first_table:
-                    n_before = src.count()
+                n_before = src.count() if table == first_table else None
                 tmp = os.path.join(path, f"_tmp_{table}")
                 # repartition on the bucket column before the dynamic-
                 # partition write: the multi-dir read bin-packs files
@@ -696,6 +695,7 @@ def _remove_ids(
                 ).write.partitionBy("id_bucket").mode("overwrite").parquet(
                     tmp
                 )
+                removed = None
                 if table == first_table:
                     # a removal that empties every affected bucket leaves
                     # tmp with NO part files (an empty partitionBy write),
@@ -724,11 +724,23 @@ def _remove_ids(
                 # keep the schema alive with a zero-row slice in one
                 # partition dir
                 _seed_if_empty(spark, tdir, tschema, hit[0])
+                return removed
+
+            # each table rewrites its own directory tree (separate tmp,
+            # separate swaps) — independent jobs, overlapped from a
+            # bounded driver pool (guide §2.6) instead of the r11
+            # serial three-table loop
+            from fastdb_spark.parallel import run_independent_jobs
+
+            results = run_independent_jobs(_rewrite_table, list(tables))
+            removed = next((r for r in results if r is not None), 0)
             spark.catalog.refreshByPath(path)
             return removed
         first = spark.read.parquet(os.path.join(path, first_table))
         n_before = first.count()
-        for table, cols in tables:
+
+        def _rewrite_flat(tc) -> None:
+            table, cols = tc
             tdir = os.path.join(path, table)
             tmp = tdir + "_tmp"
             drop(spark.read.parquet(tdir).select(*cols)).write.mode(
@@ -738,6 +750,11 @@ def _remove_ids(
             os.rename(tdir, old)
             os.rename(tmp, tdir)
             shutil.rmtree(old, ignore_errors=True)
+
+        # independent per-table rewrites, overlapped (guide §2.6)
+        from fastdb_spark.parallel import run_independent_jobs
+
+        run_independent_jobs(_rewrite_flat, list(tables))
         spark.catalog.refreshByPath(path)
         n_after = spark.read.parquet(os.path.join(path, first_table)).count()
     return n_before - n_after
@@ -796,10 +813,12 @@ def _compact_tables(
 
     out: dict = {}
     with table_write_lock(os.path.normpath(path)):
-        for table, cols in tables:
+
+        def _compact_one(tc) -> tuple[str, dict | None]:
+            table, cols = tc
             tdir = os.path.join(path, table)
             if not os.path.isdir(tdir):
-                continue
+                return table, None
             if nb:
                 hit = []
                 before = 0
@@ -816,12 +835,11 @@ def _compact_tables(
                         hit.append(d)
                         before += nfiles
                 if not hit:
-                    out[table] = {
+                    return table, {
                         "buckets_compacted": 0,
                         "files_before": 0,
                         "files_after": 0,
                     }
-                    continue
                 src = spark.read.option("basePath", tdir).parquet(
                     *[os.path.join(tdir, d) for d in hit]
                 )
@@ -849,7 +867,7 @@ def _compact_tables(
                         1 for f in os.listdir(pdir) if f.startswith("part-")
                     )
                 shutil.rmtree(tmp, ignore_errors=True)
-                out[table] = {
+                return table, {
                     "buckets_compacted": len(hit),
                     "files_before": before,
                     "files_after": after,
@@ -862,12 +880,11 @@ def _compact_tables(
                     if f.startswith("part-")
                 )
                 if nfiles <= min_files:
-                    out[table] = {
+                    return table, {
                         "buckets_compacted": 0,
                         "files_before": 0,
                         "files_after": 0,
                     }
-                    continue
                 tmp = tdir + "_tmp_compact"
                 src = spark.read.parquet(tdir)
                 if cols is None:
@@ -879,7 +896,7 @@ def _compact_tables(
                 os.rename(tdir, old)
                 os.rename(tmp, tdir)
                 shutil.rmtree(old, ignore_errors=True)
-                out[table] = {
+                return table, {
                     "buckets_compacted": 1,
                     "files_before": nfiles,
                     "files_after": sum(
@@ -889,6 +906,15 @@ def _compact_tables(
                         if f.startswith("part-")
                     ),
                 }
+
+        # per-table compactions rewrite disjoint directory trees —
+        # independent jobs, overlapped from a bounded driver pool
+        # (guide §2.6) instead of the r11 serial three-table loop
+        from fastdb_spark.parallel import run_independent_jobs
+
+        for table, stats in run_independent_jobs(_compact_one, list(tables)):
+            if stats is not None:
+                out[table] = stats
         spark.catalog.refreshByPath(path)
     return out
 

@@ -304,13 +304,18 @@ def build_semantic_index(
         df, cents, id_col, vec_col, max_cluster_size, assign_strategy
     )
     drops = _inbatch_drops(pair_side, id_col, eps, strategy)
+    # survivors KEEP the cluster tag the admission pass already computed
+    # (frozen centroids, same assign_strategy): pre_assigned=True lets
+    # build_ivf_index skip its own assignment — the r11 build re-ran a
+    # full redundant assignment pass over the survivors (r12, guide
+    # §1.2 "don't compute things you throw away")
     survivors = full.join(drops, on=id_col, how="left_anti").select(
-        F.col(id_col), F.col("v").alias(vec_col)
+        F.col(id_col), F.col("v").alias(vec_col), "cluster"
     )
     build_ivf_index(
         survivors, path, n_clusters=len(cents), id_col=id_col,
         vec_col=vec_col, centroids=cents, pq_m=pq_m,
-        assign_strategy=assign_strategy,
+        assign_strategy=assign_strategy, pre_assigned=True,
     )
     with open(os.path.join(path, _SEM_META), "w") as f:
         # assign_strategy persisted so maintenance replays the BUILD's
@@ -325,7 +330,10 @@ def build_semantic_index(
             },
             f,
         )
-    n = survivors.count()
+    # the build just wrote exactly the survivor set: count the persisted
+    # layout (parquet footer metadata — no data read, no recompute of
+    # the admission pipeline) instead of re-running the survivor plan
+    n = df.sparkSession.read.parquet(os.path.join(path, "vectors")).count()
     from fastdb_spark.cachereg import release_staged
 
     release_staged()

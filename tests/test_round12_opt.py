@@ -1,0 +1,143 @@
+"""Round-12 optimization equivalence pins.
+
+The r12 optimization round rewrites the ``expr``-strategy assignment /
+LSH-bucket expression trees from O(k) per-centroid lambda subtrees to
+ONE higher-order-function lambda over a single nested-array literal
+(guide §7.3: very large plans are single-threaded driver-side analysis
+work — measured ~8 s per materialization at k=25 pre-rewrite).  The
+rewrite must be VALUE-IDENTICAL: the per-element arithmetic is the same
+left-to-right ``zip_with``/``aggregate`` fold, the same rounding, the
+same tie rules.  These tests pin the new shapes against inline copies
+of the pre-r12 constructions on corpora with deliberate ties and
+zero-ish dots.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdb_spark.functions.vectors import as_double_array, cosine, dot
+from fastdb_spark.pipeline.ann import (
+    _hyperplane,
+    with_ivf_cluster,
+    with_lsh_bucket,
+)
+
+
+def _legacy_with_ivf_cluster(embeddings, centroids, vec_col="embedding",
+                             cluster_col="cluster"):
+    """Verbatim pre-r12 construction: one cosine subtree per centroid."""
+    v = as_double_array(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, F.lit(c).cast("array<double>")), 9).alias(
+                    "cos"
+                ),
+                F.lit(-i).alias("negidx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return embeddings.withColumn(cluster_col, (-best["negidx"]).cast("int"))
+
+
+def _legacy_with_lsh_bucket(embeddings, n_planes=8, dim=64,
+                            vec_col="embedding", bucket_col="bucket"):
+    """Verbatim pre-r12 construction: one dot subtree per plane."""
+    v = as_double_array(F.col(vec_col))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.lit(_hyperplane(p, dim)).cast("array<double>")
+        bucket = bucket + F.when(
+            F.round(dot(v, plane), 9) > 0, F.lit(1 << p)
+        ).otherwise(0)
+    return embeddings.withColumn(bucket_col, bucket.cast("int"))
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    """Vectors that exercise the tie and sign edges: duplicates of a
+    centroid (exact cos=1 ties), negatives, zeros, and md5-derived
+    noise."""
+    dim = 8
+    cents = [_hyperplane(1000 + c, dim) for c in range(5)]
+    rows = []
+    # exact centroid copies (cos=1.0 vs own centroid), scaled copies
+    # (same cosine — argmax tie between equal-cos centroids is decided
+    # by index), and noise
+    for i, c in enumerate(cents):
+        rows.append((100 + i, list(c)))
+        rows.append((200 + i, [2.0 * x for x in c]))
+    for j in range(40):
+        rows.append((300 + j, _hyperplane(j, dim)))
+    rows.append((998, [0.0] * dim))  # zero vector: every cosine NULL-ish
+    rows.append((999, [1e-12] * dim))  # near-zero: sign-test edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, cents, dim
+
+
+def test_ivf_cluster_hof_equals_legacy(spark, vec_corpus):
+    # the exact-zero vector (998) throws DIVIDE_BY_ZERO in cosine under
+    # ANSI in BOTH the legacy and the HOF shape (verified identical) —
+    # no production call site feeds zero-norm vectors to
+    # with_ivf_cluster (semdedup eps-guards upstream, ANN corpora are
+    # md5-derived nonzero); exclude it so the equality can evaluate.
+    # the 1e-12 near-zero row (999) stays: tiny but valid norm.
+    df, cents, dim = vec_corpus
+    df = df.filter(F.col("vec_id") != 998)
+    new = with_ivf_cluster(df, cents).select("vec_id", "cluster")
+    old = _legacy_with_ivf_cluster(df, cents).select("vec_id", "cluster")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # same row count (exceptAll alone would pass on empty frames)
+    assert new.count() == df.count()
+
+
+def test_lsh_bucket_hof_equals_legacy(spark, vec_corpus):
+    df, _cents, dim = vec_corpus
+    new = with_lsh_bucket(df, n_planes=8, dim=dim).select("vec_id", "bucket")
+    old = _legacy_with_lsh_bucket(df, n_planes=8, dim=dim).select(
+        "vec_id", "bucket"
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() == df.count()
+
+
+def test_ivf_cluster_tie_breaks_to_lowest_index(spark):
+    """Two identical centroids: every vector's cosine ties exactly, and
+    the argmax must pick the LOWER centroid id (the contract the oracle
+    replays)."""
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [3.0, 0.0]), (2, [0.0, 2.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in with_ivf_cluster(df, cents).collect()
+    }
+    assert got[1] == 0  # ties with centroid 1, lower id wins
+    assert got[2] == 2
+    assert got[3] == 0  # 45 degrees: ties all three? no — cos equal for
+    # centroids 0/1 (0.707...) and centroid 2 (0.707...): all three tie
+    # at round-9, lowest id wins
+
+
+def test_assignment_plan_is_small_in_k(spark):
+    """The r12 point: the analyzed plan must not grow with the centroid
+    count.  At k=64 the pre-r12 shape embedded 64 cosine subtrees
+    (~10^4 expression nodes); the HOF shape stays under a few hundred
+    characters per row expression."""
+    dim = 16
+    cents = [_hyperplane(c, dim) for c in range(64)]
+    df = spark.createDataFrame(
+        [(1, [0.5] * dim)], "vec_id long, embedding array<double>"
+    )
+    plan = with_ivf_cluster(df, cents)._jdf.queryExecution().analyzed().toString()
+    # one transform lambda, not 64 aggregate folds
+    assert plan.count("aggregate(") <= 4
+    assert plan.count("transform(") <= 4
