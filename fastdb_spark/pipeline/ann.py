@@ -376,6 +376,27 @@ def ivf_centroids(
     return _seed_training_vectors(embeddings, n_clusters, id_col, vec_col)
 
 
+def _tiny_local_df(spark, rows: list[tuple], schema: str) -> DataFrame:
+    """KB-sized driver-side table as ONE Arrow batch (guide §4/§6).
+
+    ``createDataFrame(list_of_tuples)`` parallelizes the pickled rows
+    over defaultParallelism partitions, and a later ``coalesce(1)``
+    (wanted for the one-file layout tables) then evaluates all N
+    Python-RDD parents SEQUENTIALLY in a single task — measured ~6 s
+    per 25-row centroid write on local[32], which every index build
+    paid.  Routing through pandas makes the frame an Arrow-backed
+    local relation: same rows, same explicit schema, no Python worker
+    in the write path (~0.2 s).  Doubles cross Arrow bit-exactly, so
+    written bytes are value-identical."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(dict(zip(names, map(list, zip(*rows)))))
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def _nested_array_lit(vectors: list[list[float]]) -> Column:
     """ONE ``array<array<double>>`` literal for a centroid/plane list.
 
@@ -492,8 +513,10 @@ def build_ivf_index(
         embeddings, n_clusters, id_col, vec_col, strategy=strategy, seed=seed
     )
     spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], ["cluster", "centroid"]
+    cent_df = _tiny_local_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster long, centroid array<double>",
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
@@ -554,7 +577,8 @@ def build_ivf_index(
             tagged, books, id_col=id_col, vec_col=vec_col,
             keep=["cluster"], keep_vec=vec_col,
         )
-    book_df = spark.createDataFrame(
+    book_df = _tiny_local_df(
+        spark,
         [
             (i, j, books[i][j], bool(pq_residual))
             for i in range(len(books))
@@ -1238,7 +1262,11 @@ def ivfpq_search_index_many(
             probe_rows.append(
                 (str(qid), int(c), lut, float(off), [float(x) for x in vec])
             )
-    probes = spark.createDataFrame(
+    # Arrow-backed LocalRelation (r12): the pickled-list form is an
+    # opaque LogicalRDD whose broadcast build runs a Spark job over
+    # defaultParallelism Python partitions per evaluation
+    probes = _tiny_local_df(
+        spark,
         probe_rows,
         "query_id string, cluster int, lut array<double>, "
         "q_offset double, qvec array<double>",

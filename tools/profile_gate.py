@@ -92,13 +92,21 @@ def main() -> None:
                     if not (best[1] <= ts <= best[2]):
                         continue
                     props = ev.get("Properties") or {}
+                    # stage names carry the call site even when the job
+                    # has no description (e.g. "parquet at foo.py:123")
+                    snames = [
+                        si.get("Stage Name", "")
+                        for si in ev.get("Stage Infos", [])
+                    ]
                     jobs[ev["Job ID"]] = {
                         "start": ts,
                         "desc": props.get(
                             "spark.job.description",
                             props.get("callSite.short", ""),
                         ),
-                        "site": props.get("callSite.short", ""),
+                        "site": props.get(
+                            "callSite.short", snames[-1] if snames else ""
+                        ),
                         "stages": len(ev.get("Stage IDs", [])),
                     }
                 elif k == "SparkListenerJobEnd":
