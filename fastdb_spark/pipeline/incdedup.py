@@ -310,14 +310,20 @@ def _append_survivors(
     surv = surv.localCheckpoint(eager=True)
     scratch = None
     try:
-        n = surv.count()
-        if n > id_ceiling:
+        # ONE bounded action decides small-vs-backfill AND collects the
+        # small-batch ids (r12: the count()+collect() pair was two jobs
+        # on the checkpointed frame; limit(ceiling+1) keeps the driver
+        # transfer bounded either way)
+        head = surv.select(id_col).limit(id_ceiling + 1).collect()
+        if len(head) > id_ceiling:
             scratch = os.path.join(path, "_scratch_batch")
             surv.write.mode("overwrite").parquet(scratch)
             surv = surv.sparkSession.read.parquet(scratch)
+            n = surv.count()  # parquet footer metadata only
             ids = None
         else:
-            ids = sorted(r[id_col] for r in surv.select(id_col).collect())
+            n = len(head)
+            ids = sorted(r[id_col] for r in head)
 
         def _write(df: DataFrame, table: str) -> None:
             # hive-partition by id hash so dedup_index_remove prunes its
@@ -345,14 +351,26 @@ def _append_survivors(
                 df.write.mode(mode).parquet(tdir)
 
         bkt = ["id_bucket"] if id_buckets else []
-        _write(surv.select("fingerprint", id_col, *bkt), "fingerprints")
-        _write(
-            surv.select(
-                F.explode("bands").alias("band"), F.col(id_col), *bkt
-            ),
-            "bands",
+        # the three table writes read the SAME checkpointed partitions
+        # and land in disjoint directories — overlap them (guide §2.6)
+        # instead of paying three serial write-job latencies (r12:
+        # measured 1.2-1.5 s serial vs ~0.6 s overlapped per append)
+        from fastdb_spark.parallel import run_independent_jobs
+
+        run_independent_jobs(
+            lambda spec: _write(*spec),
+            [
+                (surv.select("fingerprint", id_col, *bkt), "fingerprints"),
+                (
+                    surv.select(
+                        F.explode("bands").alias("band"), F.col(id_col), *bkt
+                    ),
+                    "bands",
+                ),
+                (surv.select(id_col, "sh", *bkt), "shingles"),
+            ],
+            max_workers=3,
         )
-        _write(surv.select(id_col, "sh", *bkt), "shingles")
     finally:
         if scratch is not None:
             import shutil
