@@ -27,7 +27,13 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fastdb_spark.functions.vectors import as_double_array, cosine, dot
+from fastdb_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    dot,
+    double_array_lit,
+    int_array_lit,
+)
 
 #: index-root sidecar recording build-time parameters (notably the
 #: assignment strategy — ADVICE r10: maintenance must replay the BUILD's
@@ -111,7 +117,7 @@ def cosine_topk(
     The query is a literal array (broadcast by construction); Spark plans a
     TakeOrderedAndProject — no full sort, no shuffle beyond the top-k
     combine."""
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    q = double_array_lit(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
@@ -193,7 +199,7 @@ def lsh_bucketed_topk(
 
     bucketed = with_lsh_bucket(embeddings, n_planes, dim, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
@@ -405,14 +411,13 @@ def _nested_array_lit(vectors: list[list[float]]) -> Column:
     its own lambda-bearing cosine fold) cost ~8 s of driver-side
     analysis/optimization per materialization at k=25 (guide §7.3: very
     large plans are single-threaded driver work) and is unbuildable at
-    SemDeDup-paper k.  Falls back to a flat CreateArray of k array
-    literals if the runtime cannot lift a nested python list directly —
-    still O(k) literal leaves, not O(k) lambda subtrees."""
-    data = [[float(x) for x in v] for v in vectors]
-    try:
-        return F.lit(data).cast("array<array<double>>")
-    except Exception:
-        return F.array(*[F.lit(v).cast("array<double>") for v in data])
+    SemDeDup-paper k.  Built as one SQL expression string (r12 second
+    pass: even ``F.lit(nested_list)`` round-trips py4j per ELEMENT —
+    1.0-2.1 s per construction at 25x64 — while the expr string is one
+    call, ~6 ms, bit-identical doubles)."""
+    from fastdb_spark.functions.vectors import nested_double_array_lit
+
+    return nested_double_array_lit(vectors)
 
 
 def with_ivf_cluster(
@@ -1011,17 +1016,23 @@ def ivf_index_stats(
             .agg(F.count("*").alias("n_rows"))
             .orderBy("cluster")
         )
-    # centroid as an inline array literal per cluster: CASE on the
-    # partition column folds to a constant per partition under
-    # whole-stage codegen — no join, no shuffle beyond the final agg
-    cent_expr = None
-    for r in cents_rows:
-        arr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
-        cond = F.col("cluster") == int(r["cluster"])
-        cent_expr = (
-            F.when(cond, arr) if cent_expr is None
-            else cent_expr.when(cond, arr)
-        )
+    # centroid lookup as ONE map literal keyed by cluster id (r12: the
+    # per-cluster CASE chain built k*dim literal leaves through py4j —
+    # O(k*dim) driver calls per plan, minutes at production k — while a
+    # single expr string is one call; same per-row centroid, still a
+    # broadcast constant, no join, no shuffle beyond the final agg)
+    from fastdb_spark.functions.vectors import (
+        int_array_lit,
+        nested_double_array_lit,
+    )
+
+    cent_expr = F.element_at(
+        F.map_from_arrays(
+            int_array_lit(int(r["cluster"]) for r in cents_rows),
+            nested_double_array_lit(r["centroid"] for r in cents_rows),
+        ),
+        F.col("cluster").cast("int"),
+    )
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(
@@ -1134,8 +1145,8 @@ def _adc_score(
         for i in range(m)
         for j in range(kk)
     ]
-    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
-    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    lut = double_array_lit(flat_lut)
+    subspace_idx = int_array_lit(range(m))
     return F.aggregate(
         F.zip_with(
             F.col(code_col),
@@ -1195,7 +1206,7 @@ def ivfpq_search_index(
         score = offset_map[F.col("cluster")] + score
     scored = cand.select(F.col(id_col), score.alias("adc_score"))
     candtop = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
-    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    qcol = double_array_lit(query_vec)
     exact = cand.join(F.broadcast(candtop.select(id_col)), on=id_col).select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
@@ -1275,7 +1286,7 @@ def ivfpq_search_index_many(
     cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("cluster").isin(all_clusters)
     )
-    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    subspace_idx = int_array_lit(range(m))
     adc = F.col("q_offset") + F.aggregate(
         F.zip_with(
             F.col("pq_code"),
@@ -1366,7 +1377,7 @@ def ivf_search_index(
     cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("cluster").isin(probes)
     )
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
@@ -1398,7 +1409,7 @@ def ivf_topk(
     cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
         F.col("cluster").isin(probes)
     )
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
@@ -1535,8 +1546,8 @@ def pq_topk(
         for i in range(m)
         for j in range(kk)
     ]
-    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
-    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    lut = double_array_lit(flat_lut)
+    subspace_idx = int_array_lit(range(m))
     score = F.aggregate(
         F.zip_with(
             F.col(code_col),
@@ -1552,7 +1563,7 @@ def pq_topk(
     if embeddings is None:
         raise ValueError("rerank needs the full-vector frame")
     cand = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
-    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    qcol = double_array_lit(query_vec)
     exact = embeddings.join(F.broadcast(cand.select(id_col)), on=id_col).select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
@@ -1782,8 +1793,8 @@ def ivfpq_residual_topk(
         for i in range(m)
         for j in range(kk)
     ]
-    lut = F.lit([float(x) for x in flat_lut]).cast("array<double>")
-    subspace_idx = F.lit(list(range(m))).cast("array<int>")
+    lut = double_array_lit(flat_lut)
+    subspace_idx = int_array_lit(range(m))
     # offset against the NORMALIZED centroid (residuals are v_norm -
     # c_norm; see train_pq_residual)
     qc = {}
@@ -1806,7 +1817,7 @@ def ivfpq_residual_topk(
     )
     scored = enc.select(F.col(id_col), score.alias("adc_score"))
     candtop = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
-    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    qcol = double_array_lit(query_vec)
     exact = cand.join(F.broadcast(candtop.select(id_col)), on=id_col).select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),

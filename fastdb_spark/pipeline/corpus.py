@@ -113,13 +113,14 @@ def clustered_embs(
     the emitted recall@10 measures the index.  Pure column expressions:
     a literal-array ``element_at`` pick + one ``zip_with``, scan-stage
     only."""
+    from fastdb_spark.functions.vectors import nested_double_array_lit
     from fastdb_spark.pipeline.ann import _hyperplane
 
-    centers = F.array(
-        *[
-            F.lit(_hyperplane(1000 + c, dim)).cast("array<double>")
-            for c in range(n_centers)
-        ]
+    # one expr-string literal (r12): the per-center F.lit loop cost ~2 s
+    # of py4j driver time per plan construction, paid by EVERY gate that
+    # reads this derivation (all approximate-ANN + semantic gates)
+    centers = nested_double_array_lit(
+        [_hyperplane(1000 + c, dim) for c in range(n_centers)]
     )
     center = F.element_at(
         centers, (F.pmod(F.col("vec_id"), F.lit(n_centers)) + 1).cast("int")

@@ -105,7 +105,11 @@ def assign_clusters(
         from fastdb_spark.pipeline.ann import with_ivf_cluster
 
         out = with_ivf_cluster(df, centroids, vec_col, "cluster")
-        cent = F.array(*[F.lit(c).cast("array<double>") for c in centroids])
+        # one expr-string literal (r12): the per-centroid F.lit loop was
+        # ~2 s of py4j driver time per plan construction at k=25
+        from fastdb_spark.functions.vectors import nested_double_array_lit
+
+        cent = nested_double_array_lit(centroids)
         own = F.element_at(cent, (F.col("cluster") + F.lit(1)).cast("int"))
         v = as_double_array(F.col(vec_col))
         return out.withColumn("cos_c", F.round(cosine(v, own), 9))
