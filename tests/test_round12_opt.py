@@ -141,3 +141,46 @@ def test_assignment_plan_is_small_in_k(spark):
     # one transform lambda, not 64 aggregate folds
     assert plan.count("aggregate(") <= 4
     assert plan.count("transform(") <= 4
+
+
+def test_expr_string_array_literals_bit_exact(spark):
+    """The r12 literal helpers (ONE expr() string per array instead of
+    one py4j call per element) must parse to BIT-IDENTICAL doubles —
+    repr(float) round-trips and SQL 'xD' parses correctly-rounded.
+    Edge values: signed zero, denormal min, DBL_MAX, mantissa-dense
+    irrationals, and the md5-derived hyperplane constants the gates
+    actually use."""
+    import math
+    import struct
+
+    from fastdb_spark.functions.vectors import (
+        double_array_lit,
+        int_array_lit,
+        nested_double_array_lit,
+    )
+
+    edge = [
+        0.0, -0.0, 5e-324, 1.7976931348623157e308, -1e-308,
+        math.pi, 1 / 3, 123456789.123456789,
+    ]
+    vectors = [edge, _hyperplane(1000, 8), _hyperplane(7, 8)]
+
+    df = spark.range(1)
+    row = df.select(
+        F.lit([list(map(float, v)) for v in vectors])
+        .cast("array<array<double>>").alias("lit"),
+        nested_double_array_lit(vectors).alias("ex"),
+        F.lit(list(map(float, edge))).cast("array<double>").alias("flat_lit"),
+        double_array_lit(edge).alias("flat_ex"),
+        int_array_lit(range(5)).alias("ints"),
+    ).head()
+    pack = lambda x: struct.pack("<d", x)
+    for lv, ev in zip(row["lit"], row["ex"]):
+        assert [pack(a) for a in lv] == [pack(b) for b in ev]
+    assert [pack(a) for a in row["flat_lit"]] == [
+        pack(b) for b in row["flat_ex"]
+    ]
+    assert row["ints"] == list(range(5))
+    # non-finite values take the F.lit fallback rather than failing
+    nf = df.select(double_array_lit([1.0, float("nan")]).alias("v")).head()
+    assert math.isnan(nf["v"][1])
