@@ -83,3 +83,23 @@ def test_dup_cluster_labels_sizes_and_keepers(spark):
 def test_cc_empty_pairs(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+def test_cc_long_path_stride2_converges_exactly(spark):
+    """r12: the loop runs TWO alternation rounds per materialization
+    with a stride-2 signature stop.  A 200-node path forces multiple
+    round-pairs (the edge set keeps relinking at constant count before
+    settling), and the result must still be the exact transitive
+    closure — iterating past the fixpoint is the identity, so the
+    second round of a pair can never corrupt a converged set."""
+    pairs = [(i, i + 1) for i in range(1, 200)]
+    got = _spark_labels(spark, pairs)
+    assert got == {n: 1 for n in range(1, 201)}
+
+    # descending-id star with interleaved chain: a shape where count
+    # stabilizes rounds before the set does (the stride-2 hazard case)
+    pairs2 = [(200 - i, 201) for i in range(0, 40, 2)] + [
+        (i, i + 3) for i in range(1, 60)
+    ]
+    got2 = _spark_labels(spark, pairs2)
+    assert got2 == _uf_components(pairs2)
