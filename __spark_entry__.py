@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 
 from fastdb_spark import tpch_adapter as ad
 from fastdb_spark.catalog import Catalog
+from fastdb_spark.localrel import tiny_local_df
 from fastdb_spark.operators.dedup import dedup_first_seen, dedup_top_priority
 from fastdb_spark.operators.patch import patch_lightcurve
 from fastdb_spark.operators.predicates import FieldSpec, apply_where
@@ -124,8 +125,10 @@ def _q_versioned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     phot = ad.versioned_photometry(li).withColumn(
         "base_procver_id", F.concat(F.lit("bpv"), F.col("priority").cast("string"))
     ).drop("priority")
-    mapping = spark.createDataFrame(
-        [("bpv0", 0), ("bpv1", 1), ("bpv2", 2)], ["base_procver_id", "priority"]
+    mapping = tiny_local_df(
+        spark,
+        [("bpv0", 0), ("bpv1", 1), ("bpv2", 2)],
+        "base_procver_id string, priority bigint",
     )
     return versioned(
         phot,
@@ -588,7 +591,9 @@ def _q_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (VALUES ...))."""
     orders = Catalog(spark, sf_dir).table("orders")
     keys = [1, 5, 7, 11, 19, 100]
-    ids = spark.createDataFrame([(k,) for k in keys], ["o_orderkey"])
+    # Arrow local relation (r12): the pickled-list form ran a Python-RDD
+    # job per broadcast build; same rows, same bigint schema
+    ids = tiny_local_df(spark, [(k,) for k in keys], "o_orderkey bigint")
     # the isin prefilter is what reaches the parquet scan (PushedFilters:
     # In(o_orderkey)) — row-group stats skip everything else; the broadcast
     # join alone would scan the full table
@@ -1430,8 +1435,10 @@ def _q_broker_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     field from the JSON info payload (F9)."""
     li = Catalog(spark, sf_dir).table("lineitem")
     bi = ad.brokerinfo(li).filter(F.col("diasourceid") % 50 == 0)
-    mapping = spark.createDataFrame(
-        [("bpv1", 1), ("bpv2", 2)], ["base_procver_id", "priority"]
+    mapping = tiny_local_df(
+        spark,
+        [("bpv1", 1), ("bpv2", 2)],
+        "base_procver_id string, priority bigint",
     )
     joined = bi.join(F.broadcast(mapping), on="base_procver_id", how="inner")
     out = dedup_top_priority(

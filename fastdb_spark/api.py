@@ -222,11 +222,21 @@ class FastdbAPI:
         if not ints and not uuids:
             # empty restriction -> empty result, not an error
             return self.spark.createDataFrame([], "rootid string")
+        from fastdb_spark.localrel import tiny_local_df
+
         frames = []
         if uuids:
-            frames.append(self.spark.createDataFrame([(u,) for u in uuids], ["rootid"]))
+            # Arrow local relations (r12): the pickled-list form ran a
+            # Python-RDD job per broadcast build of these id tables
+            frames.append(
+                tiny_local_df(
+                    self.spark, [(u,) for u in uuids], "rootid string"
+                )
+            )
         if ints:
-            ids = self.spark.createDataFrame([(i,) for i in ints], ["diaobjectid"])
+            ids = tiny_local_df(
+                self.spark, [(i,) for i in ints], "diaobjectid bigint"
+            )
             objmap = ltcv_q.resolve_objects(
                 self.tables["diaobject"], self.resolver, processing_version
             )

@@ -7,6 +7,8 @@ doubles (required for oracle parity).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,6 +27,37 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def norm_py(values) -> float:
+    """Driver-side twin of :func:`norm`: the same left-to-right double
+    fold (0.0 start, ``acc + x*x`` per element) and a correctly-rounded
+    IEEE-754 sqrt, so the result is BIT-IDENTICAL to the JVM fold over
+    the same doubles (both run binary64 primitive ops in the same
+    order; ``math.sqrt`` and ``java.lang.Math.sqrt`` are both exactly
+    rounded — regression-tested incl. -0.0 and denormals)."""
+    acc = 0.0
+    for x in values:
+        x = float(x)
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def cosine_to_lit(v: Column, query_vec) -> Column:
+    """``cosine(v, lit(query_vec))`` with the query-side norm folded
+    ONCE on the driver instead of re-folded per row (guide §1.2: the
+    query norm is loop-invariant across the corpus scan).  The emitted
+    expression is ``dot(v, q) / (norm(v) * qn)`` — the same primitive
+    double ops in the same order as :func:`cosine`, with the constant
+    ``norm(q)`` subtree replaced by its (bit-identical, see
+    :func:`norm_py`) value — so scores are unchanged to the last ulp.
+    Non-finite inputs (or an overflowing norm) fall back to the plain
+    fold."""
+    data = [float(x) for x in query_vec]
+    qn = norm_py(data) if all(_finite(x) for x in data) else float("nan")
+    if not _finite(qn):
+        return cosine(v, double_array_lit(data))
+    return dot(v, double_array_lit(data)) / (norm(v) * F.lit(qn))
 
 
 def as_double_array(a: Column) -> Column:

@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 from fastdb_spark.functions.vectors import (
     as_double_array,
     cosine,
+    cosine_to_lit,
     dot,
     double_array_lit,
     int_array_lit,
+    norm,
+    norm_py,
 )
 
 #: index-root sidecar recording build-time parameters (notably the
@@ -117,10 +120,13 @@ def cosine_topk(
     The query is a literal array (broadcast by construction); Spark plans a
     TakeOrderedAndProject — no full sort, no shuffle beyond the top-k
     combine."""
-    q = double_array_lit(query_vec)
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+        # query-side norm folded once on the driver (bit-identical —
+        # see cosine_to_lit); the corpus-side fold is per row either way
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -199,10 +205,11 @@ def lsh_bucketed_topk(
 
     bucketed = with_lsh_bucket(embeddings, n_planes, dim, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
-    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -394,13 +401,9 @@ def _tiny_local_df(spark, rows: list[tuple], schema: str) -> DataFrame:
     local relation: same rows, same explicit schema, no Python worker
     in the write path (~0.2 s).  Doubles cross Arrow bit-exactly, so
     written bytes are value-identical."""
-    if not rows:
-        return spark.createDataFrame([], schema)
-    import pandas as pd
+    from fastdb_spark.localrel import tiny_local_df
 
-    names = [f.split()[0] for f in schema.split(",")]
-    pdf = pd.DataFrame(dict(zip(names, map(list, zip(*rows)))))
-    return spark.createDataFrame(pdf, schema=schema)
+    return tiny_local_df(spark, rows, schema)
 
 
 def _nested_array_lit(vectors: list[list[float]]) -> Column:
@@ -439,13 +442,35 @@ def with_ivf_cluster(
     to the pre-r12 shape (regression-tested)."""
     v = as_double_array(F.col(vec_col))
     cents = _nested_array_lit(centroids)
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            F.round(cosine(v, c), 9).alias("cos"),
-            (-i).alias("negidx"),
-        ),
-    )
+    cnorms = [norm_py(c) for c in centroids]
+    import math as _math
+
+    if all(_math.isfinite(n) for n in cnorms):
+        # centroid norms folded once on the driver (bit-identical twin
+        # of the JVM fold, see norm_py) instead of re-folded per row per
+        # centroid: dot/(norm(v)*cn) is cosine()'s exact op order with
+        # the constant norm(c) subtree replaced by its value, so
+        # assignments are unchanged to the last ulp (r12, guide §1.2)
+        cn = double_array_lit(cnorms)
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.round(
+                    dot(v, c)
+                    / (norm(v) * F.element_at(cn, i + F.lit(1))),
+                    9,
+                ).alias("cos"),
+                (-i).alias("negidx"),
+            ),
+        )
+    else:
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.round(cosine(v, c), 9).alias("cos"),
+                (-i).alias("negidx"),
+            ),
+        )
     best = F.array_max(scored)
     return embeddings.withColumn(cluster_col, (-best["negidx"]).cast("int"))
 
@@ -840,8 +865,8 @@ def ivf_index_remove(
             # (measured on the dedup index, BENCH_SCALE r9: 5-22x
             # slower than the anti-join); large lists silently take
             # the DataFrame form
-            rm = spark.createDataFrame(
-                [(i,) for i in idlist], f"{id_col} long"
+            rm = _tiny_local_df(
+                spark, [(i,) for i in idlist], f"{id_col} long"
             ).localCheckpoint(eager=True)
 
             def drop(df: DataFrame) -> DataFrame:
@@ -1206,10 +1231,11 @@ def ivfpq_search_index(
         score = offset_map[F.col("cluster")] + score
     scored = cand.select(F.col(id_col), score.alias("adc_score"))
     candtop = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
-    qcol = double_array_lit(query_vec)
     exact = cand.join(F.broadcast(candtop.select(id_col)), on=id_col).select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -1271,7 +1297,17 @@ def ivfpq_search_index_many(
             else:
                 off = 0.0
             probe_rows.append(
-                (str(qid), int(c), lut, float(off), [float(x) for x in vec])
+                (
+                    str(qid),
+                    int(c),
+                    lut,
+                    float(off),
+                    [float(x) for x in vec],
+                    # query norm folded once on the driver (bit-identical
+                    # twin of the JVM fold — norm_py): the exact rerank
+                    # then skips re-folding norm(qvec) per candidate row
+                    norm_py(vec),
+                )
             )
     # Arrow-backed LocalRelation (r12): the pickled-list form is an
     # opaque LogicalRDD whose broadcast build runs a Spark job over
@@ -1280,7 +1316,7 @@ def ivfpq_search_index_many(
         spark,
         probe_rows,
         "query_id string, cluster int, lut array<double>, "
-        "q_offset double, qvec array<double>",
+        "q_offset double, qvec array<double>, qnorm double",
     )
     all_clusters = sorted({r[1] for r in probe_rows})
     cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
@@ -1302,6 +1338,7 @@ def ivfpq_search_index_many(
         adc.alias("adc_score"),
         as_double_array(F.col(vec_col)).alias("_v"),
         F.col("qvec"),
+        F.col("qnorm"),
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.col(id_col)
@@ -1310,11 +1347,17 @@ def ivfpq_search_index_many(
         F.col("_ar") <= rerank
     )
     # exact rerank ONLY on the surviving pool (≤ rerank rows per query) —
-    # full-vector cosine for every ADC candidate would defeat the codes
+    # full-vector cosine for every ADC candidate would defeat the codes.
+    # dot/(norm(_v)*qnorm): same ops/order as cosine() with the query
+    # fold replaced by its driver-side bit-identical value
     exact = pool.select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col("_v"), F.col("qvec")), 6).alias("cos"),
+        F.round(
+            dot(F.col("_v"), F.col("qvec"))
+            / (norm(F.col("_v")) * F.col("qnorm")),
+            6,
+        ).alias("cos"),
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
     return (
@@ -1377,10 +1420,11 @@ def ivf_search_index(
     cand = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("cluster").isin(probes)
     )
-    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -1409,10 +1453,11 @@ def ivf_topk(
     cand = with_ivf_cluster(embeddings, cents, vec_col).filter(
         F.col("cluster").isin(probes)
     )
-    q = double_array_lit(query_vec)
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("cos"),
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -1563,10 +1608,11 @@ def pq_topk(
     if embeddings is None:
         raise ValueError("rerank needs the full-vector frame")
     cand = scored.orderBy(F.desc("adc_score"), F.col(id_col)).limit(rerank)
-    qcol = double_array_lit(query_vec)
     exact = embeddings.join(F.broadcast(cand.select(id_col)), on=id_col).select(
         F.col(id_col),
-        F.round(cosine(as_double_array(F.col(vec_col)), qcol), 6).alias("cos"),
+        F.round(
+            cosine_to_lit(as_double_array(F.col(vec_col)), query_vec), 6
+        ).alias("cos"),
     )
     return exact.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -1846,15 +1892,27 @@ def cosine_topk_many(
     variants do."""
     from pyspark.sql import Window
 
+    # norms hoisted BELOW the join (guide §1.2): each side's norm fold
+    # runs once per input row on its own side of the broadcast join —
+    # the joined-row cosine then pays only the cross dot.  Folding
+    # norm() inside cosine() after the join re-ran the corpus-side fold
+    # once per (row x query) and the query-side fold once per corpus
+    # row.  dot/( _vn * _qn ) is the same primitive ops in the same
+    # order as cosine(_v, _qv), so scores are bit-identical.
     q = queries.select(
-        F.col(query_id_col), as_double_array(F.col(query_vec_col)).alias("_qv")
-    )
+        F.col(query_id_col),
+        as_double_array(F.col(query_vec_col)).alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
     scored = embeddings.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
-    ).join(F.broadcast(q)).select(
+    ).withColumn("_vn", norm(F.col("_v"))).join(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos"),
+        F.round(
+            dot(F.col("_v"), F.col("_qv"))
+            / (F.col("_vn") * F.col("_qn")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
     return (

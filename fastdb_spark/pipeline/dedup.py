@@ -537,8 +537,11 @@ def embedding_neardup_pairs(
 
     # exact blocked all-pairs ("block" / legacy "blas")
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    from fastdb_spark.localrel import tiny_local_df
+
     pairs_meta = F.broadcast(
-        spark.createDataFrame(
+        tiny_local_df(
+            spark,
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "blk_i int, blk_j int",
         )

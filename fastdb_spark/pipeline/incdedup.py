@@ -633,8 +633,10 @@ def _remove_ids(
                 # filter, not the rewrite.  Above this threshold a list
                 # silently takes the documented backfill form
                 # (single-column frame -> broadcast anti-join).
-                ids = spark.createDataFrame(
-                    [(i,) for i in idlist], f"{id_col} long"
+                from fastdb_spark.localrel import tiny_local_df
+
+                ids = tiny_local_df(
+                    spark, [(i,) for i in idlist], f"{id_col} long"
                 )
             else:
                 ids = idlist

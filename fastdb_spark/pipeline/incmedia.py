@@ -325,13 +325,16 @@ def media_index_upsert(
             # the hashes/ dir this write appends to (the round-6
             # refreshByPath recomputation hazard)
             surv = surv.localCheckpoint(eager=True)
-            n = surv.count()
-            if n > id_ceiling:
+            # ONE bounded action decides small-vs-backfill AND collects
+            # the small-batch ids (r12, the text-index move: the
+            # count()+collect() pair was two jobs on the checkpointed
+            # frame; limit(ceiling+1) keeps the driver transfer bounded
+            # either way)
+            head = surv.select(id_col).limit(id_ceiling + 1).collect()
+            if len(head) > id_ceiling:
                 ids = None
             else:
-                ids = sorted(
-                    r[id_col] for r in surv.select(id_col).collect()
-                )
+                ids = sorted(r[id_col] for r in head)
             _write_hashes(surv, path, id_col, "append", p.get("id_buckets"))
         finally:
             release_staged()

@@ -108,15 +108,28 @@ def _vs_index_dups(
     (new side x stored side — a two-frame probe, never all-pairs).
     ``strategy='expr'``: the column-expression twin."""
     if strategy == "expr":
-        from fastdb_spark.functions.vectors import cosine
+        from fastdb_spark.functions.vectors import dot, norm
 
+        # norms hoisted below the join (r12, guide §1.2): one fold per
+        # input row per side instead of two per candidate pair;
+        # dot/(nn*on) is cosine()'s exact op order, scores bit-identical
         j = new_keyed.select(
-            "cluster", F.col(id_col).alias("_nid"), F.col("v").alias("_nv")
-        ).join(
-            old.select("cluster", F.col("v").alias("_ov")), ["cluster"]
+            "cluster",
+            F.col(id_col).alias("_nid"),
+            F.col("v").alias("_nv"),
+        ).withColumn("_nn", norm(F.col("_nv"))).join(
+            old.select("cluster", F.col("v").alias("_ov")).withColumn(
+                "_on", norm(F.col("_ov"))
+            ),
+            ["cluster"],
         )
         hits = j.filter(
-            F.round(cosine(F.col("_nv"), F.col("_ov")), 6) >= F.lit(eps)
+            F.round(
+                dot(F.col("_nv"), F.col("_ov"))
+                / (F.col("_nn") * F.col("_on")),
+                6,
+            )
+            >= F.lit(eps)
         )
         return hits.select(F.col("_nid").alias(id_col)).distinct()
     if strategy != "gemm":

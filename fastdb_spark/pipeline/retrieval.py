@@ -150,8 +150,14 @@ def bm25_topk_many(
         # broadcast-hash semi on the exploded stream — one generate pass,
         # the join filters in the same stage
         base = documents.select(F.col(id_col), F.size(toks).alias("dl"))
-        vocab = documents.sparkSession.createDataFrame(
-            [(t,) for t in all_terms], "term string"
+        from fastdb_spark.localrel import tiny_local_df
+
+        # Arrow local relation (r12): the pickled form ran a Python-RDD
+        # job per broadcast build of the vocab table
+        vocab = tiny_local_df(
+            documents.sparkSession,
+            [(t,) for t in all_terms],
+            "term string",
         )
         term_rows = documents.select(
             F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
@@ -163,7 +169,10 @@ def bm25_topk_many(
         F.count(F.lit(1)).alias("tf")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    term_query = documents.sparkSession.createDataFrame(
+    from fastdb_spark.localrel import tiny_local_df
+
+    term_query = tiny_local_df(
+        documents.sparkSession,
         [(t, qid) for qid, ts in sorted(queries.items()) for t in ts],
         "term string, query_id string",
     )
@@ -779,7 +788,10 @@ def hybrid_topk_rrf_many(
         documents, {qid: terms for qid, (terms, _v) in queries.items()},
         k=pool, k1=k1, b=b, id_col=id_col, text_col=text_col,
     )
-    qvecs = spark.createDataFrame(
+    from fastdb_spark.localrel import tiny_local_df
+
+    qvecs = tiny_local_df(
+        spark,
         [
             (str(qid), [float(x) for x in vec])
             for qid, (_t, vec) in sorted(queries.items())

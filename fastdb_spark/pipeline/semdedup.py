@@ -102,17 +102,39 @@ def assign_clusters(
     (``semantic_dedup``, which emits ``cos_c``) pin 'expr'.
     """
     if strategy == "expr":
+        import math as _math
+
         from fastdb_spark.pipeline.ann import with_ivf_cluster
 
         out = with_ivf_cluster(df, centroids, vec_col, "cluster")
         # one expr-string literal (r12): the per-centroid F.lit loop was
         # ~2 s of py4j driver time per plan construction at k=25
-        from fastdb_spark.functions.vectors import nested_double_array_lit
+        from fastdb_spark.functions.vectors import (
+            dot,
+            nested_double_array_lit,
+            norm,
+            norm_py,
+        )
 
         cent = nested_double_array_lit(centroids)
         own = F.element_at(cent, (F.col("cluster") + F.lit(1)).cast("int"))
         v = as_double_array(F.col(vec_col))
-        return out.withColumn("cos_c", F.round(cosine(v, own), 9))
+        cnorms = [norm_py(c) for c in centroids]
+        if all(_math.isfinite(n) for n in cnorms):
+            # own-centroid norm looked up from a driver-side folded
+            # literal (bit-identical — norm_py) instead of re-folded
+            # per row inside cosine(); dot/(norm(v)*cn) keeps
+            # cosine()'s exact op order (r12, guide §1.2)
+            from fastdb_spark.functions.vectors import double_array_lit
+
+            cn = F.element_at(
+                double_array_lit(cnorms),
+                (F.col("cluster") + F.lit(1)).cast("int"),
+            )
+            cos_c = F.round(dot(v, own) / (norm(v) * cn), 9)
+        else:
+            cos_c = F.round(cosine(v, own), 9)
+        return out.withColumn("cos_c", cos_c)
     if strategy != "gemm":
         raise ValueError(f"unknown assignment strategy {strategy!r}")
     import numpy as np
@@ -194,19 +216,35 @@ def _pairs_expr(keyed: DataFrame, id_col: str, eps: float) -> DataFrame:
 
     ``zip_with``/``aggregate`` evaluate the dot product as the same
     left-to-right double fold duckdb's ``list_dot_product`` runs, so
-    pair cosines are bit-identical cross-engine before the round."""
-    a = keyed.select(
+    pair cosines are bit-identical cross-engine before the round.
+
+    Norms are hoisted BELOW the self-join (r12, guide §1.2): each row's
+    ``norm(v)`` folds once per input row on its own join side instead
+    of twice per PAIR inside ``cosine()`` — m²/2 pairs re-ran ~2/3 of
+    the fold work.  ``dot/(na*nb)`` is the same primitive ops in the
+    same order as ``cosine(va, vb)``, so pair cosines (and hence the
+    eps edge set) are unchanged to the last ulp."""
+    from fastdb_spark.functions.vectors import norm
+
+    withn = keyed.withColumn("_n", norm(F.col("v")))
+    a = withn.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
+        F.col("_n").alias("na"),
     )
-    b = keyed.select(
+    b = withn.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
     )
     pairs = a.join(b, ["cluster"]).where(F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    from fastdb_spark.functions.vectors import dot
+
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(eps))

@@ -184,3 +184,112 @@ def test_expr_string_array_literals_bit_exact(spark):
     # non-finite values take the F.lit fallback rather than failing
     nf = df.select(double_array_lit([1.0, float("nan")]).alias("v")).head()
     assert math.isnan(nf["v"][1])
+
+
+def test_norm_py_bit_exact_vs_jvm_fold(spark):
+    """The r12 norm hoist rests on ``norm_py`` being the bit-identical
+    driver-side twin of the JVM ``norm()`` fold: same left-to-right
+    double accumulation, correctly-rounded sqrt on both sides.  Pin it
+    over edge doubles (signed zero, denormals, large magnitudes) and
+    md5-derived noise vectors."""
+    import struct
+
+    from fastdb_spark.functions.vectors import norm, norm_py
+    from fastdb_spark.pipeline.ann import _hyperplane
+
+    vecs = [
+        [-0.0, 5e-324, 1e154, -1e-308, 3.141592653589793],
+        [2.2250738585072014e-308] * 4,
+        [0.1, 0.2, 0.3],
+        [0.0] * 6,
+    ] + [_hyperplane(i, 16) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    rows = df.select("vec_id", norm(F.col("v")).alias("n"), "v").collect()
+    pack = lambda x: struct.pack("<d", x)
+    for r in rows:
+        assert pack(norm_py(r["v"])) == pack(r["n"]), r["vec_id"]
+
+
+def test_cosine_norm_hoist_forms_bit_exact(spark):
+    """The three r12 norm-hoisted scoring shapes must equal the plain
+    ``cosine()`` fold to the last bit:
+
+    - ``cosine_to_lit`` (literal query, query norm folded driver-side);
+    - the pair form ``dot/(na*nb)`` with per-row norms hoisted below a
+      self-join (semdedup/incsem expr paths, cosine_topk_many);
+    - ``with_ivf_cluster``'s per-centroid ``dot/(norm(v)*cn_lit)``
+      (covered transitively by test_ivf_cluster_hof_equals_legacy).
+    """
+    from fastdb_spark.functions.vectors import (
+        cosine,
+        cosine_to_lit,
+        dot,
+        double_array_lit,
+        norm,
+    )
+    from fastdb_spark.pipeline.ann import _hyperplane
+
+    dim = 16
+    vecs = [_hyperplane(i, dim) for i in range(30)]
+    vecs.append([1e-12] * dim)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    q = _hyperplane(999, dim)
+    d = df.select(
+        cosine(F.col("v"), double_array_lit(q)).alias("old"),
+        cosine_to_lit(F.col("v"), q).alias("new"),
+    ).filter("(old <=> new) = false")
+    assert d.count() == 0
+
+    wn = df.withColumn("_n", norm(F.col("v")))
+    a = wn.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    pairs = a.crossJoin(b).where("ia < ib")
+    d2 = pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("old"),
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "new"
+        ),
+    ).filter("(old <=> new) = false")
+    assert d2.count() == 0
+
+
+def test_tiny_local_df_values_and_schema(spark):
+    """The Arrow local-relation helper must reproduce the pickled
+    ``createDataFrame`` path exactly: same schema, same values (doubles
+    bit-exact through Arrow), and no Python-RDD scan in the plan."""
+    import struct
+
+    from fastdb_spark.localrel import tiny_local_df
+
+    rows = [("a", 1, [0.1, -0.0, 5e-324]), ("b", -7, [1e154, 2.5, 0.0])]
+    schema = "k string, n bigint, v array<double>"
+    new = tiny_local_df(spark, rows, schema)
+    old = spark.createDataFrame(rows, schema)
+    assert new.schema == old.schema
+    pack = lambda x: struct.pack("<d", x)
+    for rn, ro in zip(
+        sorted(new.collect(), key=lambda r: r["k"]),
+        sorted(old.collect(), key=lambda r: r["k"]),
+    ):
+        assert rn["k"] == ro["k"] and rn["n"] == ro["n"]
+        assert [pack(x) for x in rn["v"]] == [pack(x) for x in ro["v"]]
+    # the point of the helper: a LocalRelation/LocalTableScan, not a
+    # Python-RDD scan that spins up workers per broadcast build
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan
+    # empty input stays a readable typed frame
+    assert tiny_local_df(spark, [], schema).count() == 0
