@@ -938,16 +938,19 @@ def ivf_index_remove(
 
             def _rewrite_cluster(cl: int) -> None:
                 cdir = os.path.join(vec_dir, f"cluster={cl}")
-                # partition col lives in the path; checkpoint severs the
-                # read from the directory the swap below replaces
-                kept = drop(spark.read.parquet(cdir)).localCheckpoint(
-                    eager=True
-                )
+                # ONE job per cluster (r12): the tmp write below reads
+                # cdir and completes BEFORE the swap renames it, and
+                # nothing lazy survives past the write (`rm` is already
+                # checkpointed), so the per-cluster localCheckpoint the
+                # r11 shape ran first was a redundant second
+                # materialization job — half the narrow-path job count.
                 # tmp AND old live OUTSIDE the partitioned tree: a
                 # transient "cluster=N_old" sibling would corrupt
                 # partition-column inference for any concurrent reader
                 tmp = os.path.join(path, f"_rm_tmp_cluster_{cl}")
-                kept.write.mode("overwrite").parquet(tmp)
+                drop(spark.read.parquet(cdir)).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
                 old = os.path.join(path, f"_rm_old_cluster_{cl}")
                 os.rename(cdir, old)
                 os.rename(tmp, cdir)

@@ -120,22 +120,17 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     sig = _signature(cur)
-    # TWO alternation rounds per materialization (r12): each
-    # checkpoint+signature carries ~0.4-0.5 s of fixed action cost
-    # (collect, plan, py4j) on top of the round's shuffles, and the
-    # LSH/semantic epsilon graphs measured 5-6 rounds to a stable set
-    # at sf0.1 (the edge set keeps RELINKING at constant count before
-    # settling), so halving the materializations saves 1-2 s per CC
-    # call.  Sound: one alternation f = small∘large is a DETERMINISTIC
-    # map whose orbit converges (Kiveris et al., SoCC'14) and is
-    # therefore acyclic until the fixpoint — a stride-2 signature
-    # revisit (f²(x) = x) would otherwise be a 2-cycle, so it implies
-    # f(x) = x, the same stop condition as before; and iterating PAST
-    # the fixpoint is the identity, so the extra round in each pair can
-    # never change the answer (pinned by the chain-graph test).
-    for _ in range(max(1, (max_rounds + 1) // 2)):
-        nxt = _small_star(_large_star(cur))
-        nxt = _small_star(_large_star(nxt)).localCheckpoint(eager=False)
+    # ONE alternation round per materialization.  The stride-2 variant
+    # (two alternations per signature check, tried mid-r12) was REVERTED
+    # by a quiet A/B at sf0.1: the near-clique graphs the dedup
+    # operators emit converge in ~2 alternations, so stride-2 ran 4
+    # star-pair shuffles where 2 suffice and the extra shuffle work
+    # dwarfed the ~0.4 s signature action it saved — dup_clusters
+    # 4.3 -> 7.6 s, semantic_dedup 6.2 -> 13.0 s (min-of-3, local[32]).
+    # At 100 TB the same argument holds harder: a star-pair round
+    # shuffles the full edge set, a signature is one tiny aggregate.
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         cur = nxt
         if nsig == sig:

@@ -85,13 +85,13 @@ def test_cc_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
-def test_cc_long_path_stride2_converges_exactly(spark):
-    """r12: the loop runs TWO alternation rounds per materialization
-    with a stride-2 signature stop.  A 200-node path forces multiple
-    round-pairs (the edge set keeps relinking at constant count before
-    settling), and the result must still be the exact transitive
-    closure — iterating past the fixpoint is the identity, so the
-    second round of a pair can never corrupt a converged set."""
+def test_cc_long_path_converges_exactly(spark):
+    """A 200-node path forces many alternation rounds (the edge set
+    keeps relinking at constant count before settling), and the result
+    must still be the exact transitive closure whatever the loop's
+    materialization stride — iterating past the fixpoint is the
+    identity.  (Pinned when the stride-2 variant was tried mid-r12;
+    kept after its revert as the long-path exactness pin.)"""
     pairs = [(i, i + 1) for i in range(1, 200)]
     got = _spark_labels(spark, pairs)
     assert got == {n: 1 for n in range(1, 201)}
