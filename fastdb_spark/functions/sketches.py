@@ -49,6 +49,16 @@ def md5x_offsets(n_hashes: int) -> list[int]:
     return [(i * 2654435761) % MD5X_MOD for i in range(n_hashes)]
 
 
+def _sql_of(col: Column) -> str:
+    """SQL text of a Column's expression (classic py4j mode) — lets the
+    sketch builders embed their input column into ONE ``F.expr`` string
+    instead of assembling O(n_hashes) Column objects through py4j
+    (~70-270 ms of pure driver time per construction, paid per sketch
+    per gate).  Callers fall back to the Column-API construction when
+    the expression does not stringify (connect mode, exotic inputs)."""
+    return col._jc.expr().sql()
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
     """MinHash signature (the "md5x" scheme): ONE md5 per shingle seeds a
     32-bit integer x = first-8-hex-chars, and element i is the min over
@@ -64,6 +74,27 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
     Returns ``array<long>``; empty shingle arrays yield all-``MD5X_EMPTY``
     sentinel signatures (see :data:`MD5X_EMPTY`)."""
     offs = md5x_offsets(n_hashes)
+    # ONE expr string (r12): the Column-object fold cost ~270 ms of py4j
+    # driver time per construction; the SQL text is the same operators
+    # on the same bigint arithmetic, parsed JVM-side in one call
+    try:
+        src = _sql_of(shingles)
+    except Exception:
+        src = None
+    if src is not None:
+        init = "array(" + ",".join(
+            f"{MD5X_EMPTY}L" for _ in range(n_hashes)
+        ) + ")"
+        mins = ",".join(
+            f"least(element_at(acc, {i + 1}), "
+            f"(x * {2 * i + 1}L + {offs[i]}L) % {MD5X_MOD}L)"
+            for i in range(n_hashes)
+        )
+        return F.expr(
+            f"aggregate(transform({src}, s -> "
+            "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)), "
+            f"{init}, (acc, x) -> array({mins}))"
+        )
     init = F.array(*[F.lit(MD5X_EMPTY).cast("long") for _ in range(n_hashes)])
 
     def fold(acc: Column, x: Column) -> Column:
@@ -95,6 +126,22 @@ def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column
     count (all pairs later rejected by the Jaccard refine anyway, since
     two empty shingle sets score 0).  They remain exact-dedup-able via
     their fingerprints."""
+    try:
+        src = _sql_of(signature)
+    except Exception:
+        src = None
+    if src is not None:
+        # ONE expr string (r12) — same operators, same band keys
+        keys = ",".join(
+            f"concat('b{j}:', array_join(transform("
+            f"slice({src}, {j * rows_per_band + 1}, {rows_per_band}), "
+            "x -> CAST(x AS STRING)), ','))"
+            for j in range(bands)
+        )
+        return F.expr(
+            f"IF(element_at({src}, 1) = {MD5X_EMPTY}L, "
+            f"CAST(array() AS ARRAY<STRING>), array({keys}))"
+        )
     keys = F.array(
         *[
             F.concat(
@@ -130,18 +177,24 @@ def simhash60(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
 
     # per-bit ±1 sum == 2*ones - n, so sum plain bit values (cheaper than
     # 60 conditional ±1 expressions) plus one shared count; bit set when
-    # 2*ones > n (tie -> 0, same as ±1 sum > 0)
+    # 2*ones > n (tie -> 0, same as ±1 sum > 0).
+    # Expressions built as SQL strings (r12): the F.sum/shiftright/when
+    # Column-object loops round-tripped py4j per operator node — ~600
+    # calls, 1.5-3.0 s of pure DRIVER time per plan construction on this
+    # JVM (profiled as the 2.1 s pre-execution gap in the simhash gate);
+    # each F.expr is ONE call parsing JVM-side, same operators, same
+    # types (sum/& over bigint, IF == when-otherwise on a null-free
+    # comparison), so values are identical.
     bit_sums = [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"_b{b}")
         for b in range(60)
     ]
     agg = exploded.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("_n"))
-
-    sim = F.lit(0).cast("long")
-    for b in range(60):
-        sim = sim + F.when(
-            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    sim = F.expr(
+        "CAST(" + " + ".join(
+            f"IF(_b{b} * 2 > _n, {1 << b}L, 0L)" for b in range(60)
+        ) + " AS BIGINT)"
+    )
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -181,6 +234,18 @@ def minhash_signature_fast(shingles: Column, n_hashes: int = 12) -> Column:
     skips nulls in the band fold and every shingle-less document lands
     in ONE shared bucket per band, a quadratic self-join on uncapped
     paths)."""
+    try:
+        src = _sql_of(shingles)
+    except Exception:
+        src = None
+    if src is not None:
+        # ONE expr string (r12) — identical xxhash64 tree per element
+        sig = ",".join(
+            f"array_min(transform(transform({src}, s -> xxhash64(s)), "
+            f"h -> xxhash64(h, {i})))"
+            for i in range(n_hashes)
+        )
+        return F.expr(f"array({sig})")
     base = F.transform(shingles, lambda s: F.xxhash64(s))
     sig = [
         F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))).alias(
@@ -204,6 +269,22 @@ def lsh_band_hashes_fast(
     keys and one quadratic bucket per band (all pairs later rejected by
     the Jaccard refine anyway, since two empty shingle sets score 0).
     They remain exact-dedup-able via their fingerprints."""
+    try:
+        src = _sql_of(signature)
+    except Exception:
+        src = None
+    if src is not None:
+        # ONE expr string (r12) — same xxhash64 fold per band
+        keys = ",".join(
+            f"CAST(aggregate(slice({src}, {j * rows_per_band + 1}, "
+            f"{rows_per_band}), CAST({j} AS BIGINT), "
+            "(acc, x) -> xxhash64(acc, x)) AS STRING)"
+            for j in range(bands)
+        )
+        return F.expr(
+            f"IF(isnull(element_at({src}, 1)), "
+            f"CAST(array() AS ARRAY<STRING>), array({keys}))"
+        )
     keys = F.array(
         *[
             F.aggregate(
