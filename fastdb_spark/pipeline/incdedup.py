@@ -116,6 +116,51 @@ def _sketch(
     )
 
 
+def _staged_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_hashes: int,
+    bands: int,
+    hash_impl: str,
+) -> DataFrame:
+    """Stage (persist + eager count) the sketch frame, spreading
+    pathologically under-split inputs FOR THE MATERIALIZATION ONLY.
+
+    The md5/shingle sketch is the compute-heavy pass of every index
+    build/upsert/probe; when the input arrives as fewer partitions than
+    a quarter of the cores (one local parquet split; a single huge gzip
+    at deployment — guide §2.5 "input skew ... repartition immediately
+    after the read") the eager count runs it nearly single-task.
+    Repartitioning cures that but must NOT leak downstream: the staged
+    frame feeds a ~100-job maintenance choreography of tiny
+    broadcast/AQE stages, and the r12 session-1 experiment measured the
+    un-collapsed spread at 2.4x the gate (every 50 ms 1-task job became
+    a 0.3-0.5 s 32-task job).  So the spread frame is staged wide — the
+    count materializes the cache in parallel — and the RETURNED view is
+    ``coalesce`` back to the input's own partition count: downstream
+    cache scans read the same blocks in the same narrow stages as
+    before.  Well-split inputs (every deployment-scale corpus) take the
+    unchanged path: no extra shuffle, no coalesce throttle."""
+    from fastdb_spark.cachereg import stage
+
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n * 4 <= par:
+        sk = stage(
+            _sketch(
+                df.repartition(par), id_col, text_col,
+                shingle_k, n_hashes, bands, hash_impl,
+            )
+        )
+        return sk.coalesce(max(n, 1))
+    return stage(
+        _sketch(df, id_col, text_col, shingle_k, n_hashes, bands, hash_impl)
+    )
+
+
 def build_dedup_index(
     docs: DataFrame,
     path: str,
@@ -154,10 +199,10 @@ def build_dedup_index(
     full index per removal batch, a non-starter at 100-TB index sizes).
     ``None`` keeps the flat layout (removal falls back to the full
     three-table rewrite)."""
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged
 
-    sk = stage(
-        _sketch(docs, id_col, text_col, shingle_k, n_hashes, bands, hash_impl)
+    sk = _staged_sketch(
+        docs, id_col, text_col, shingle_k, n_hashes, bands, hash_impl
     )
     try:
         canon = sk.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
@@ -1051,15 +1096,13 @@ def dedup_index_probe(
     (mtime-asserted in tests)."""
     p = _load_params(path)
     _check_scheme(p, path)
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged
 
     with table_write_lock(os.path.normpath(path)):
-        sk = stage(
-            _sketch(
-                new_docs, id_col, text_col,
-                p["shingle_k"], p["n_hashes"], p["bands"],
-                hash_impl=p.get("hash_impl", "md5"),
-            )
+        sk = _staged_sketch(
+            new_docs, id_col, text_col,
+            p["shingle_k"], p["n_hashes"], p["bands"],
+            p.get("hash_impl", "md5"),
         )
         try:
             fps = spark.read.parquet(os.path.join(path, "fingerprints"))
@@ -1132,20 +1175,18 @@ def dedup_index_upsert(
     (floor capped at 101 — see the audit docstring)."""
     p = _load_params(path)
     _check_scheme(p, path)
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged
 
     # reset BEFORE the cap branch: an uncapped (max_bucket_size=None) run
     # must not leave a previous call's truncation counts standing
     LAST_UPSERT_AUDIT["truncated_docs"] = 0
     LAST_UPSERT_AUDIT["sample"] = []
     with table_write_lock(os.path.normpath(path)):
-        sk = stage(
-            _sketch(
-                new_docs, id_col, text_col,
-                p["shingle_k"], p["n_hashes"], p["bands"],
-                # pre-hash_impl indexes carry no key: they were md5
-                hash_impl=p.get("hash_impl", "md5"),
-            )
+        # pre-hash_impl indexes carry no key: they were md5
+        sk = _staged_sketch(
+            new_docs, id_col, text_col,
+            p["shingle_k"], p["n_hashes"], p["bands"],
+            p.get("hash_impl", "md5"),
         )
         try:
             # (a) exact vs index + in-batch keep-min-id
