@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for declared queries into plans/r12/.
+"""Capture .explain("formatted") for declared queries into plans/$PLANS_ROUND/
+(default r13).
 
 Usage:
     python tools/capture_plans.py before <gate> [<gate> ...]
@@ -27,7 +28,11 @@ def main() -> None:
     gates = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entrymod
