@@ -357,9 +357,13 @@ class FastdbAPI:
             )
             for r, p, ra, dec, h in zip(rootids, priorities, ras, decs, hosts)
         ]
+        from fastdb_spark.localrel import tiny_local_df
         from fastdb_spark.schemas import TABLES
 
-        updates = self.spark.createDataFrame(rows, TABLES["wantedspectra"])
+        # typed Arrow local relation (r13, VERDICT r12 #7): the pickled
+        # createDataFrame ran a Python-RDD job per evaluation; the
+        # tz-aware rows cross Arrow instant-identically (UTC session)
+        updates = tiny_local_df(self.spark, rows, TABLES["wantedspectra"])
         self._store("wantedspectra").upsert(
             updates, ["wantspec_id"], on_conflict="update"
         )
@@ -383,9 +387,11 @@ class FastdbAPI:
         if plantime.tzinfo is None:
             plantime = plantime.replace(tzinfo=_dt.timezone.utc)
         pid = str(_uuid.uuid4())
+        from fastdb_spark.localrel import tiny_local_df
         from fastdb_spark.schemas import TABLES
 
-        row = self.spark.createDataFrame(
+        row = tiny_local_df(
+            self.spark,
             [
                 (
                     pid,
@@ -438,9 +444,11 @@ class FastdbAPI:
         import uuid as _uuid
 
         sid = str(_uuid.uuid4())
+        from fastdb_spark.localrel import tiny_local_df
         from fastdb_spark.schemas import TABLES
 
-        row = self.spark.createDataFrame(
+        row = tiny_local_df(
+            self.spark,
             [
                 (
                     sid,

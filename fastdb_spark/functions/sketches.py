@@ -21,6 +21,8 @@ same partition).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,17 +51,49 @@ def md5x_offsets(n_hashes: int) -> list[int]:
     return [(i * 2654435761) % MD5X_MOD for i in range(n_hashes)]
 
 
-def _sql_of(col: Column) -> str:
-    """SQL text of a Column's expression (classic py4j mode) — lets the
-    sketch builders embed their input column into ONE ``F.expr`` string
-    instead of assembling O(n_hashes) Column objects through py4j
-    (~70-270 ms of pure driver time per construction, paid per sketch
-    per gate).  Callers fall back to the Column-API construction when
-    the expression does not stringify (connect mode, exotic inputs)."""
-    return col._jc.expr().sql()
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
+def _sql_of(col: Column | str) -> str | None:
+    """Backtick-quoted SQL reference for a PLAIN named column — a str
+    name or a bare-attribute Column (``F.col("sig")``); ``None`` for
+    anything else.  Lets the sketch builders embed their input column
+    into ONE ``F.expr`` string instead of assembling O(n_hashes) Column
+    objects through py4j (~70-190 ms of pure driver time per
+    construction, paid per sketch per gate).
+
+    r13 rewrite, two findings at once:
+
+    - Spark 4 removed ``Column.expr()`` from the classic java Column,
+      so the r12 form (``col._jc.expr().sql()``) raised Py4JError on
+      EVERY call and the expr-string fast paths silently never fired —
+      every sketch construction was paying the Column-API loops this
+      helper exists to avoid.  The replacement introspects the
+      Column's ``node()`` (`org.apache.spark.sql.internal.*`).
+    - ADVICE r12 (medium): ``Expression.sql()`` is documented
+      best-effort and need not round-trip.  The new gate accepts ONLY
+      an UnresolvedAttribute whose single-part name is a simple
+      identifier and quotes it itself — a bare backticked identifier
+      embedded in an expr string provably resolves to the same
+      attribute ``F.col(name)`` would.  Dotted paths, computed
+      expressions and connect-mode columns all return ``None`` and the
+      builders keep the Column-API construction."""
+    if isinstance(col, str):
+        name = col
+    else:
+        try:
+            node = col._jc.node()
+            if node.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            name = node.sql()
+        except Exception:
+            return None
+    if not _IDENT.match(name):
+        return None
+    return f"`{name}`"
+
+
+def minhash_signature(shingles: Column | str, n_hashes: int = 12) -> Column:
     """MinHash signature (the "md5x" scheme): ONE md5 per shingle seeds a
     32-bit integer x = first-8-hex-chars, and element i is the min over
     shingles of the integer permutation ``(x*(2i+1) + b_i) mod 2^32``
@@ -74,13 +108,13 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
     Returns ``array<long>``; empty shingle arrays yield all-``MD5X_EMPTY``
     sentinel signatures (see :data:`MD5X_EMPTY`)."""
     offs = md5x_offsets(n_hashes)
-    # ONE expr string (r12): the Column-object fold cost ~270 ms of py4j
-    # driver time per construction; the SQL text is the same operators
-    # on the same bigint arithmetic, parsed JVM-side in one call
-    try:
-        src = _sql_of(shingles)
-    except Exception:
-        src = None
+    # ONE expr string (r12; fast-path gate revived r13 — see _sql_of):
+    # the Column-object fold cost ~190 ms of py4j driver time per
+    # construction; the SQL text is the same operators on the same
+    # bigint arithmetic, parsed JVM-side in one call
+    src = _sql_of(shingles)
+    if isinstance(shingles, str):
+        shingles = F.col(shingles)
     if src is not None:
         init = "array(" + ",".join(
             f"{MD5X_EMPTY}L" for _ in range(n_hashes)
@@ -115,7 +149,9 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
     return F.aggregate(xs, init, fold)
 
 
-def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_hashes(
+    signature: Column | str, bands: int, rows_per_band: int
+) -> Column:
     """Array of ``bands`` band keys: ``'b{j}:'`` + the comma-joined
     signature slice (equality is all a band key needs — no hash of the
     hash).  Documents sharing any band key are near-dup candidates.
@@ -125,11 +161,17 @@ def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column
     document in ONE shared bucket whose self-join is quadratic in their
     count (all pairs later rejected by the Jaccard refine anyway, since
     two empty shingle sets score 0).  They remain exact-dedup-able via
-    their fingerprints."""
-    try:
-        src = _sql_of(signature)
-    except Exception:
-        src = None
+    their fingerprints.
+
+    The signature argument should be a NAMED column (``'sig'`` /
+    ``F.col('sig')`` — what every internal call site passes): the
+    generated SQL references it ``bands + 1`` times, which is free for
+    an attribute but would re-evaluate an inline signature expression
+    per band (ADVICE r12) — inline expressions therefore take the
+    Column-API fallback, where the same caveat applies."""
+    src = _sql_of(signature)
+    if isinstance(signature, str):
+        signature = F.col(signature)
     if src is not None:
         # ONE expr string (r12) — same operators, same band keys
         keys = ",".join(
@@ -214,7 +256,9 @@ def hamming60(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def minhash_signature_fast(shingles: Column, n_hashes: int = 12) -> Column:
+def minhash_signature_fast(
+    shingles: Column | str, n_hashes: int = 12
+) -> Column:
     """FAST-PATH MinHash: each shingle is string-hashed ONCE
     (``xxhash64``), the ``n_hashes`` permutations derive from that base
     via long-input ``xxhash64(base, i)`` — integer-only, no per-seed
@@ -233,31 +277,48 @@ def minhash_signature_fast(shingles: Column, n_hashes: int = 12) -> Column:
     mirror of the md5x :data:`MD5X_EMPTY` guard (without it, xxhash64
     skips nulls in the band fold and every shingle-less document lands
     in ONE shared bucket per band, a quadratic self-join on uncapped
-    paths)."""
-    try:
-        src = _sql_of(shingles)
-    except Exception:
-        src = None
+    paths).
+
+    r13 (VERDICT r12 #2): the base ``transform(shingles, xxhash64)`` is
+    bound to a lambda variable via a single-element-array transform — a
+    let-binding CollapseProject cannot inline back into the consuming
+    lambdas — so the per-shingle STRING hash runs ONCE per row instead
+    of once per signature element (the r12 tree re-evaluated it
+    n_hashes times; at 100 TB that is 11 redundant xxhash64 passes over
+    every shingle array).  Each element then applies the same per-seed
+    integer ``xxhash64(h, i)`` and ``array_min`` as before, so values
+    (incl. the all-NULL empty sentinel: the init array survives an
+    empty base untouched either way) are identical — pinned in
+    tests/test_round13_opt.py."""
+    src = _sql_of(shingles)
+    if isinstance(shingles, str):
+        shingles = F.col(shingles)
     if src is not None:
-        # ONE expr string (r12) — identical xxhash64 tree per element
-        sig = ",".join(
-            f"array_min(transform(transform({src}, s -> xxhash64(s)), "
-            f"h -> xxhash64(h, {i})))"
+        mins = ",".join(
+            f"array_min(transform(mhb, h -> xxhash64(h, {i})))"
             for i in range(n_hashes)
         )
-        return F.expr(f"array({sig})")
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    sig = [
-        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))).alias(
-            f"mh{i}"
+        return F.expr(
+            f"element_at(transform(array(transform({src}, "
+            f"s -> xxhash64(s))), mhb -> array({mins})), 1)"
         )
-        for i in range(n_hashes)
-    ]
-    return F.array(*sig)
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def _mins(b: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(b, lambda h: F.xxhash64(h, F.lit(i)))
+                ).alias(f"mh{i}")
+                for i in range(n_hashes)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(base), _mins), 1)
 
 
 def lsh_band_hashes_fast(
-    signature: Column, bands: int, rows_per_band: int
+    signature: Column | str, bands: int, rows_per_band: int
 ) -> Column:
     """Fast-path band hashes: fold each signature slice with long-input
     ``xxhash64`` (band index as the fold seed) — integer-only.
@@ -268,11 +329,13 @@ def lsh_band_hashes_fast(
     without this every shingle-less document would share identical band
     keys and one quadratic bucket per band (all pairs later rejected by
     the Jaccard refine anyway, since two empty shingle sets score 0).
-    They remain exact-dedup-able via their fingerprints."""
-    try:
-        src = _sql_of(signature)
-    except Exception:
-        src = None
+    They remain exact-dedup-able via their fingerprints.
+
+    Pass a NAMED signature column (see :func:`lsh_band_hashes` — the
+    generated SQL references it per band)."""
+    src = _sql_of(signature)
+    if isinstance(signature, str):
+        signature = F.col(signature)
     if src is not None:
         # ONE expr string (r12) — same xxhash64 fold per band
         keys = ",".join(

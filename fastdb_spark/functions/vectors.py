@@ -64,6 +64,22 @@ def as_double_array(a: Column) -> Column:
     return a.cast("array<double>")
 
 
+def let1(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE per row and pass it to ``body`` as a
+    lambda variable: ``element_at(transform(array(bound), x ->
+    body(x)), 1)``.
+
+    This is the portable way to hoist a loop-invariant subexpression
+    out of a higher-order-function lambda: the optimizer cannot inline
+    a lambda variable back into its use sites, whereas a single-use
+    projected alias is re-inlined by CollapseProject into the consuming
+    lambda — the r12 finding that left ``with_ivf_cluster``'s per-row
+    ``norm(v)`` re-folding once per centroid.  Values are the plain
+    composition (the lambda variable carries exactly the value of
+    ``bound``, nulls included), so results are bit-identical."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _finite(x: float) -> bool:
     return x == x and x not in (float("inf"), float("-inf"))
 

@@ -20,16 +20,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def tiny_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+def tiny_local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """Build a small DataFrame from driver-side ``rows`` (sequence of
-    tuples) with an explicit comma-separated ``"name type"`` schema.
-    Empty input falls back to ``createDataFrame([], schema)`` (pandas
-    cannot carry a zero-row typed frame through the converter)."""
+    tuples) with an explicit schema — a DDL string (``"name type, ..."``)
+    or a typed ``StructType``.
+
+    r13: field names come from ``StructType.fromDDL`` instead of a
+    string split (ADVICE r12: ``decimal(10,2)`` / ``map<string,int>``
+    commas silently misaligned names with columns), and a ``StructType``
+    schema routes timestamp columns through tz-aware
+    ``datetime64[ns, UTC]`` so typed row-builders (the spectrum-workflow
+    API tables, tokenizer merges) take the Arrow LocalRelation path too
+    — plain ``object``-dtype datetimes make the Arrow converter fall
+    back to pickled rows.  The engine pins the session timezone to UTC,
+    so the UTC interpretation of (always tz-aware at the call sites)
+    timestamps is instant-identical to the legacy path.  Empty input
+    falls back to ``createDataFrame([], schema)`` (pandas cannot carry
+    a zero-row typed frame through the converter)."""
+    from pyspark.sql.types import StructType, TimestampType
+
     rows = list(rows)
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if not rows:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], st)
     import pandas as pd
 
-    names = [f.strip().split()[0] for f in schema.split(",")]
-    pdf = pd.DataFrame(dict(zip(names, map(list, zip(*rows)))))
-    return spark.createDataFrame(pdf, schema=schema)
+    pdf = pd.DataFrame(dict(zip(st.fieldNames(), map(list, zip(*rows)))))
+    for f in st.fields:
+        if isinstance(f.dataType, TimestampType):
+            pdf[f.name] = pd.to_datetime(pdf[f.name], utc=True)
+    return spark.createDataFrame(pdf, schema=st)

@@ -155,7 +155,11 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
             StructField("right", StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    # typed Arrow local relation (r13, VERDICT r12 #7): same rows, same
+    # nullable=False schema, no Python-RDD job per evaluation
+    from fastdb_spark.localrel import tiny_local_df
+
+    return tiny_local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
