@@ -860,6 +860,21 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_WRITTEN: set = set()
 
+#: Gates that build a PERSISTED train-once index on their first run in a
+#: process and probe it on later runs (the ``_IVF_WRITTEN`` memo above):
+#: under min-of-N timing their min measures the DECLARED probe-against-
+#: persisted-index semantics (build amortized away), not a rebuild.  No
+#: state crosses processes — a fresh run starts with an empty memo and
+#: rebuilds — but bench.py names these in its payload as ``probe_only``
+#: so the timing contract is explicit in the artifact (VERDICT r12 #5).
+PERSISTED_INDEX_GATES = (
+    "ann_exhaustive_exact",
+    "ann_ivf_index",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_topk",
+)
+
 
 def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against the PERSISTED train-once index (build_ivf_index):
@@ -1376,8 +1391,10 @@ def _q_alert_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastdb_spark.cachereg import stage
 
     phot = stage(ad.photometry(li))
+    # the adapter's detections predicate verbatim (ADVICE r12: a
+    # re-inlined literal would silently diverge if the definition moves)
     det = phot.filter(
-        F.col("quantity") > 25.0
+        ad.DETECTIONS_PRED_SQL
     ).withColumnRenamed("srcid", "diasourceid").withColumnRenamed(
         "rootid", "diaobjectid"
     )

@@ -164,6 +164,10 @@ def main() -> None:
         "host_contended": host_contended,
         "contended": contended,
         "runs": {"base": runs, "max": max_runs, "slow_s": slow_s},
+        # the persisted-index gates build on run 1 and probe on later
+        # runs (their declared train-once semantics): the min is
+        # probe-only (VERDICT r12 #5 — the timing contract, named)
+        "probe_only": sorted(getattr(entrymod, "PERSISTED_INDEX_GATES", ())),
     }
     print(json.dumps(payload))
     # stable sidecar: the driver's stdout capture has truncated the tail of
@@ -173,11 +177,18 @@ def main() -> None:
     # quiet-host record the judge diffs against the driver artifact
     # (VERDICT r10 #3); per-run samples ride only in the sidecar.
     quiet = os.environ.get("SPARK_GRAFT_BENCH_QUIET") == "1"
+    base = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_QUIET.json" if quiet else "BENCH_LOCAL.json",
+        base, "BENCH_QUIET.json" if quiet else "BENCH_LOCAL.json"
     )
     with open(sidecar, "w") as f:
+        json.dump({**payload, "samples": samples}, f, indent=1)
+    # ALSO keyed by core count (VERDICT r12 #4: the driver's 8-core
+    # scaling run clobbered the 32-core full per-gate map — two runs at
+    # different $SPARK_GRAFT_CPUS must both leave their full maps on
+    # disk; the unkeyed file above stays the latest-run view)
+    keyed = sidecar.replace(".json", f"_c{cpus}.json")
+    with open(keyed, "w") as f:
         json.dump({**payload, "samples": samples}, f, indent=1)
     # FINAL line: the driver keeps only the LAST ~2000 chars of stdout and
     # parses the tail as JSON — the full payload line above is ~4 KB, so
