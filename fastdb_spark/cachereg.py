@@ -39,6 +39,11 @@ def release_staged() -> int:
     return n
 
 
+#: kill-switch for the adaptive narrowing below (A/B measurement and an
+#: operational escape hatch: flipping it makes stage_adaptive == stage).
+ADAPTIVE_ENABLED = True
+
+
 def stage_adaptive(df: DataFrame, target_bytes: int = 32 * 1024 * 1024):
     """Stage ``df`` eagerly, then return a view coalesced to
     ``ceil(cached_bytes / target_bytes)`` partitions when that is
@@ -60,6 +65,8 @@ def stage_adaptive(df: DataFrame, target_bytes: int = 32 * 1024 * 1024):
     data is real.  Layout-only: values and row order semantics are
     untouched (every consumer is an unordered join/aggregate input)."""
     df = stage(df)
+    if not ADAPTIVE_ENABLED:
+        return df
     try:
         nbytes = int(
             df.select("*")

@@ -238,9 +238,13 @@ def build_media_index(
     (``max_hamming > 0``) legs; the hamming-0 paths are structurally
     capless (keep-min aggregate in batch, dropDuplicates probe) and
     exact regardless.  Pass ``None`` for exact banded pair semantics."""
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged, stage_adaptive
 
-    hashes = stage(
+    # staged WIDE for the decode pass, consumed as a size-matched narrow
+    # view by the maintenance choreography (r13, VERDICT r12 #5 — see
+    # cachereg.stage_adaptive; KB-sized gate frames ran ~50-150 ms
+    # broadcast jobs with one task per cached partition)
+    hashes = stage_adaptive(
         _hash_frame(media, id_col, payload_col, method, every_ms, audio_kw)
     )
     try:
@@ -290,12 +294,13 @@ def media_index_upsert(
     ``LAST_UPSERT_AUDIT`` — a capped probe is never silent."""
     p = _load_params(path)
     id_col = p.get("id_col", "media_id")
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged, stage_adaptive
 
     LAST_UPSERT_AUDIT["truncated_items"] = 0
     LAST_UPSERT_AUDIT["sample"] = []
     with table_write_lock(os.path.normpath(path)):
-        hashes = stage(
+        # decode wide, maintain narrow (see build_media_index)
+        hashes = stage_adaptive(
             _hash_frame(
                 new_media,
                 id_col,
@@ -361,10 +366,11 @@ def media_index_probe(
     so concurrent swaps cannot invalidate the returned frame."""
     p = _load_params(path)
     id_col = p.get("id_col", "media_id")
-    from fastdb_spark.cachereg import release_staged, stage
+    from fastdb_spark.cachereg import release_staged, stage_adaptive
 
     with table_write_lock(os.path.normpath(path)):
-        hashes = stage(
+        # decode wide, maintain narrow (see build_media_index)
+        hashes = stage_adaptive(
             _hash_frame(
                 new_media,
                 id_col,

@@ -186,7 +186,7 @@ def _classify(
     ``dup`` / ``in_batch_dup`` / ``fresh``.  fresh_keyed carries the
     fresh items as ``(id, v, cluster, cos_c)``.  Caller holds the lock.
     """
-    from fastdb_spark.cachereg import stage
+    from fastdb_spark.cachereg import stage_adaptive
     from fastdb_spark.pipeline.semdedup import _guarded_keyed
 
     p = _sem_params(path)
@@ -208,7 +208,9 @@ def _classify(
     if max_cluster_size is None:
         # guard off -> _guarded_keyed did not stage; still share one
         # assignment computation across the probe/in-batch/fresh branches
-        full = stage(full)
+        # (assigned WIDE for the GEMM, consumed as a size-matched narrow
+        # view by the maintenance choreography — r13, VERDICT r12 #5)
+        full = stage_adaptive(full)
         pair_side = full
     vec_dir = os.path.join(path, "vectors")
     if guarded:

@@ -388,9 +388,9 @@ def _guarded_keyed(
     # it exists to guard (measured 31 s vs 4 s at a 1M-row single-
     # cluster corpus).  When clusters survive, the keep set (<= k rows)
     # broadcast-joins back — a map-side filter, no extra shuffle.
-    from fastdb_spark.cachereg import stage
+    from fastdb_spark.cachereg import stage_adaptive
 
-    full = stage(keyed)
+    full = stage_adaptive(keyed)
     over = (
         full.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("_csz"))
