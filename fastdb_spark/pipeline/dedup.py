@@ -72,9 +72,9 @@ def _stage(df: DataFrame) -> DataFrame:
     Tracked in ``fastdb_spark.cachereg``: the consumer releases the cache
     with ``release_staged()`` once its result is materialized.
     """
-    from fastdb_spark.cachereg import stage
+    from fastdb_spark.cachereg import stage_adaptive
 
-    return stage(df, eager=True)
+    return stage_adaptive(df)
 
 
 def _candidate_pairs(
