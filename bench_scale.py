@@ -598,6 +598,120 @@ def bench_takedown(spark) -> dict:
     return out
 
 
+def bench_dedup_index(spark) -> dict:
+    """VERDICT r12 #1 scale row: the dedup-index build/upsert/probe at
+    deployment scale, with EVENT-LOG evidence that the heavy stages
+    (sketch materialization, band join, MIS fixpoint, table writes) run
+    WIDE — the sf0.1 gates' ~125 single-task jobs are scheduler latency
+    on KB inputs, and this row is the proof the same code goes parallel
+    when the data is real.  Records per-phase wall seconds plus, per
+    phase, job/stage/task totals and the top stages by task count from
+    the Spark event log (requires the session to have been built with
+    spark.eventLog.enabled — main() does this under
+    SCALE_DEDUP_INDEX_ONLY=1)."""
+    import shutil
+    import tempfile
+
+    from fastdb_spark.pipeline.incdedup import (
+        build_dedup_index,
+        dedup_index_probe,
+        dedup_index_upsert,
+    )
+
+    n = int(os.environ.get("SCALE_INDEX_DOCS", 10_000_000))
+    batch = int(os.environ.get("SCALE_INDEX_BATCH", 200_000))
+    out = {
+        "index_docs_n": n,
+        "batch_n": batch,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "loadavg_start": round(os.getloadavg()[0], 2),
+    }
+    docs = synth_documents(spark, n)
+    path = tempfile.mkdtemp(prefix="fastdb_indexscale_")
+    windows: dict[str, tuple[int, int]] = {}
+
+    def timed(tag, fn):
+        t0 = time.perf_counter()
+        t0ms = int(time.time() * 1000)
+        r = fn()
+        out[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+        windows[tag] = (t0ms, int(time.time() * 1000))
+        return r
+
+    try:
+        out["build_indexed"] = timed(
+            "build",
+            lambda: build_dedup_index(
+                docs, path, hash_impl="fast", id_buckets=64
+            ),
+        )
+        # DISJOINT id ranges: synth text derives from the doc seed, so a
+        # fresh range is fresh content (see bench_compaction)
+        fresh = synth_documents(spark, n + batch).filter(f"doc_id >= {n}")
+        ids = timed(
+            "upsert", lambda: dedup_index_upsert(spark, fresh, path)
+        )
+        out["upsert_appended"] = None if ids is None else len(ids)
+        fresh2 = synth_documents(spark, n + 2 * batch).filter(
+            f"doc_id >= {n + batch}"
+        )
+        out["probe_rows"] = timed(
+            "probe",
+            lambda: dedup_index_probe(spark, fresh2, path).count(),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out["loadavg_end"] = round(os.getloadavg()[0], 2)
+
+    # per-phase stage evidence from the event log
+    log_dir = spark.conf.get("spark.eventLog.dir", None)
+    if log_dir:
+        app = spark.sparkContext.applicationId
+        lpath = os.path.join(log_dir.replace("file:", ""), app + ".inprogress")
+        if not os.path.exists(lpath):
+            lpath = os.path.join(log_dir.replace("file:", ""), app)
+        phases = {
+            t: {"jobs": 0, "stages": 0, "tasks": 0, "top_stages": []}
+            for t in windows
+        }
+        try:
+            with open(lpath) as f:
+                for line in f:
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    k = ev.get("Event")
+                    if k == "SparkListenerJobStart":
+                        ts = ev["Submission Time"]
+                        for t, (a, b) in windows.items():
+                            if a <= ts <= b:
+                                phases[t]["jobs"] += 1
+                    elif k == "SparkListenerStageCompleted":
+                        si = ev["Stage Info"]
+                        ts = si.get("Submission Time") or 0
+                        for t, (a, b) in windows.items():
+                            if a <= ts <= b:
+                                phases[t]["stages"] += 1
+                                nt = si.get("Number of Tasks", 0)
+                                phases[t]["tasks"] += nt
+                                phases[t]["top_stages"].append(
+                                    (nt, si.get("Stage Name", "")[:80])
+                                )
+        except OSError:
+            phases = {}
+        for t, ph in phases.items():
+            ph["top_stages"] = [
+                list(x)
+                for x in sorted(ph["top_stages"], reverse=True)[:6]
+            ]
+            ph["widest_stage_tasks"] = (
+                ph["top_stages"][0][0] if ph["top_stages"] else 0
+            )
+        out["phases"] = phases
+    return out
+
+
 def bench_compaction(spark) -> dict:
     """Scale row for index compaction (round 9): a long-lived index
     accretes one part file per touched bucket per upsert, and the
@@ -1391,9 +1505,24 @@ def bench_semindex(spark) -> dict:
 
 
 def main() -> None:
+    extra_conf = None
+    if os.environ.get("SCALE_DEDUP_INDEX_ONLY", "0") == "1":
+        # the dedup-index scale row reads its own event log for the
+        # wide-stage evidence (VERDICT r12 #1)
+        log_dir = os.environ.get(
+            "SCALE_EVENTLOG_DIR", "/tmp/fastdb_scale_eventlog"
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": log_dir,
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.compress": "false",
+        }
     spark = get_spark(
         "fastdb-scale-bench",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]",
+        extra_conf=extra_conf,
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out = {}
@@ -1410,6 +1539,11 @@ def main() -> None:
 
     if os.environ.get("SCALE_MEDIA_ONLY", "0") == "1":
         out["media_ops"] = bench_media(spark)
+        print(json.dumps(out))
+        return
+
+    if os.environ.get("SCALE_DEDUP_INDEX_ONLY", "0") == "1":
+        out["dedup_index"] = bench_dedup_index(spark)
         print(json.dumps(out))
         return
 

@@ -1119,9 +1119,15 @@ def dedup_index_probe(
             in_batch_exact = rest.join(
                 keepmin.select(id_col), on=id_col, how="left_anti"
             ).select(id_col)
+            # lazy checkpoint: the vs-index band-join/refine chain is
+            # otherwise evaluated TWICE — once inside the greedy-MIS
+            # fixpoint actions (via rest2 -> pairs -> edges) and again
+            # when the verdict union materializes (exchange reuse does
+            # not cross actions).  Computed on first use, reused after;
+            # the tiny id frame is all that is stored (r13).
             near = _near_dups_vs_index(
                 spark, keepmin, path, p, id_col, max_bucket_size
-            )
+            ).localCheckpoint(eager=False)
             rest2 = keepmin.join(near, on=id_col, how="left_anti")
             in_batch_near = _inbatch_drops(
                 rest2, id_col, p["threshold"], max_bucket_size
@@ -1202,10 +1208,13 @@ def dedup_index_upsert(
             )
             # (b) near-dup vs index: band-bucket join against the stored
             # buckets, shingle refine against the stored shingle sets
+            # lazy checkpoint: evaluated in the in-batch MIS fixpoint
+            # (c) AND in the append's survivor materialization — compute
+            # the band-join/refine chain once (r13, see probe)
             dup_vs_index = _near_dups_vs_index(
                 spark, fresh, path, p, id_col, max_bucket_size,
                 audit=LAST_UPSERT_AUDIT,
-            )
+            ).localCheckpoint(eager=False)
             fresh = fresh.join(dup_vs_index, on=id_col, how="left_anti")
             # (c) in-batch greedy-MIS near-dup (replay-idempotent rule)
             surv = fresh.join(

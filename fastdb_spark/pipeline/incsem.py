@@ -232,9 +232,14 @@ def _classify(
         .filter(F.col("cluster").isin(touched_pair))  # partition-pruned
         .select("cluster", as_double_array(F.col(vec_col)).alias("v"))
     )
+    # lazy checkpoint: the vs-index pass (per-cluster GEMM cogroup on
+    # the 'gemm' strategy) is otherwise evaluated twice — inside the
+    # in-batch greedy-MIS fixpoint actions (via rest -> pairs) and again
+    # when the verdict union materializes; compute it once and store
+    # only the tiny id frame (r13)
     dup = _vs_index_dups(
         pair_side.select("cluster", id_col, "v"), old, id_col, eps, strategy
-    )
+    ).localCheckpoint(eager=False)
     rest = pair_side.join(dup, on=id_col, how="left_anti")
     in_batch = _inbatch_drops(rest, id_col, eps, strategy)
     fresh = rest.join(in_batch, on=id_col, how="left_anti")
